@@ -1,0 +1,143 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tristage_rag_tpu.models.config import (
+    ColBERTConfig,
+    CrossEncoderConfig,
+    PoolingConfig,
+)
+from tristage_rag_tpu.models.heads import apply_score_activation, pool
+from tristage_rag_tpu.models.registry import encoder_config
+from tristage_rag_tpu.models.runtime import EncoderRuntime
+from tristage_rag_tpu.models.tokenizer import (
+    Batch,
+    HashTokenizer,
+    WordPieceTokenizer,
+    pick_bucket,
+)
+
+
+class TestTokenizers:
+    def test_hash_deterministic(self):
+        t = HashTokenizer(vocab_size=1024)
+        a = t.tokenize_to_ids("Hello, TPU world!")
+        b = t.tokenize_to_ids("Hello, TPU world!")
+        assert a == b and len(a) == 5  # hello , tpu world !
+        assert all(4 <= i < 1024 for i in a)
+
+    def test_encode_batch_padding(self):
+        t = HashTokenizer(vocab_size=1024)
+        batch = t.encode_batch(["one two", "one two three four five six"], 64)
+        assert batch.input_ids.shape == batch.attn_mask.shape
+        assert batch.input_ids.shape[1] in (16, 32, 64)
+        assert batch.attn_mask[0].sum() == 4  # cls + 2 + sep
+        assert batch.attn_mask[1].sum() == 8
+
+    def test_encode_pairs_types(self):
+        t = HashTokenizer(vocab_size=1024)
+        batch = t.encode_pairs([("short query", "longer document text here")], 64)
+        row_types = batch.token_type_ids[0][batch.attn_mask[0].astype(bool)]
+        assert row_types[0] == 0 and row_types[-1] == 1
+
+    def test_pair_truncation(self):
+        t = HashTokenizer(vocab_size=1024)
+        long = " ".join(["word"] * 100)
+        batch = t.encode_pairs([(long, long)], 32)
+        assert batch.input_ids.shape[1] == 32
+        assert batch.attn_mask[0].sum() == 32
+
+    def test_wordpiece(self):
+        vocab = {
+            "[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3,
+            "un": 4, "##aff": 5, "##able": 6, "hello": 7,
+        }
+        t = WordPieceTokenizer(vocab)
+        assert t.tokenize_to_ids("hello unaffable") == [7, 4, 5, 6]
+        assert t.tokenize_to_ids("xyz") == [1]
+
+    def test_bucket(self):
+        assert pick_bucket(10, (16, 32), 512) == 16
+        assert pick_bucket(17, (16, 32), 512) == 32
+        assert pick_bucket(600, (16, 32), 512) == 512
+
+
+class TestPooling:
+    def test_mean_pool_masks_padding(self):
+        h = jnp.asarray(np.arange(24, dtype=np.float32).reshape(1, 4, 6))
+        m = jnp.asarray([[1, 1, 0, 0]])
+        out = np.asarray(pool(h, m, "mean"))
+        np.testing.assert_allclose(out[0], np.arange(24).reshape(4, 6)[:2].mean(0))
+
+    def test_cls_max(self):
+        h = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3, 4)).astype(np.float32))
+        m = jnp.ones((2, 3))
+        assert np.asarray(pool(h, m, "cls")).shape == (2, 4)
+        assert np.asarray(pool(h, m, "max")).shape == (2, 4)
+
+    def test_score_activation(self):
+        logits1 = jnp.asarray([[2.0], [-2.0]])
+        s = np.asarray(apply_score_activation(logits1, "sigmoid"))
+        assert 0 < s[1] < 0.5 < s[0] < 1
+        logits2 = jnp.asarray([[1.0, 3.0]])
+        s2 = np.asarray(apply_score_activation(logits2, "softmax"))
+        assert s2.shape == (1,) and 0.5 < s2[0] < 1
+
+
+@pytest.mark.parametrize("name", ["tiny-bert", "tiny-gemma", "tiny-modernbert"])
+def test_encoder_forward_shapes(name):
+    cfg = encoder_config(name).replace(dtype="float32")
+    rt = EncoderRuntime("bi", cfg, PoolingConfig(pooling="mean", projection_dims=(16,)))
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    out = rt.encode_texts(["hello world", "second text here"], tok, max_length=32)
+    assert out.shape == (2, 16)
+    norms = np.linalg.norm(out, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_encoder_padding_invariance():
+    """Same text must embed identically regardless of batch padding."""
+    cfg = encoder_config("tiny-bert").replace(dtype="float32")
+    rt = EncoderRuntime("bi", cfg, PoolingConfig(pooling="mean"))
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    solo = rt.encode_texts(["the same text"], tok, max_length=32)
+    batched = rt.encode_texts(
+        ["the same text", "another much longer text that pads the batch out"],
+        tok,
+        max_length=32,
+    )
+    np.testing.assert_allclose(solo[0], batched[0], atol=2e-5)
+
+
+def test_colbert_runtime_masks():
+    cfg = encoder_config("tiny-modernbert").replace(dtype="float32")
+    rt = EncoderRuntime("colbert", cfg, ColBERTConfig(output_dim=16))
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    emb, mask = rt.encode_token_embeddings(["a b c", "a"], tok, max_length=16)
+    assert emb.shape == (2, 16, 16) and mask.shape == (2, 16)
+    # padded positions zeroed
+    assert np.abs(emb[1][mask[1] == 0]).max() == 0.0
+    # valid positions unit-norm
+    valid = emb[0][mask[0] == 1]
+    np.testing.assert_allclose(np.linalg.norm(valid, axis=-1), 1.0, atol=1e-5)
+
+
+def test_cross_runtime_scores():
+    cfg = encoder_config("tiny-bert").replace(dtype="float32")
+    rt = EncoderRuntime("cross", cfg, CrossEncoderConfig())
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    s = rt.score_pairs([("q", "doc one"), ("q", "doc two")], tok, max_length=32)
+    assert s.shape == (2,)
+    assert ((0 <= s) & (s <= 1)).all()
+
+
+def test_runtime_determinism():
+    cfg = encoder_config("tiny-gemma").replace(dtype="float32")
+    rt1 = EncoderRuntime("bi", cfg, PoolingConfig(), seed=7)
+    rt2 = EncoderRuntime("bi", cfg, PoolingConfig(), seed=7)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    a = rt1.encode_texts(["determinism"], tok, max_length=16)
+    b = rt2.encode_texts(["determinism"], tok, max_length=16)
+    np.testing.assert_array_equal(a, b)

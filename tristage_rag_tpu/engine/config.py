@@ -1,0 +1,139 @@
+"""Pipeline configuration: dataclasses + YAML round-trip.
+
+Mirrors the reference's layered config surface (SURVEY.md §5.6):
+flat `PipelineConfig` knobs (src/retrieval_pipeline.py:15-87), per-stage
+configs (src/stage{1,2,3}_*.py), YAML loading of nested
+``pipeline.stageN.*`` keys with per-key defaults
+(src/retrieval_pipeline.py:162-221) and ``export_config`` round-trip
+(:621-634). TPU-specific additions: compute dtype, mesh axis sizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Optional
+
+import yaml
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    # Stage 1
+    stage1_model: str = "google/embeddinggemma-300m"
+    stage1_top_k: int = 500
+    stage1_batch_size: int = 32
+    stage1_max_text_length: int = 512
+    stage1_enable_bm25: bool = True
+    stage1_bm25_top_k: int = 300
+    stage1_fusion_method: str = "rrf"  # "rrf" | "weighted"
+    stage1_rrf_k: int = 60
+    stage1_dense_weight: float = 0.7
+    stage1_bm25_weight: float = 0.3
+
+    # Stage 2
+    stage2_model: str = "lightonai/GTE-ModernColBERT-v1"
+    stage2_top_k: int = 100
+    stage2_batch_size: int = 16
+    stage2_max_seq_length: int = 192
+    stage2_scoring_method: str = "maxsim"  # "maxsim" | "colbert"
+    stage2_cache_doc_embeddings: bool = False  # TPU-native win (SURVEY §7)
+
+    # Stage 3
+    stage3_model: str = "cross-encoder/ms-marco-MiniLM-L6-v2"
+    stage3_top_k: int = 20
+    stage3_batch_size: int = 32
+    stage3_max_length: int = 256
+    stage3_activation: str = "sigmoid"  # "sigmoid" | "softmax"
+    stage3_normalize_scores: bool = True
+
+    # General
+    model_dir: str = "./models"  # checkpoint root (HF layout per model)
+    index_dir: str = "./tpu_index"
+    log_level: str = "INFO"
+    log_file: Optional[str] = None
+    enable_timing: bool = True
+    save_intermediate_results: bool = False
+
+    # TPU-native knobs (no reference equivalent)
+    compute_dtype: str = "bfloat16"
+    index_dtype: str = "float32"
+    mesh_data_parallel: int = 0  # 0 = use all local devices on one axis
+    seed: int = 0
+
+    # ---- YAML ------------------------------------------------------------
+
+    _YAML_MAP = {
+        "stage1": [
+            ("model", "stage1_model"),
+            ("top_k", "stage1_top_k"),
+            ("batch_size", "stage1_batch_size"),
+            ("max_text_length", "stage1_max_text_length"),
+            ("enable_bm25", "stage1_enable_bm25"),
+            ("bm25_top_k", "stage1_bm25_top_k"),
+            ("fusion_method", "stage1_fusion_method"),
+            ("rrf_k", "stage1_rrf_k"),
+            ("dense_weight", "stage1_dense_weight"),
+            ("bm25_weight", "stage1_bm25_weight"),
+        ],
+        "stage2": [
+            ("model", "stage2_model"),
+            ("top_k", "stage2_top_k"),
+            ("batch_size", "stage2_batch_size"),
+            ("max_seq_length", "stage2_max_seq_length"),
+            ("scoring_method", "stage2_scoring_method"),
+            ("cache_doc_embeddings", "stage2_cache_doc_embeddings"),
+        ],
+        "stage3": [
+            ("model", "stage3_model"),
+            ("top_k", "stage3_top_k"),
+            ("batch_size", "stage3_batch_size"),
+            ("max_length", "stage3_max_length"),
+            ("activation", "stage3_activation"),
+            ("normalize_scores", "stage3_normalize_scores"),
+        ],
+        "general": [
+            ("model_dir", "model_dir"),
+            ("index_dir", "index_dir"),
+            ("log_level", "log_level"),
+            ("log_file", "log_file"),
+            ("enable_timing", "enable_timing"),
+            ("save_intermediate_results", "save_intermediate_results"),
+            ("compute_dtype", "compute_dtype"),
+            ("index_dtype", "index_dtype"),
+            ("mesh_data_parallel", "mesh_data_parallel"),
+            ("seed", "seed"),
+        ],
+    }
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "PipelineConfig":
+        """Load nested ``pipeline:`` YAML; unknown/missing keys default."""
+        raw = yaml.safe_load(Path(path).read_text()) or {}
+        section = raw.get("pipeline", raw)
+        cfg = cls()
+        for group, pairs in cls._YAML_MAP.items():
+            sub = section.get(group, {}) if isinstance(section, dict) else {}
+            if not isinstance(sub, dict):
+                continue
+            for yaml_key, field in pairs:
+                if yaml_key in sub and sub[yaml_key] is not None:
+                    setattr(cfg, field, sub[yaml_key])
+        return cfg
+
+    def to_yaml_dict(self) -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        for group, pairs in self._YAML_MAP.items():
+            out[group] = {yk: getattr(self, f) for yk, f in pairs}
+        return {"pipeline": out}
+
+    def export(self, path: str | Path) -> None:
+        Path(path).write_text(yaml.safe_dump(self.to_yaml_dict(), sort_keys=False))
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "PipelineConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+    def as_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)

@@ -1,0 +1,114 @@
+"""Model construction: registry configs + checkpoint/tokenizer resolution.
+
+Maps the reference's HF model names (src/stage{1,2,3}_*.py defaults) to
+registry architecture configs, loads real weights when a checkpoint
+directory exists under ``model_dir`` (models/hf_loader.py), and falls
+back to deterministic random init + hash tokenizer otherwise — so the
+whole engine runs end-to-end with zero downloaded assets (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Optional
+
+from jax.sharding import Mesh
+
+from tristage_rag_tpu.models import registry
+from tristage_rag_tpu.models.config import (
+    ColBERTConfig,
+    CrossEncoderConfig,
+    PoolingConfig,
+)
+from tristage_rag_tpu.models.runtime import EncoderRuntime
+from tristage_rag_tpu.models.tokenizer import BaseTokenizer, load_tokenizer
+
+logger = logging.getLogger(__name__)
+
+# Reference model name -> registry key
+_NAME_MAP = {
+    "google/embeddinggemma-300m": "embeddinggemma-300m",
+    "lightonai/gte-moderncolbert-v1": "gte-moderncolbert",
+    "cross-encoder/ms-marco-minilm-l6-v2": "minilm-l6-cross",
+    "sentence-transformers/all-minilm-l6-v2": "minilm-l6-cross",
+}
+
+_TINY_BY_KIND = {"bi": "tiny-gemma", "colbert": "tiny-modernbert", "cross": "tiny-bert"}
+
+
+def resolve_registry_key(model_name: str, kind: str) -> str:
+    low = model_name.lower()
+    if low in _NAME_MAP:
+        return _NAME_MAP[low]
+    if low in registry.ENCODER_CONFIGS:
+        return low
+    if low.startswith("tiny"):
+        return _TINY_BY_KIND[kind]
+    logger.warning(
+        "unknown model %r; using tiny %s architecture with random init",
+        model_name,
+        kind,
+    )
+    return _TINY_BY_KIND[kind]
+
+
+def checkpoint_dir(model_dir: str, model_name: str) -> Optional[Path]:
+    """Flattened local layout: <model_dir>/<basename(model_name)>.
+
+    Mirrors the reference's ModelDownloader layout
+    (benchmark/download_models.py:93-115).
+    """
+    base = Path(model_dir) / model_name.split("/")[-1]
+    if base.is_dir() and any(base.glob("*.safetensors")):
+        return base
+    return None
+
+
+def build_runtime(
+    kind: str,
+    model_name: str,
+    model_dir: str,
+    compute_dtype: str = "bfloat16",
+    mesh: Optional[Mesh] = None,
+    seed: int = 0,
+    head_overrides: Optional[dict] = None,
+) -> tuple[EncoderRuntime, BaseTokenizer]:
+    """Build an (EncoderRuntime, tokenizer) pair for one stage."""
+    key = resolve_registry_key(model_name, kind)
+    enc_cfg = registry.encoder_config(key).replace(dtype=compute_dtype)
+    if kind == "bi":
+        head = registry.POOLING_CONFIGS.get(key, PoolingConfig())
+    elif kind == "colbert":
+        head = registry.COLBERT_CONFIGS.get(key, ColBERTConfig())
+    else:
+        head = registry.CROSS_CONFIGS.get(key, CrossEncoderConfig())
+    if head_overrides:
+        import dataclasses
+
+        head = dataclasses.replace(head, **head_overrides)
+
+    params = None
+    ckpt = checkpoint_dir(model_dir, model_name)
+    if ckpt is not None:
+        from tristage_rag_tpu.models import hf_loader
+
+        try:
+            enc_cfg, head, params = hf_loader.load_checkpoint(
+                ckpt, kind, enc_cfg, head, compute_dtype
+            )
+            logger.info("loaded %s checkpoint from %s", kind, ckpt)
+        except Exception as e:  # fall back to random init, keep serving
+            logger.warning("failed to load checkpoint %s (%s); random init", ckpt, e)
+            params = None
+
+    runtime = EncoderRuntime(
+        kind, enc_cfg, head, params=params, seed=seed, mesh=mesh
+    )
+    tokenizer = load_tokenizer(str(ckpt) if ckpt else None)
+    if tokenizer.vocab_size > enc_cfg.vocab_size:
+        # Hash tokenizer must stay within the embedding table.
+        from tristage_rag_tpu.models.tokenizer import HashTokenizer
+
+        tokenizer = HashTokenizer(vocab_size=enc_cfg.vocab_size)
+    return runtime, tokenizer

@@ -1,0 +1,215 @@
+"""The single orchestrator serving every front-end.
+
+Rebuild of src/retrieval_pipeline.py with one deliberate change: the
+reference has TWO orchestrators (RetrievalPipeline and the standalone
+app's ThreeStageRetrievalSystem, non_mcp/main.py:244-339 — duplication
+noted in SURVEY.md §1); here there is exactly one, and the CLI / web UI
+/ MCP server / eval harness all use it.
+
+Parity surface: lazy stage init, funnel stage1_top_k -> stage2_top_k ->
+stage3_top_k -> final [:top_k], early-return on empty stage output,
+per-stage wall-clock timing with running averages + last-100 history,
+``save_intermediate_results``, index save/load, ``get_pipeline_info``,
+``export_config`` (src/retrieval_pipeline.py:323-634).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+from tristage_rag_tpu.engine.config import PipelineConfig
+from tristage_rag_tpu.engine.stage1 import Stage1Retriever
+from tristage_rag_tpu.engine.stage2 import ColBERTScorer
+from tristage_rag_tpu.engine.stage3 import CrossEncoderReranker
+from tristage_rag_tpu.parallel.mesh import create_mesh, mesh_info
+
+logger = logging.getLogger(__name__)
+
+_HISTORY_LIMIT = 100
+
+
+class RetrievalPipeline:
+    def __init__(
+        self,
+        config: Optional[PipelineConfig | str | Path] = None,
+        lazy_init: bool = True,
+    ):
+        if config is None:
+            config = PipelineConfig()
+        elif isinstance(config, (str, Path)):
+            config = PipelineConfig.from_yaml(config)
+        self.config = config
+        self._setup_logging()
+        self.mesh = create_mesh(config.mesh_data_parallel)
+        self.stage1: Optional[Stage1Retriever] = None
+        self.stage2: Optional[ColBERTScorer] = None
+        self.stage3: Optional[CrossEncoderReranker] = None
+        self.performance_stats: dict[str, Any] = {
+            "total_queries": 0,
+            "avg_stage1_time": 0.0,
+            "avg_stage2_time": 0.0,
+            "avg_stage3_time": 0.0,
+            "avg_total_time": 0.0,
+            "search_history": [],
+        }
+        if not lazy_init:
+            self.initialize_stages()
+
+    def _setup_logging(self) -> None:
+        level = getattr(logging, str(self.config.log_level).upper(), logging.INFO)
+        logging.getLogger("tristage_rag_tpu").setLevel(level)
+        if self.config.log_file:
+            handler = logging.FileHandler(self.config.log_file)
+            handler.setFormatter(
+                logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s")
+            )
+            logging.getLogger("tristage_rag_tpu").addHandler(handler)
+
+    def initialize_stages(self) -> None:
+        if self.stage1 is None:
+            self.stage1 = Stage1Retriever(self.config, mesh=self.mesh)
+        if self.stage2 is None:
+            self.stage2 = ColBERTScorer(self.config, mesh=self.mesh)
+        if self.stage3 is None:
+            self.stage3 = CrossEncoderReranker(self.config, mesh=self.mesh)
+
+    # ---- indexing --------------------------------------------------------
+
+    def add_documents(
+        self,
+        documents: Sequence[str],
+        metadata: Optional[Sequence[dict[str, Any]]] = None,
+    ) -> dict[str, Any]:
+        if self.stage1 is None:
+            self.initialize_stages()
+        t0 = time.time()
+        n = self.stage1.add_documents(documents, metadata)
+        return {
+            "documents_added": n,
+            "total_documents": len(self.stage1.documents),
+            "indexing_time": time.time() - t0,
+        }
+
+    # ---- search ----------------------------------------------------------
+
+    def _empty_response(self, query: str, timing: dict) -> dict[str, Any]:
+        return {
+            "query": query,
+            "results": [],
+            "stage1_results": [],
+            "stage2_results": [],
+            "timing": timing,
+            "performance_stats": dict(self.performance_stats),
+        }
+
+    def search(self, query: str, top_k: Optional[int] = None) -> dict[str, Any]:
+        if self.stage1 is None or self.stage2 is None or self.stage3 is None:
+            self.initialize_stages()
+        top_k = top_k or self.config.stage3_top_k
+        timing: dict[str, Optional[float]] = {
+            "stage1_time": None,
+            "stage2_time": None,
+            "stage3_time": None,
+            "total_time": None,
+        }
+        total_start = time.time()
+
+        t = time.time()
+        stage1_results = self.stage1.search(query, self.config.stage1_top_k)
+        timing["stage1_time"] = time.time() - t
+        if not stage1_results:
+            timing["total_time"] = time.time() - total_start
+            return self._empty_response(query, timing)
+
+        t = time.time()
+        stage2_results = self.stage2.rescore_candidates(query, stage1_results)
+        timing["stage2_time"] = time.time() - t
+        if not stage2_results:
+            timing["total_time"] = time.time() - total_start
+            out = self._empty_response(query, timing)
+            out["stage1_results"] = (
+                stage1_results if self.config.save_intermediate_results else []
+            )
+            return out
+
+        t = time.time()
+        final_results = self.stage3.rerank(query, stage2_results)
+        timing["stage3_time"] = time.time() - t
+        final_results = final_results[:top_k]
+        timing["total_time"] = time.time() - total_start
+
+        if self.config.enable_timing:
+            self._update_performance_stats(query, timing)
+
+        keep = self.config.save_intermediate_results
+        return {
+            "query": query,
+            "results": final_results,
+            "stage1_results": stage1_results if keep else [],
+            "stage2_results": stage2_results if keep else [],
+            "timing": timing,
+            "performance_stats": dict(self.performance_stats),
+        }
+
+    def batch_search(
+        self, queries: Sequence[str], top_k: Optional[int] = None
+    ) -> list[dict[str, Any]]:
+        return [self.search(q, top_k) for q in queries]
+
+    def _update_performance_stats(self, query: str, timing: dict) -> None:
+        s = self.performance_stats
+        n = s["total_queries"]
+        for key in ("stage1_time", "stage2_time", "stage3_time", "total_time"):
+            t = timing.get(key) or 0.0
+            avg_key = f"avg_{key}"
+            s[avg_key] = (s[avg_key] * n + t) / (n + 1)
+        s["total_queries"] = n + 1
+        s["search_history"].append(
+            {"query": query[:200], "timestamp": time.time(), **timing}
+        )
+        if len(s["search_history"]) > _HISTORY_LIMIT:
+            s["search_history"] = s["search_history"][-_HISTORY_LIMIT:]
+
+    # ---- persistence -----------------------------------------------------
+
+    def save_index(self, index_dir: Optional[str] = None) -> None:
+        if self.stage1 is None:
+            raise ValueError("pipeline not initialized")
+        self.stage1.save_index(index_dir)
+
+    def load_index(self, index_dir: Optional[str] = None) -> bool:
+        if self.stage1 is None:
+            self.initialize_stages()
+        return self.stage1.load_index(index_dir)
+
+    def clear_index(self) -> None:
+        if self.stage1 is not None:
+            self.stage1.clear()
+        if self.stage2 is not None:
+            self.stage2.clear_cache()
+
+    # ---- introspection ---------------------------------------------------
+
+    def get_pipeline_info(self) -> dict[str, Any]:
+        info = {
+            "config": self.config.as_dict(),
+            "initialized": self.stage1 is not None,
+            "device": mesh_info(self.mesh),
+            "performance_stats": dict(self.performance_stats),
+        }
+        if self.stage1 is not None:
+            info["stage1"] = self.stage1.get_stats()
+        if self.stage2 is not None:
+            info["stage2"] = self.stage2.get_model_info()
+        if self.stage3 is not None:
+            info["stage3"] = self.stage3.get_model_info()
+        return info
+
+    def get_document_count(self) -> int:
+        return len(self.stage1.documents) if self.stage1 else 0
+
+    def export_config(self, path: str | Path) -> None:
+        self.config.export(path)

@@ -1,0 +1,201 @@
+"""Stage 1 — dense + lexical candidate generation.
+
+TPU-native rebuild of src/stage1_retriever.py: the bi-encoder runs as a
+jitted Flax forward (bf16, bucketed shapes), FAISS is replaced by the
+HBM-resident DenseIndex (exact matmul top-k, document-sharded on a
+mesh), BM25 is the incremental vectorized index, and fusion is RRF or
+weighted min-max (ops/fusion.py). Result schema parity:
+``{doc_id, document, score, stage1_score, metadata, stage}``
+(src/stage1_retriever.py:402-417).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+import numpy as np
+from jax.sharding import Mesh
+
+from tristage_rag_tpu.engine.config import PipelineConfig
+from tristage_rag_tpu.engine.factory import build_runtime
+from tristage_rag_tpu.index.bm25 import BM25Index
+from tristage_rag_tpu.index.dense import DenseIndex
+from tristage_rag_tpu.ops.fusion import reciprocal_rank_fusion, weighted_fusion
+
+logger = logging.getLogger(__name__)
+
+
+class Stage1Retriever:
+    def __init__(
+        self,
+        config: PipelineConfig,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.runtime, self.tokenizer = build_runtime(
+            "bi",
+            config.stage1_model,
+            config.model_dir,
+            compute_dtype=config.compute_dtype,
+            mesh=mesh,
+            seed=config.seed,
+        )
+        self.documents: list[str] = []
+        self.doc_metadata: list[dict[str, Any]] = []
+        self.index: Optional[DenseIndex] = None
+        self.bm25: Optional[BM25Index] = (
+            BM25Index() if config.stage1_enable_bm25 else None
+        )
+
+    # ---- embedding -------------------------------------------------------
+
+    @property
+    def embedding_dim(self) -> int:
+        head = self.runtime.head_cfg
+        return (
+            head.projection_dims[-1]
+            if head.projection_dims
+            else self.runtime.cfg.hidden_size
+        )
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        """[N, E] f32, L2-normalized by the model head."""
+        return self.runtime.encode_texts(
+            list(texts),
+            self.tokenizer,
+            max_length=self.config.stage1_max_text_length,
+            batch_size=self.config.stage1_batch_size,
+        )
+
+    # ---- indexing --------------------------------------------------------
+
+    def add_documents(
+        self,
+        documents: Sequence[str],
+        metadata: Optional[Sequence[dict[str, Any]]] = None,
+    ) -> int:
+        documents = list(documents)
+        if not documents:
+            return 0
+        if metadata is None:
+            metadata = [{} for _ in documents]
+        if len(metadata) != len(documents):
+            raise ValueError("metadata length must match documents")
+        emb = self.encode(documents)
+        if self.index is None:
+            self.index = DenseIndex(
+                dim=emb.shape[1],
+                dtype=self.config.index_dtype,
+                mesh=self.mesh,
+            )
+        self.index.add(emb)
+        if self.bm25 is not None:
+            self.bm25.add(documents)
+        self.documents.extend(documents)
+        self.doc_metadata.extend(dict(m) for m in metadata)
+        logger.info("stage1 indexed %d docs (total %d)", len(documents), len(self.documents))
+        return len(documents)
+
+    def clear(self) -> None:
+        self.documents = []
+        self.doc_metadata = []
+        if self.index is not None:
+            self.index.clear()
+        if self.bm25 is not None:
+            self.bm25 = BM25Index()
+
+    # ---- search ----------------------------------------------------------
+
+    def search(self, query: str, top_k: Optional[int] = None) -> list[dict[str, Any]]:
+        if self.index is None or not self.documents:
+            raise ValueError("No documents indexed. Call add_documents() first.")
+        top_k = top_k or self.config.stage1_top_k
+
+        q = self.encode([query])
+        scores, ids = self.index.search(q, top_k)
+        dense = [
+            (int(i), float(s))
+            for i, s in zip(ids[0], scores[0])
+            if i >= 0
+        ]
+
+        fused: list[tuple[int, float]]
+        if self.bm25 is not None and self.bm25.corpus_size > 0:
+            sparse = self.bm25.search(query, self.config.stage1_bm25_top_k)
+            if self.config.stage1_fusion_method == "rrf":
+                f_ids, f_scores = reciprocal_rank_fusion(
+                    [[d for d, _ in dense], [d for d, _ in sparse]],
+                    rrf_k=self.config.stage1_rrf_k,
+                )
+            else:
+                f_ids, f_scores = weighted_fusion(
+                    np.asarray([d for d, _ in dense], dtype=np.int64),
+                    np.asarray([s for _, s in dense]),
+                    np.asarray([d for d, _ in sparse], dtype=np.int64),
+                    np.asarray([s for _, s in sparse]),
+                    dense_weight=self.config.stage1_dense_weight,
+                    sparse_weight=self.config.stage1_bm25_weight,
+                )
+            fused = list(zip(f_ids.tolist(), f_scores.tolist()))[:top_k]
+        else:
+            fused = dense[:top_k]
+
+        results = []
+        for doc_idx, score in fused:
+            if 0 <= doc_idx < len(self.documents):
+                results.append(
+                    {
+                        "doc_id": doc_idx,
+                        "document": self.documents[doc_idx],
+                        "score": score,
+                        "stage1_score": score,
+                        "metadata": self.doc_metadata[doc_idx],
+                        "stage": "stage1",
+                    }
+                )
+        return results
+
+    # ---- persistence (npz + JSON, never pickle — SURVEY.md §5.4) ---------
+
+    def save_index(self, index_dir: Optional[str] = None) -> None:
+        d = Path(index_dir or self.config.index_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        if self.index is not None:
+            self.index.save(d / "stage1_dense")
+        if self.bm25 is not None:
+            self.bm25.save(d / "stage1_bm25")
+        (d / "stage1_docs.json").write_text(
+            json.dumps(
+                {"documents": self.documents, "metadata": self.doc_metadata}
+            )
+        )
+
+    def load_index(self, index_dir: Optional[str] = None) -> bool:
+        d = Path(index_dir or self.config.index_dir)
+        docs_file = d / "stage1_docs.json"
+        if not docs_file.exists():
+            return False
+        payload = json.loads(docs_file.read_text())
+        self.documents = payload["documents"]
+        self.doc_metadata = payload["metadata"]
+        dense_file = (d / "stage1_dense").with_suffix(".npz")
+        if dense_file.exists():
+            self.index = DenseIndex.load(d / "stage1_dense", mesh=self.mesh)
+        bm25_file = (d / "stage1_bm25").with_suffix(".json")
+        if self.config.stage1_enable_bm25 and bm25_file.exists():
+            self.bm25 = BM25Index.load(d / "stage1_bm25")
+        return True
+
+    def get_stats(self) -> dict[str, Any]:
+        return {
+            "num_documents": len(self.documents),
+            "embedding_dim": self.embedding_dim if self.index else None,
+            "index_capacity": self.index.capacity if self.index else 0,
+            "bm25_enabled": self.bm25 is not None,
+            "bm25_vocab": len(self.bm25.vocab) if self.bm25 else 0,
+            "model": self.config.stage1_model,
+        }

@@ -1,0 +1,153 @@
+"""Stage 2 — ColBERT-style late-interaction rescoring.
+
+TPU-native rebuild of src/stage2_rescorer.py: one batched masked MaxSim
+einsum over all candidates (ops/maxsim.py) replaces the reference's
+per-candidate Python loop (:268-291). Candidate counts are padded to
+buckets so XLA compiles a bounded shape set (SURVEY.md §7).
+
+Default behavior re-encodes candidates per query for parity with the
+reference (:259); the TPU-native win is the optional persistent doc
+token-embedding cache (``stage2_cache_doc_embeddings``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional, Sequence
+
+import numpy as np
+from jax.sharding import Mesh
+
+from tristage_rag_tpu.engine.config import PipelineConfig
+from tristage_rag_tpu.engine.factory import build_runtime
+from tristage_rag_tpu.ops.maxsim import maxsim_scores, similarity_matrix
+
+logger = logging.getLogger(__name__)
+
+_CAND_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def _cand_bucket(n: int) -> int:
+    for b in _CAND_BUCKETS:
+        if b >= n:
+            return b
+    return n
+
+
+class ColBERTScorer:
+    def __init__(self, config: PipelineConfig, mesh: Optional[Mesh] = None):
+        self.config = config
+        self.runtime, self.tokenizer = build_runtime(
+            "colbert",
+            config.stage2_model,
+            config.model_dir,
+            compute_dtype=config.compute_dtype,
+            mesh=mesh,
+            seed=config.seed + 1,
+        )
+        # doc text -> (token_embs [L, D], mask [L]) when caching enabled
+        self._doc_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def encode_query(self, query: str) -> tuple[np.ndarray, np.ndarray]:
+        """([Lq, D] token embeddings, [Lq] mask) — un-padded semantics
+        live in the mask (reference un-pads eagerly, :134-165)."""
+        max_len = min(
+            self.runtime.head_cfg.query_max_len, self.config.stage2_max_seq_length
+        )
+        emb, mask = self.runtime.encode_token_embeddings(
+            [query], self.tokenizer, max_length=max_len, batch_size=1
+        )
+        return emb[0], mask[0]
+
+    def encode_documents(
+        self, documents: Sequence[str]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """([N, Ld, D], [N, Ld]) padded token embeddings + masks."""
+        return self.runtime.encode_token_embeddings(
+            list(documents),
+            self.tokenizer,
+            max_length=self.config.stage2_max_seq_length,
+            batch_size=self.config.stage2_batch_size,
+        )
+
+    def _candidate_embeddings(
+        self, candidates: list[dict[str, Any]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        if not self.config.stage2_cache_doc_embeddings:
+            return self.encode_documents([c["document"] for c in candidates])
+        missing = [
+            c for c in candidates if c.get("doc_id") not in self._doc_cache
+        ]
+        if missing:
+            emb, mask = self.encode_documents([c["document"] for c in missing])
+            for c, e, m in zip(missing, emb, mask):
+                self._doc_cache[c["doc_id"]] = (e, m)
+        embs = [self._doc_cache[c["doc_id"]][0] for c in candidates]
+        masks = [self._doc_cache[c["doc_id"]][1] for c in candidates]
+        return np.stack(embs), np.stack(masks)
+
+    def rescore_candidates(
+        self, query: str, candidates: list[dict[str, Any]]
+    ) -> list[dict[str, Any]]:
+        if not candidates:
+            return []
+        q_emb, q_mask = self.encode_query(query)
+        d_emb, d_mask = self._candidate_embeddings(candidates)
+
+        # Pad candidate count to a bucket: extra rows have empty masks and
+        # score 0 by construction in the kernel.
+        n = d_emb.shape[0]
+        bucket = _cand_bucket(n)
+        if bucket > n:
+            pad = bucket - n
+            d_emb = np.concatenate(
+                [d_emb, np.zeros((pad,) + d_emb.shape[1:], d_emb.dtype)]
+            )
+            d_mask = np.concatenate(
+                [d_mask, np.zeros((pad, d_mask.shape[1]), d_mask.dtype)]
+            )
+        scores = np.asarray(
+            maxsim_scores(
+                q_emb,
+                q_mask,
+                d_emb,
+                d_mask,
+                method=self.config.stage2_scoring_method,
+            )
+        )[:n]
+
+        rescored = []
+        for cand, s in zip(candidates, scores.tolist()):
+            c = dict(cand)
+            c["stage2_score"] = float(s)
+            c["stage"] = "stage2"
+            rescored.append(c)
+        rescored.sort(key=lambda x: x["stage2_score"], reverse=True)
+        top = rescored[: self.config.stage2_top_k]
+        logger.info(
+            "stage2 rescored %d candidates; top score %.4f",
+            len(candidates),
+            top[0]["stage2_score"] if top else 0.0,
+        )
+        return top
+
+    def compute_similarity_matrix(self, query: str, document: str) -> np.ndarray:
+        """Token-level [Lq, Ld] similarity (src/stage2_rescorer.py:307-320)."""
+        q_emb, q_mask = self.encode_query(query)
+        d_emb, d_mask = self.encode_documents([document])
+        return np.asarray(
+            similarity_matrix(q_emb, q_mask, d_emb[0], d_mask[0])
+        )
+
+    def clear_cache(self) -> None:
+        self._doc_cache.clear()
+
+    def get_model_info(self) -> dict[str, Any]:
+        return {
+            "model": self.config.stage2_model,
+            "max_seq_length": self.config.stage2_max_seq_length,
+            "scoring_method": self.config.stage2_scoring_method,
+            "output_dim": self.runtime.head_cfg.output_dim,
+            "cache_enabled": self.config.stage2_cache_doc_embeddings,
+            "cached_docs": len(self._doc_cache),
+        }

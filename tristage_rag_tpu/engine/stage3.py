@@ -1,0 +1,94 @@
+"""Stage 3 — cross-encoder reranking.
+
+TPU-native rebuild of src/stage3_reranker.py: joint (query, doc) pairs
+are tokenized host-side (pair encoding with token types, longest-first
+truncation) and scored by a batched jitted classifier forward;
+sigmoid/softmax activation and optional min-max normalization match the
+reference (:168-183, :212-228). The reference's adaptive batch-size
+heuristic (:321-366) is unnecessary under XLA's static shapes — length
+bucketing plays that role.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional, Sequence
+
+import numpy as np
+from jax.sharding import Mesh
+
+from tristage_rag_tpu.engine.config import PipelineConfig
+from tristage_rag_tpu.engine.factory import build_runtime
+
+logger = logging.getLogger(__name__)
+
+
+class CrossEncoderReranker:
+    def __init__(self, config: PipelineConfig, mesh: Optional[Mesh] = None):
+        self.config = config
+        self.runtime, self.tokenizer = build_runtime(
+            "cross",
+            config.stage3_model,
+            config.model_dir,
+            compute_dtype=config.compute_dtype,
+            mesh=mesh,
+            seed=config.seed + 2,
+            head_overrides={"activation": config.stage3_activation},
+        )
+
+    def predict(self, query: str, documents: Sequence[str]) -> list[float]:
+        """Relevance scores for (query, doc) pairs, optionally min-max
+        normalized to [0, 1] (src/stage3_reranker.py:212-228)."""
+        if not documents:
+            return []
+        scores = self.runtime.score_pairs(
+            [(query, d) for d in documents],
+            self.tokenizer,
+            max_length=self.config.stage3_max_length,
+            batch_size=self.config.stage3_batch_size,
+        )
+        if self.config.stage3_normalize_scores and scores.size:
+            lo, hi = float(scores.min()), float(scores.max())
+            if hi > lo:
+                scores = (scores - lo) / (hi - lo)
+            else:
+                scores = np.zeros_like(scores)
+        return [float(s) for s in scores]
+
+    def rerank(
+        self, query: str, candidates: list[dict[str, Any]]
+    ) -> list[dict[str, Any]]:
+        if not candidates:
+            return []
+        scores = self.predict(query, [c["document"] for c in candidates])
+        reranked = []
+        for cand, s in zip(candidates, scores):
+            c = dict(cand)
+            c["stage3_score"] = s
+            c["stage"] = "stage3"
+            reranked.append(c)
+        reranked.sort(key=lambda x: x["stage3_score"], reverse=True)
+        final = reranked[: self.config.stage3_top_k]
+        logger.info(
+            "stage3 reranked %d candidates; top score %.4f",
+            len(candidates),
+            final[0]["stage3_score"] if final else 0.0,
+        )
+        return final
+
+    def batch_rerank(
+        self,
+        queries: Sequence[str],
+        candidates_list: Sequence[list[dict[str, Any]]],
+    ) -> list[list[dict[str, Any]]]:
+        if len(queries) != len(candidates_list):
+            raise ValueError("Number of queries must match number of candidate lists")
+        return [self.rerank(q, c) for q, c in zip(queries, candidates_list)]
+
+    def get_model_info(self) -> dict[str, Any]:
+        return {
+            "model": self.config.stage3_model,
+            "max_length": self.config.stage3_max_length,
+            "activation": self.config.stage3_activation,
+            "normalize_scores": self.config.stage3_normalize_scores,
+        }

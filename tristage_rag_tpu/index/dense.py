@@ -1,0 +1,202 @@
+"""HBM-resident dense vector index (the FAISS replacement).
+
+TPU-native design (SURVEY.md §2.6, §7 "hard parts"):
+
+* Fixed-capacity device buffer [capacity, dim] + a validity ``count`` —
+  static shapes for XLA; invalid tail masked to -inf inside the top-k.
+* Growth by capacity doubling + re-``device_put`` (amortised O(1); the
+  reference instead re-trains FAISS IVF or appends, stage1_retriever.py
+  :256-283,310-313).
+* Exact search = one MXU matmul + native top-k (ops/topk.py); at v5e-8
+  scale exact beats IVF recall at equal memory (SURVEY.md §2.6).
+* Multi-device: the document axis is sharded over a 1-D mesh axis; each
+  device scans its shard, takes a local top-k, and the results are
+  all-gathered and merged inside ``shard_map`` — collectives ride ICI.
+* Persistence: embeddings as ``.npz`` + JSON sidecar — never pickle
+  (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tristage_rag_tpu.ops.topk import masked_topk, NEG_INF
+
+MIN_CAPACITY = 1024
+
+
+def _round_capacity(n: int, multiple: int) -> int:
+    cap = MIN_CAPACITY
+    while cap < n:
+        cap *= 2
+    return ((cap + multiple - 1) // multiple) * multiple
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_rows(buf: jax.Array, rows: jax.Array, offset: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice(buf, rows.astype(buf.dtype), (offset, 0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "axis", "mesh"), donate_argnums=()
+)
+def _sharded_topk(queries, corpus, count, k: int, mesh: Mesh, axis: str):
+    """Document-sharded exact top-k: local scan + all-gather merge."""
+
+    def local(q, c, cnt):
+        shard_rows = c.shape[0]
+        base = jax.lax.axis_index(axis) * shard_rows
+        local_count = jnp.clip(cnt[0] - base, 0, shard_rows)
+        s, idx = masked_topk(q, c, local_count, k=min(k, shard_rows))
+        idx = jnp.where(idx >= 0, idx + base, -1)
+        s_all = jax.lax.all_gather(s, axis)  # [ndev, B, k']
+        i_all = jax.lax.all_gather(idx, axis)
+        ndev = s_all.shape[0]
+        b = q.shape[0]
+        s_flat = jnp.moveaxis(s_all, 0, 1).reshape(b, -1)
+        i_flat = jnp.moveaxis(i_all, 0, 1).reshape(b, -1)
+        top_s, pos = jax.lax.top_k(s_flat, k)
+        top_i = jnp.take_along_axis(i_flat, pos, axis=1)
+        top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+        return top_s, top_i
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, corpus, count)
+
+
+class DenseIndex:
+    """Growable exact inner-product index over a device buffer."""
+
+    def __init__(
+        self,
+        dim: int,
+        dtype: str = "float32",
+        mesh: Optional[Mesh] = None,
+        data_axis: str = "data",
+        capacity: int = MIN_CAPACITY,
+    ):
+        self.dim = dim
+        self.dtype = jnp.dtype(dtype)
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self._shards = 1 if mesh is None else mesh.shape[data_axis]
+        self.capacity = _round_capacity(capacity, self._shards * 8)
+        self.count = 0
+        self._buf = self._alloc(self.capacity)
+
+    # ---- device buffer management ---------------------------------------
+
+    def _sharding(self) -> Optional[NamedSharding]:
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh, P(self.data_axis, None))
+
+    def _alloc(self, capacity: int) -> jax.Array:
+        buf = jnp.zeros((capacity, self.dim), dtype=self.dtype)
+        sh = self._sharding()
+        return jax.device_put(buf, sh) if sh is not None else buf
+
+    def _grow(self, needed: int) -> None:
+        new_cap = _round_capacity(needed, self._shards * 8)
+        if new_cap <= self.capacity:
+            return
+        old = np.asarray(self._buf[: self.count])
+        self.capacity = new_cap
+        self._buf = self._alloc(new_cap)
+        if self.count:
+            self._write(old, 0)
+
+    def _write(self, rows: np.ndarray, offset: int) -> None:
+        buf = _write_rows(self._buf, jnp.asarray(rows), jnp.int32(offset))
+        sh = self._sharding()
+        self._buf = jax.device_put(buf, sh) if sh is not None else buf
+
+    # ---- public API ------------------------------------------------------
+
+    def add(self, embeddings: np.ndarray) -> np.ndarray:
+        """Append [n, dim] rows; returns their assigned int64 ids."""
+        embeddings = np.asarray(embeddings)
+        if embeddings.ndim != 2 or embeddings.shape[1] != self.dim:
+            raise ValueError(
+                f"expected [n, {self.dim}] embeddings, got {embeddings.shape}"
+            )
+        n = embeddings.shape[0]
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        self._grow(self.count + n)
+        self._write(embeddings, self.count)
+        ids = np.arange(self.count, self.count + n, dtype=np.int64)
+        self.count += n
+        return ids
+
+    def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-k. Returns (scores [B, k] f32, ids [B, k] i64; -1 pad)."""
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        k_eff = max(min(k, self.capacity), 1)
+        q = jnp.asarray(queries)
+        if self.mesh is not None and self._shards > 1:
+            cnt = jnp.asarray([self.count], dtype=jnp.int32)
+            s, i = _sharded_topk(
+                q, self._buf, cnt, k_eff, self.mesh, self.data_axis
+            )
+        else:
+            s, i = masked_topk(q, self._buf, jnp.int32(self.count), k=k_eff)
+        s, i = np.asarray(s), np.asarray(i, dtype=np.int64)
+        if k_eff < k:  # pad out to requested k
+            pad_s = np.full((s.shape[0], k - k_eff), -np.inf, dtype=s.dtype)
+            pad_i = np.full((i.shape[0], k - k_eff), -1, dtype=i.dtype)
+            s = np.concatenate([s, pad_s], axis=1)
+            i = np.concatenate([i, pad_i], axis=1)
+        return s, i
+
+    def clear(self) -> None:
+        self.count = 0
+
+    # ---- persistence -----------------------------------------------------
+
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        valid = np.asarray(self._buf[: self.count], dtype=np.float32)
+        np.savez_compressed(path.with_suffix(".npz"), embeddings=valid)
+        meta = {
+            "dim": self.dim,
+            "count": self.count,
+            "dtype": str(np.dtype(self.dtype.name)),
+            "format": "tristage-dense-v1",
+        }
+        path.with_suffix(".json").write_text(json.dumps(meta))
+
+    @classmethod
+    def load(
+        cls,
+        path: str | Path,
+        mesh: Optional[Mesh] = None,
+        data_axis: str = "data",
+    ) -> "DenseIndex":
+        path = Path(path)
+        meta = json.loads(path.with_suffix(".json").read_text())
+        with np.load(path.with_suffix(".npz")) as z:
+            emb = z["embeddings"]
+        idx = cls(
+            dim=meta["dim"],
+            dtype=meta["dtype"],
+            mesh=mesh,
+            data_axis=data_axis,
+            capacity=max(meta["count"], MIN_CAPACITY),
+        )
+        idx.add(emb)
+        return idx

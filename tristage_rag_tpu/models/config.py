@@ -1,0 +1,118 @@
+"""Architecture configs for the encoder family.
+
+One config dataclass drives a single Flax encoder implementation that
+covers the reference's three model families (SURVEY.md §2.1):
+
+* BERT/MiniLM (cross-encoder/ms-marco-MiniLM-L6-v2): learned positions,
+  post-LayerNorm, GELU MLP, token-type embeddings, biases everywhere.
+* Gemma3 text (google/embeddinggemma-300m): RoPE, RMSNorm (pre+post for
+  both attention and MLP), GQA, QK-norm, GeGLU, no biases, embedding
+  scaled by sqrt(hidden).
+* ModernBERT (lightonai/GTE-ModernColBERT-v1): RoPE with alternating
+  local (sliding-window) / global attention, pre-LayerNorm (no bias),
+  GeGLU, fused QKV semantics.
+
+Exact hyperparameters for real checkpoints are read from the HF
+``config.json`` at load time (models/hf_loader.py); the registry entries
+in models/registry.py are defaults/fallbacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 384
+    num_layers: int = 6
+    num_heads: int = 12
+    num_kv_heads: Optional[int] = None  # None -> num_heads (MHA)
+    head_dim: Optional[int] = None  # None -> hidden // heads
+    mlp_dim: int = 1536
+    max_position_embeddings: int = 512
+
+    # Architecture style knobs
+    position_type: str = "learned"  # "learned" | "rope" | "none"
+    rope_theta: float = 10000.0
+    rope_local_theta: Optional[float] = None  # theta for local layers
+    sliding_window: int = 0  # 0 = all-global attention
+    global_attn_every: int = 1  # layer i is global iff i % this == 0
+    # Exact per-layer attention types from a checkpoint's config.json
+    # (e.g. Gemma3 "layer_types"); entries containing "sliding" are
+    # local. Overrides the modulo rule when set.
+    layer_types: Optional[tuple[str, ...]] = None
+    norm_type: str = "layernorm"  # "layernorm" | "rmsnorm"
+    norm_eps: float = 1e-12
+    pre_norm: bool = False  # False = post-LN (BERT), True = pre-LN
+    gemma_norms: bool = False  # extra post-attn / post-mlp norms (Gemma3)
+    qk_norm: bool = False
+    # ModernBERT: layer 0's attention input norm is Identity in HF.
+    skip_first_attn_norm: bool = False
+    # Gemma3: attention scale is query_pre_attn_scalar**-0.5, not
+    # head_dim**-0.5. None -> head_dim.
+    query_scale: Optional[float] = None
+    activation: str = "gelu"  # "gelu" | "geglu" | "swiglu" | "relu"
+    use_bias: bool = True
+    attn_logit_softcap: float = 0.0
+    embedding_scale: bool = False  # multiply embeddings by sqrt(hidden)
+    type_vocab_size: int = 0  # >0 -> BERT token-type embeddings
+    embedding_norm: bool = True  # LayerNorm after embeddings (BERT/ModernBERT)
+    tie_word_embeddings: bool = True
+
+    # Numerics
+    dtype: str = "bfloat16"  # compute dtype; params are float32
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+    @property
+    def dims_per_head(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    def is_global_layer(self, layer_idx: int) -> bool:
+        if self.layer_types is not None:
+            return "sliding" not in self.layer_types[layer_idx]
+        if self.sliding_window <= 0:
+            return True
+        return layer_idx % max(self.global_attn_every, 1) == 0
+
+    def replace(self, **kw) -> "EncoderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class PoolingConfig:
+    """Sentence-embedding head: pooling + dense projection stack.
+
+    Matches sentence-transformers module semantics (SURVEY.md §7 "ST
+    semantic parity"): e.g. embeddinggemma is mean-pool -> Dense(3072)
+    -> Dense(768) -> L2 normalize.
+    """
+
+    pooling: str = "mean"  # "mean" | "cls" | "max" | "lasttoken"
+    projection_dims: tuple[int, ...] = ()
+    normalize: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ColBERTConfig:
+    """Late-interaction head: linear projection to a small token dim."""
+
+    output_dim: int = 128
+    normalize: bool = True
+    query_max_len: int = 32
+    doc_max_len: int = 192
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossEncoderConfig:
+    """Sequence-classification head over the CLS token."""
+
+    num_labels: int = 1
+    pooler_tanh: bool = False  # BERT pooler dense+tanh before classifier
+    activation: str = "sigmoid"  # "sigmoid" | "softmax" | "none"
+    max_length: int = 256

@@ -1,0 +1,92 @@
+"""The config-driven Flax text encoder tower.
+
+One implementation serves all three reference model families (SURVEY.md
+§2.1); style differences (positions, norms, gating, GQA, sliding
+window) are EncoderConfig knobs. Everything is static-shape and
+jit-compiled; variable-length batches are handled by host-side
+pad-to-bucket (models/tokenizer.py) + attention masks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from tristage_rag_tpu.models.config import EncoderConfig
+from tristage_rag_tpu.models.layers import (
+    EncoderLayer,
+    attention_bias,
+    compute_dtype,
+    make_norm,
+    rope_freqs,
+)
+
+
+class TextEncoder(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attn_mask, token_type_ids=None):
+        """Returns final hidden states [B, L, H] in the compute dtype."""
+        cfg = self.cfg
+        dt = compute_dtype(cfg)
+        b, l = input_ids.shape
+
+        embed = nn.Embed(
+            num_embeddings=cfg.vocab_size,
+            features=cfg.hidden_size,
+            dtype=dt,
+            name="tok_embed",
+        )
+        x = embed(input_ids)
+        if cfg.embedding_scale:
+            x = x * jnp.asarray(cfg.hidden_size**0.5, dtype=dt)
+        if cfg.position_type == "learned":
+            pos_embed = nn.Embed(
+                num_embeddings=cfg.max_position_embeddings,
+                features=cfg.hidden_size,
+                dtype=dt,
+                name="pos_embed",
+            )
+            positions = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
+            x = x + pos_embed(positions)
+        if cfg.type_vocab_size > 0:
+            type_embed = nn.Embed(
+                num_embeddings=cfg.type_vocab_size,
+                features=cfg.hidden_size,
+                dtype=dt,
+                name="type_embed",
+            )
+            if token_type_ids is None:
+                token_type_ids = jnp.zeros_like(input_ids)
+            x = x + type_embed(token_type_ids)
+        if cfg.embedding_norm:
+            x = make_norm(cfg, "embed_norm")(x)
+
+        # Position tables / masks shared across layers.
+        global_bias = attention_bias(attn_mask, sliding_window=0)
+        local_bias = (
+            attention_bias(attn_mask, sliding_window=cfg.sliding_window)
+            if cfg.sliding_window > 0
+            else global_bias
+        )
+        cos_g = sin_g = cos_l = sin_l = None
+        if cfg.position_type == "rope":
+            cos_g, sin_g = rope_freqs(cfg.dims_per_head, l, cfg.rope_theta)
+            if cfg.rope_local_theta is not None:
+                cos_l, sin_l = rope_freqs(
+                    cfg.dims_per_head, l, cfg.rope_local_theta
+                )
+            else:
+                cos_l, sin_l = cos_g, sin_g
+
+        for i in range(cfg.num_layers):
+            is_global = cfg.is_global_layer(i)
+            bias = global_bias if is_global else local_bias
+            cos, sin = (cos_g, sin_g) if is_global else (cos_l, sin_l)
+            x = EncoderLayer(cfg, i, name=f"layer_{i}")(x, bias, cos, sin)
+
+        if cfg.pre_norm:
+            x = make_norm(cfg, "final_norm")(x)
+        return x

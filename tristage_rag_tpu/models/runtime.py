@@ -1,0 +1,201 @@
+"""Inference runtime: jitted, bucketed, mesh-aware encoder execution.
+
+Replaces the reference's torch `model.encode(...)` call sites
+(src/stage1_retriever.py:230-254, src/stage2_rescorer.py:134-242,
+src/stage3_reranker.py:139-190) with a TPU-shaped contract:
+
+* host tokenizes and pads to (batch-bucket, seq-bucket) static shapes,
+* one jitted apply per shape (XLA caches compiles per bucket),
+* with a device mesh, inputs are batch-sharded over the ``dp`` axis and
+  params replicated, so encoder forwards are data-parallel via jit's
+  sharding propagation (SURVEY.md §2.6 parallelism table).
+
+No OOM fallback ladders (reference: stage1_retriever.py:137-228) — XLA
+preallocates; the equivalent robustness lever here is shape bucketing +
+bounded batch sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tristage_rag_tpu.models.config import (
+    ColBERTConfig,
+    CrossEncoderConfig,
+    EncoderConfig,
+    PoolingConfig,
+)
+from tristage_rag_tpu.models.heads import (
+    BiEncoder,
+    ColBERTEncoder,
+    CrossEncoder,
+    apply_score_activation,
+)
+from tristage_rag_tpu.models.tokenizer import Batch, BaseTokenizer
+
+BATCH_BUCKETS = (1, 8, 32, 64, 128, 256, 512)
+
+
+def pad_batch(b: Batch, target: int) -> Batch:
+    """Pad the batch dimension up to ``target`` rows (mask rows all-pad)."""
+    n = b.input_ids.shape[0]
+    if n == target:
+        return b
+    pad = target - n
+
+    def _p(x):
+        return np.concatenate([x, np.zeros((pad, x.shape[1]), dtype=x.dtype)], 0)
+
+    return Batch(_p(b.input_ids), _p(b.attn_mask), _p(b.token_type_ids))
+
+
+def batch_bucket(n: int, buckets: Sequence[int] = BATCH_BUCKETS) -> int:
+    for b in buckets:
+        if b >= n:
+            return b
+    return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
+
+
+class EncoderRuntime:
+    """Holds a Flax module + params and runs jitted bucketed forwards."""
+
+    def __init__(
+        self,
+        kind: str,
+        cfg: EncoderConfig,
+        head_cfg,
+        params=None,
+        seed: int = 0,
+        mesh: Optional[Mesh] = None,
+        dp_axis: str = "dp",
+    ):
+        self.kind = kind
+        self.cfg = cfg
+        self.head_cfg = head_cfg
+        if kind == "bi":
+            self.module = BiEncoder(cfg, head_cfg)
+        elif kind == "colbert":
+            self.module = ColBERTEncoder(cfg, head_cfg)
+        elif kind == "cross":
+            self.module = CrossEncoder(cfg, head_cfg)
+        else:
+            raise ValueError(f"unknown runtime kind {kind!r}")
+        self.mesh = mesh
+        self.dp_axis = dp_axis
+        if params is None:
+            rng = jax.random.PRNGKey(seed)
+            dummy = jnp.zeros((1, 8), dtype=jnp.int32)
+            params = self.module.init(rng, dummy, jnp.ones_like(dummy))["params"]
+        self.params = self._place_params(params)
+        self._jit_apply = jax.jit(self._apply)
+
+    def _place_params(self, params):
+        if self.mesh is None:
+            return jax.device_put(params)
+        repl = NamedSharding(self.mesh, P())
+        return jax.device_put(params, repl)
+
+    def _apply(self, params, input_ids, attn_mask, token_type_ids):
+        return self.module.apply(
+            {"params": params}, input_ids, attn_mask, token_type_ids
+        )
+
+    def _place_batch(self, arr: np.ndarray) -> jax.Array:
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        sh = NamedSharding(self.mesh, P(self.dp_axis, None))
+        return jax.device_put(arr, sh)
+
+    def forward(self, b: Batch) -> jax.Array:
+        """Run one padded batch; returns device array (unpadded rows first)."""
+        n = b.input_ids.shape[0]
+        bucket = batch_bucket(n)
+        if self.mesh is not None:
+            dp = self.mesh.shape[self.dp_axis]
+            bucket = max(bucket, dp)
+            bucket = ((bucket + dp - 1) // dp) * dp
+        b = pad_batch(b, bucket)
+        out = self._jit_apply(
+            self.params,
+            self._place_batch(b.input_ids),
+            self._place_batch(b.attn_mask),
+            self._place_batch(b.token_type_ids),
+        )
+        return out[:n]
+
+    # ---- high-level text APIs -------------------------------------------
+
+    def encode_texts(
+        self,
+        texts: Sequence[str],
+        tokenizer: BaseTokenizer,
+        max_length: int,
+        batch_size: int = 64,
+    ) -> np.ndarray:
+        """Bi-encoder: texts -> [N, E] f32 numpy embeddings."""
+        assert self.kind == "bi"
+        outs = []
+        for i in range(0, len(texts), batch_size):
+            tb = tokenizer.encode_batch(texts[i : i + batch_size], max_length)
+            outs.append(np.asarray(self.forward(tb)))
+        if not outs:
+            e_dim = (
+                self.head_cfg.projection_dims[-1]
+                if self.head_cfg.projection_dims
+                else self.cfg.hidden_size
+            )
+            return np.zeros((0, e_dim), dtype=np.float32)
+        return np.concatenate(outs, axis=0)
+
+    def encode_token_embeddings(
+        self,
+        texts: Sequence[str],
+        tokenizer: BaseTokenizer,
+        max_length: int,
+        batch_size: int = 16,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ColBERT: texts -> ([N, L, D] f32 token embs, [N, L] mask).
+
+        All batches are padded to ``max_length`` so results concatenate;
+        downstream MaxSim masks padding anyway.
+        """
+        assert self.kind == "colbert"
+        embs, masks = [], []
+        for i in range(0, len(texts), batch_size):
+            tb = tokenizer.encode_batch(
+                texts[i : i + batch_size], max_length, buckets=(max_length,)
+            )
+            out = np.asarray(self.forward(tb))
+            embs.append(out)
+            masks.append(tb.attn_mask)
+        if not embs:
+            return (
+                np.zeros((0, max_length, self.head_cfg.output_dim), np.float32),
+                np.zeros((0, max_length), np.int32),
+            )
+        return np.concatenate(embs, 0), np.concatenate(masks, 0)
+
+    def score_pairs(
+        self,
+        pairs: Sequence[tuple[str, str]],
+        tokenizer: BaseTokenizer,
+        max_length: int,
+        batch_size: int = 32,
+    ) -> np.ndarray:
+        """Cross-encoder: (q, d) pairs -> [N] f32 relevance scores."""
+        assert self.kind == "cross"
+        outs = []
+        for i in range(0, len(pairs), batch_size):
+            tb = tokenizer.encode_pairs(pairs[i : i + batch_size], max_length)
+            logits = self.forward(tb)
+            scores = apply_score_activation(logits, self.head_cfg.activation)
+            outs.append(np.asarray(scores))
+        if not outs:
+            return np.zeros((0,), dtype=np.float32)
+        return np.concatenate(outs, axis=0)

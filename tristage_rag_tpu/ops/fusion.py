@@ -1,0 +1,73 @@
+"""Rank fusion for stage 1 (dense + BM25).
+
+Host-side numpy — fusion operates on two short top-k lists (sparse,
+branchy, tiny), the wrong shape for the TPU. Semantics match the
+reference:
+
+* RRF: score(d) = sum over systems of 1 / (rrf_k + rank_d), rank is
+  1-based (src/stage1_retriever.py:326-343).
+* Weighted: min-max normalise each system's scores to [0, 1], then
+  ``dense_w * dense + sparse_w * sparse`` (src/stage1_retriever.py:345-366).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def reciprocal_rank_fusion(
+    ranked_lists: list[list[int]],
+    rrf_k: float = 60.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fuse ranked id lists with Reciprocal Rank Fusion.
+
+    Args:
+      ranked_lists: each a list of doc ids in rank order (best first).
+      rrf_k: RRF constant (reference default 60).
+
+    Returns:
+      (ids [M] i64, scores [M] f64) sorted by fused score descending.
+    """
+    fused: dict[int, float] = {}
+    for ranked in ranked_lists:
+        for rank, doc_id in enumerate(ranked, start=1):
+            fused[doc_id] = fused.get(doc_id, 0.0) + 1.0 / (rrf_k + rank)
+    if not fused:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    ids = np.fromiter(fused.keys(), dtype=np.int64, count=len(fused))
+    scores = np.fromiter(fused.values(), dtype=np.float64, count=len(fused))
+    order = np.argsort(-scores, kind="stable")
+    return ids[order], scores[order]
+
+
+def _minmax(scores: np.ndarray) -> np.ndarray:
+    if scores.size == 0:
+        return scores
+    lo, hi = float(scores.min()), float(scores.max())
+    if hi - lo < 1e-12:
+        return np.ones_like(scores)
+    return (scores - lo) / (hi - lo)
+
+
+def weighted_fusion(
+    dense_ids: np.ndarray,
+    dense_scores: np.ndarray,
+    sparse_ids: np.ndarray,
+    sparse_scores: np.ndarray,
+    dense_weight: float = 0.7,
+    sparse_weight: float = 0.3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Min-max-normalised weighted score fusion of two result lists."""
+    dn = _minmax(np.asarray(dense_scores, dtype=np.float64))
+    sn = _minmax(np.asarray(sparse_scores, dtype=np.float64))
+    fused: dict[int, float] = {}
+    for doc_id, s in zip(np.asarray(dense_ids).tolist(), dn.tolist()):
+        fused[doc_id] = fused.get(doc_id, 0.0) + dense_weight * s
+    for doc_id, s in zip(np.asarray(sparse_ids).tolist(), sn.tolist()):
+        fused[doc_id] = fused.get(doc_id, 0.0) + sparse_weight * s
+    if not fused:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    ids = np.fromiter(fused.keys(), dtype=np.int64, count=len(fused))
+    scores = np.fromiter(fused.values(), dtype=np.float64, count=len(fused))
+    order = np.argsort(-scores, kind="stable")
+    return ids[order], scores[order]

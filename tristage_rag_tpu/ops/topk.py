@@ -1,0 +1,73 @@
+"""Masked dense-score top-k: the stage-1 hot op.
+
+TPU-native replacement for FAISS ``IndexFlatIP.search``
+(reference: src/stage1_retriever.py:263,276,380). The document-embedding
+matrix lives in HBM as a fixed-capacity buffer with a validity count
+(static shapes for XLA); scoring is one MXU matmul with the invalid tail
+masked to -inf before an exact top-k.
+
+Two code paths:
+
+* :func:`masked_topk` — XLA path (einsum + ``lax.top_k``). XLA fuses the
+  mask into the matmul epilogue; the TPU backend lowers ``top_k`` to its
+  native partial-sort. This is the default and the correctness reference.
+* ``tristage_rag_tpu.ops.pallas_topk`` — fused Pallas kernel (blockwise
+  matmul + bitonic top-k merge in VMEM) that never materialises the
+  [B, N] score matrix in HBM. Used automatically for large corpora.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def masked_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    count: jax.Array,
+    k: int,
+):
+    """Exact top-k inner-product search over a masked corpus buffer.
+
+    Args:
+      queries: [B, D] query embeddings (any float dtype; accumulated f32).
+      corpus: [N, D] document-embedding buffer; rows >= ``count`` are
+        garbage and must not be returned.
+      count: scalar int32 — number of valid rows in ``corpus``.
+      k: static number of results.
+
+    Returns:
+      (scores [B, k] f32, indices [B, k] i32). Slots beyond ``count``
+      (when count < k) have score -inf and index -1.
+    """
+    n = corpus.shape[0]
+    scores = jnp.einsum(
+        "bd,nd->bn",
+        queries.astype(corpus.dtype),
+        corpus,
+        preferred_element_type=jnp.float32,
+        # Full input precision: bf16 corpora still accumulate exactly;
+        # f32 corpora don't get silently truncated to bf16 passes.
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    valid = jnp.arange(n, dtype=jnp.int32) < count
+    scores = jnp.where(valid[None, :], scores, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    in_range = top_scores > NEG_INF / 2
+    top_idx = jnp.where(in_range, top_idx, -1)
+    return top_scores, top_idx
+
+
+def topk_fn(k: int, use_pallas: bool = False):
+    """Return a (queries, corpus, count) -> (scores, idx) callable."""
+    if use_pallas:
+        from tristage_rag_tpu.ops.pallas_topk import fused_matmul_topk
+
+        return functools.partial(fused_matmul_topk, k=k)
+    return functools.partial(masked_topk, k=k)
