@@ -37,7 +37,7 @@ _NAME_MAP = {
 _TINY_BY_KIND = {"bi": "tiny-gemma", "colbert": "tiny-modernbert", "cross": "tiny-bert"}
 
 
-def resolve_registry_key(model_name: str, kind: str) -> str:
+def resolve_registry_key(model_name: str, kind: str, quiet: bool = False) -> str:
     low = model_name.lower()
     if low in _NAME_MAP:
         return _NAME_MAP[low]
@@ -45,11 +45,12 @@ def resolve_registry_key(model_name: str, kind: str) -> str:
         return low
     if low.startswith("tiny"):
         return _TINY_BY_KIND[kind]
-    logger.warning(
-        "unknown model %r; using tiny %s architecture with random init",
-        model_name,
-        kind,
-    )
+    if not quiet:
+        logger.warning(
+            "unknown model %r; using tiny %s architecture with random init",
+            model_name,
+            kind,
+        )
     return _TINY_BY_KIND[kind]
 
 
@@ -75,7 +76,10 @@ def build_runtime(
     head_overrides: Optional[dict] = None,
 ) -> tuple[EncoderRuntime, BaseTokenizer]:
     """Build an (EncoderRuntime, tokenizer) pair for one stage."""
-    key = resolve_registry_key(model_name, kind)
+    ckpt = checkpoint_dir(model_dir, model_name)
+    # When a checkpoint exists, the registry entry is irrelevant (the
+    # architecture comes from its config.json) — resolve quietly.
+    key = resolve_registry_key(model_name, kind, quiet=ckpt is not None)
     enc_cfg = registry.encoder_config(key).replace(dtype=compute_dtype)
     if kind == "bi":
         head = registry.POOLING_CONFIGS.get(key, PoolingConfig())
@@ -89,7 +93,6 @@ def build_runtime(
         head = dataclasses.replace(head, **head_overrides)
 
     params = None
-    ckpt = checkpoint_dir(model_dir, model_name)
     if ckpt is not None:
         from tristage_rag_tpu.models import hf_loader
 

@@ -44,6 +44,9 @@ class EncoderConfig:
     # (e.g. Gemma3 "layer_types"); entries containing "sliding" are
     # local. Overrides the modulo rule when set.
     layer_types: Optional[tuple[str, ...]] = None
+    causal: bool = False  # encoders are bidirectional; True only for
+    # decoder-style checkpoints (plain Gemma3 without
+    # use_bidirectional_attention)
     norm_type: str = "layernorm"  # "layernorm" | "rmsnorm"
     norm_eps: float = 1e-12
     pre_norm: bool = False  # False = post-LN (BERT), True = pre-LN

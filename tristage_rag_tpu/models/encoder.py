@@ -65,9 +65,11 @@ class TextEncoder(nn.Module):
             x = make_norm(cfg, "embed_norm")(x)
 
         # Position tables / masks shared across layers.
-        global_bias = attention_bias(attn_mask, sliding_window=0)
+        global_bias = attention_bias(attn_mask, sliding_window=0, causal=cfg.causal)
         local_bias = (
-            attention_bias(attn_mask, sliding_window=cfg.sliding_window)
+            attention_bias(
+                attn_mask, sliding_window=cfg.sliding_window, causal=cfg.causal
+            )
             if cfg.sliding_window > 0
             else global_bias
         )

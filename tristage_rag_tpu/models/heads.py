@@ -115,13 +115,15 @@ class CrossEncoder(nn.Module):
 
 
 def apply_score_activation(logits: jax.Array, activation: str) -> jax.Array:
-    """Collapse classifier logits to one relevance score per pair.
+    """Collapse classifier logits [B, num_labels] to one score per pair.
 
-    Matches src/stage3_reranker.py:168-183: sigmoid for 1-label heads,
-    softmax positive-class prob for 2-label heads, raw otherwise.
+    Matches src/stage3_reranker.py:168-183: 1-label heads use sigmoid
+    (or raw for "none"); multi-label heads use the softmax probability
+    of the last (positive) class.
     """
-    if activation == "sigmoid" or (activation != "none" and logits.shape[-1] == 1):
-        return jax.nn.sigmoid(logits[..., 0] if logits.shape[-1] == 1 else logits)
-    if activation == "softmax":
-        return jax.nn.softmax(logits, axis=-1)[..., -1]
-    return logits[..., 0] if logits.ndim > 1 else logits
+    if logits.shape[-1] == 1:
+        raw = logits[..., 0]
+        return raw if activation == "none" else jax.nn.sigmoid(raw)
+    if activation == "none":
+        return logits[..., -1]
+    return jax.nn.softmax(logits, axis=-1)[..., -1]

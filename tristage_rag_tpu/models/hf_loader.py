@@ -97,6 +97,7 @@ def encoder_config_from_hf(hf: dict[str, Any]) -> EncoderConfig:
     if mt in ("gemma3_text", "gemma3", "gemma2"):
         layer_types = hf.get("layer_types")
         return EncoderConfig(
+            causal=not hf.get("use_bidirectional_attention", False),
             vocab_size=hf["vocab_size"],
             hidden_size=hf["hidden_size"],
             num_layers=hf["num_hidden_layers"],

@@ -73,19 +73,29 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 def attention_bias(
     attn_mask: jax.Array,
     sliding_window: int = 0,
+    causal: bool = False,
 ) -> jax.Array:
     """Build an additive [B, 1, L, L] attention bias.
 
-    ``attn_mask`` is [B, L] with 1 for real tokens. Bidirectional
-    (encoder) attention; optional symmetric sliding-window band for
-    ModernBERT-style local layers.
+    ``attn_mask`` is [B, L] with 1 for real tokens. Default is
+    bidirectional (encoder) attention with an optional symmetric
+    sliding-window band ``abs(q-k) <= window//2`` — this matches both
+    ModernBERT's ``local_attention`` and bidirectional Gemma3's
+    transformed window (transformers sets w//2+1 exclusive, i.e. the
+    same band). ``causal=True`` adds the decoder triangle (plain Gemma3
+    checkpoints); the causal sliding band is ``q - k < window``.
     """
     b, l = attn_mask.shape
     valid = attn_mask.astype(bool)
     pair = valid[:, None, None, :]  # key validity [B,1,1,L]
-    if sliding_window > 0:
-        q_pos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    if causal:
+        band = k_pos <= q_pos
+        if sliding_window > 0:
+            band = band & (q_pos - k_pos < sliding_window)
+        pair = pair & band[None, None, :, :]
+    elif sliding_window > 0:
         band = jnp.abs(q_pos - k_pos) <= (sliding_window // 2)
         pair = pair & band[None, None, :, :]
     return jnp.where(pair, 0.0, -1e30).astype(jnp.float32)
@@ -147,14 +157,15 @@ class Mlp(nn.Module):
         dense = lambda feats, name: nn.Dense(
             features=feats, use_bias=cfg.use_bias, dtype=dt, name=name
         )
-        if cfg.activation in ("geglu", "swiglu"):
+        if cfg.activation in ("geglu", "geglu_tanh", "swiglu"):
             gate = dense(cfg.mlp_dim, "gate_proj")(x)
             up = dense(cfg.mlp_dim, "up_proj")(x)
-            act = (
-                nn.gelu(gate, approximate=True)
-                if cfg.activation == "geglu"
-                else nn.silu(gate)
-            )
+            if cfg.activation == "swiglu":
+                act = nn.silu(gate)
+            elif cfg.activation == "geglu_tanh":  # gelu_pytorch_tanh (Gemma)
+                act = nn.gelu(gate, approximate=True)
+            else:  # exact gelu (ModernBERT)
+                act = nn.gelu(gate, approximate=False)
             h = act * up
         else:
             h = dense(cfg.mlp_dim, "up_proj")(x)

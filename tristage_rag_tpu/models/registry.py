@@ -40,7 +40,7 @@ ENCODER_CONFIGS: dict[str, EncoderConfig] = {
         pre_norm=True,
         gemma_norms=True,
         qk_norm=True,
-        activation="geglu",
+        activation="geglu_tanh",
         use_bias=False,
         embedding_scale=True,
         embedding_norm=False,
@@ -74,7 +74,7 @@ ENCODER_CONFIGS: dict[str, EncoderConfig] = {
         pre_norm=True,
         gemma_norms=True,
         qk_norm=True,
-        activation="geglu",
+        activation="geglu_tanh",
         use_bias=False,
         embedding_scale=True,
         embedding_norm=False,
