@@ -1,0 +1,78 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tristage_rag_tpu.models.config import PoolingConfig
+from tristage_rag_tpu.models.heads import BiEncoder
+from tristage_rag_tpu.models.registry import encoder_config
+from tristage_rag_tpu.train.contrastive import (
+    TrainConfig,
+    Trainer,
+    info_nce_loss,
+)
+
+
+def _toy_batch(rng, b=8, l=12, vocab=1024):
+    q = rng.integers(4, vocab, size=(b, l)).astype(np.int32)
+    # positives share most tokens with their query
+    d = q.copy()
+    d[:, ::3] = rng.integers(4, vocab, size=d[:, ::3].shape)
+    mask = np.ones((b, l), np.int32)
+    return jnp.asarray(q), jnp.asarray(mask), jnp.asarray(d), jnp.asarray(mask)
+
+
+def test_info_nce_perfect_alignment():
+    e = np.eye(4, 8, dtype=np.float32)
+    loss, acc = info_nce_loss(jnp.asarray(e), jnp.asarray(e), temperature=0.05)
+    assert float(acc) == 1.0
+    assert float(loss) < 1e-3
+
+
+def test_info_nce_random():
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((6, 8)).astype(np.float32)
+    d = rng.standard_normal((6, 8)).astype(np.float32)
+    loss, acc = info_nce_loss(jnp.asarray(q), jnp.asarray(d), temperature=1.0)
+    assert np.isfinite(float(loss))
+
+
+def test_training_reduces_loss():
+    cfg = encoder_config("tiny-gemma").replace(dtype="float32", num_layers=1)
+    module = BiEncoder(cfg, PoolingConfig(pooling="mean"))
+    trainer = Trainer(
+        module, TrainConfig(learning_rate=1e-3, warmup_steps=2, total_steps=30)
+    )
+    rng = np.random.default_rng(1)
+    q, qm, d, dm = _toy_batch(rng, vocab=cfg.vocab_size)
+    state = trainer.init_state(jax.random.PRNGKey(0), q, qm)
+    losses = []
+    for _ in range(12):
+        state, m = trainer.train_step(state, q, qm, d, dm)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state["step"]) == 12
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_training_matches_single_device():
+    from jax.sharding import Mesh
+
+    cfg = encoder_config("tiny-gemma").replace(dtype="float32", num_layers=1)
+    module = BiEncoder(cfg, PoolingConfig(pooling="mean", projection_dims=(32,)))
+    rng = np.random.default_rng(2)
+    q, qm, d, dm = _toy_batch(rng, b=8, vocab=cfg.vocab_size)
+
+    t_single = Trainer(module, TrainConfig())
+    s0 = t_single.init_state(jax.random.PRNGKey(0), q, qm)
+    _, m_single = t_single.train_step(s0, q, qm, d, dm)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("dp", "tp"))
+    t_mesh = Trainer(module, TrainConfig(), mesh=mesh)
+    s1 = t_mesh.init_state(jax.random.PRNGKey(0), q, qm)
+    _, m_mesh = t_mesh.train_step(s1, q, qm, d, dm)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_mesh["loss"]), rtol=1e-4
+    )

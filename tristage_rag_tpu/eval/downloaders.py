@@ -1,0 +1,115 @@
+"""Model asset management (HF checkpoints for the three stages).
+
+Parity with benchmark/download_models.py: a required-model registry
+with per-stage roles and low-memory alternates (:44-85), flattened
+local layout ``<models_dir>/<basename>`` (:93-115), existence checks by
+file manifest (:117-143), ``snapshot_download`` with token auth
+(:145-198), ``ensure_models_available`` (:321-351), size reporting and
+cleaning. Downloads are best-effort — this environment is zero-egress,
+so the primary path is pre-placed checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import shutil
+from pathlib import Path
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    repo_id: str
+    stage: str
+    required_files: tuple[str, ...] = ("config.json",)
+    gated: bool = False
+
+
+REQUIRED_MODELS: dict[str, ModelSpec] = {
+    "google/embeddinggemma-300m": ModelSpec(
+        "google/embeddinggemma-300m", "stage1", ("config.json",), gated=True
+    ),
+    "lightonai/GTE-ModernColBERT-v1": ModelSpec(
+        "lightonai/GTE-ModernColBERT-v1", "stage2", ("config.json",)
+    ),
+    "cross-encoder/ms-marco-MiniLM-L6-v2": ModelSpec(
+        "cross-encoder/ms-marco-MiniLM-L6-v2", "stage3", ("config.json",)
+    ),
+}
+
+LOW_MEMORY_ALTERNATES: dict[str, str] = {
+    "google/embeddinggemma-300m": "sentence-transformers/all-MiniLM-L6-v2",
+}
+
+
+class ModelDownloader:
+    def __init__(self, models_dir: str | Path = "./models", token: Optional[str] = None):
+        self.models_dir = Path(models_dir)
+        self.token = token or os.environ.get("HUGGING_FACE_HUB_TOKEN")
+
+    def local_dir(self, repo_id: str) -> Path:
+        return self.models_dir / repo_id.split("/")[-1]
+
+    def is_available(self, repo_id: str) -> bool:
+        d = self.local_dir(repo_id)
+        if not d.is_dir():
+            return False
+        spec = REQUIRED_MODELS.get(repo_id)
+        required = spec.required_files if spec else ("config.json",)
+        has_weights = any(d.glob("*.safetensors")) or any(d.glob("*.bin"))
+        return has_weights and all((d / f).exists() for f in required)
+
+    def download(self, repo_id: str, force: bool = False) -> bool:
+        if self.is_available(repo_id) and not force:
+            logger.info("%s already present at %s", repo_id, self.local_dir(repo_id))
+            return True
+        try:
+            from huggingface_hub import snapshot_download
+
+            snapshot_download(
+                repo_id,
+                local_dir=self.local_dir(repo_id),
+                token=self.token,
+            )
+            return self.is_available(repo_id)
+        except Exception as e:
+            spec = REQUIRED_MODELS.get(repo_id)
+            if spec and spec.gated and "gated" in str(e).lower():
+                logger.error(
+                    "%s is gated: accept the license on huggingface.co and "
+                    "set HUGGING_FACE_HUB_TOKEN", repo_id,
+                )
+            else:
+                logger.warning("download of %s failed: %s", repo_id, e)
+            return False
+
+    def ensure_models_available(
+        self, low_memory: bool = False
+    ) -> dict[str, bool]:
+        status: dict[str, bool] = {}
+        for repo_id in REQUIRED_MODELS:
+            target = (
+                LOW_MEMORY_ALTERNATES.get(repo_id, repo_id)
+                if low_memory
+                else repo_id
+            )
+            status[target] = self.download(target)
+        return status
+
+    def size_report(self) -> dict[str, float]:
+        out: dict[str, float] = {}
+        if not self.models_dir.is_dir():
+            return out
+        for d in self.models_dir.iterdir():
+            if d.is_dir():
+                size = sum(f.stat().st_size for f in d.rglob("*") if f.is_file())
+                out[d.name] = size / 1e9
+        return out
+
+    def clean_models(self) -> None:
+        if self.models_dir.is_dir():
+            shutil.rmtree(self.models_dir)

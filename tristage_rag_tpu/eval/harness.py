@@ -1,0 +1,106 @@
+"""Retrieval evaluation harness: pipeline × task → metric table.
+
+Native equivalent of the reference's MTEB flow (run_benchmark.py:29-301
++ tristage_mteb_model.py search/predict): index the task corpus through
+the pipeline, run every query through the requested stage depth, map
+internal integer doc ids back to external corpus ids, score with
+stage3 > stage2 > stage1 preference (tristage_mteb_model.py:253-308),
+and compute NDCG/Recall/MAP/MRR natively (eval/metrics.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Optional
+
+from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+from tristage_rag_tpu.eval.limit import RetrievalTask
+from tristage_rag_tpu.eval.metrics import evaluate_retrieval
+
+logger = logging.getLogger(__name__)
+
+
+def _doc_text(entry: dict[str, str]) -> str:
+    title = entry.get("title", "")
+    text = entry.get("text", "")
+    return f"{title} {text}".strip() if title else text
+
+
+def _result_score(r: dict[str, Any]) -> float:
+    for key in ("stage3_score", "stage2_score", "stage1_score", "score"):
+        if key in r and r[key] is not None:
+            return float(r[key])
+    return 0.0
+
+
+def index_task_corpus(
+    pipeline: RetrievalPipeline, task: RetrievalTask
+) -> list[str]:
+    """Index the task corpus; returns internal idx -> external id map."""
+    ext_ids = list(task.corpus.keys())
+    docs = [_doc_text(task.corpus[i]) for i in ext_ids]
+    metadata = [{"corpus_id": i} for i in ext_ids]
+    pipeline.clear_index()
+    pipeline.add_documents(docs, metadata)
+    return ext_ids
+
+
+def run_evaluation(
+    pipeline: RetrievalPipeline,
+    task: RetrievalTask,
+    top_k: int = 20,
+    max_queries: int = 0,
+    stages: str = "full",  # "full" | "stage1" | "stage12"
+    ks: tuple[int, ...] = (1, 5, 10, 20, 100),
+) -> dict[str, Any]:
+    task = task.subsample(max_queries)
+    ext_ids = index_task_corpus(pipeline, task)
+    results: dict[str, dict[str, float]] = {}
+    t0 = time.time()
+    per_query_times: list[float] = []
+    for qid, qtext in task.queries.items():
+        tq = time.time()
+        ranked = _search_stages(pipeline, qtext, top_k, stages)
+        per_query_times.append(time.time() - tq)
+        scored: dict[str, float] = {}
+        for r in ranked:
+            idx = r["doc_id"]
+            if 0 <= idx < len(ext_ids):
+                scored[ext_ids[idx]] = _result_score(r)
+        results[qid] = scored
+    wall = time.time() - t0
+    metrics = evaluate_retrieval(task.qrels, results, ks=ks)
+    per_query_times.sort()
+    n = len(per_query_times)
+    summary = {
+        "task": task.name,
+        "stages": stages,
+        "num_queries": n,
+        "num_docs": len(ext_ids),
+        "metrics": metrics,
+        "wall_time_s": wall,
+        "qps": n / wall if wall > 0 else 0.0,
+        "latency_p50_ms": per_query_times[n // 2] * 1e3 if n else 0.0,
+        "latency_p95_ms": per_query_times[int(n * 0.95)] * 1e3 if n else 0.0,
+    }
+    logger.info(
+        "eval %s [%s]: ndcg@10=%.4f recall@10=%.4f (%d q, %.1f qps)",
+        task.name, stages, metrics["ndcg_at_10"], metrics["recall_at_10"],
+        n, summary["qps"],
+    )
+    return summary
+
+
+def _search_stages(
+    pipeline: RetrievalPipeline, query: str, top_k: int, stages: str
+) -> list[dict[str, Any]]:
+    if stages == "stage1":
+        pipeline.initialize_stages()
+        return pipeline.stage1.search(query, top_k)
+    if stages == "stage12":
+        pipeline.initialize_stages()
+        s1 = pipeline.stage1.search(query, pipeline.config.stage1_top_k)
+        return pipeline.stage2.rescore_candidates(query, s1)[:top_k]
+    out = pipeline.search(query, top_k)
+    return out["results"]

@@ -1,0 +1,182 @@
+"""Contrastive (InfoNCE) training for the retrieval encoders.
+
+The reference ships inference-only models; production retrieval engines
+fine-tune their encoders on in-domain pairs, so the TPU build provides a
+first-class training path: symmetric in-batch-negative InfoNCE over
+(query, document) pairs, jitted over a 2-D ``(dp, tp)`` mesh —
+
+* ``dp``: batch sharding (queries/docs split across data-parallel groups;
+  gradients all-reduced by XLA from the sharded loss),
+* ``tp``: tensor parallelism — Dense/DenseGeneral kernels shard their
+  output-feature axis, embedding tables shard the vocab axis; XLA
+  inserts the all-gathers/reduce-scatters over ICI.
+
+In-batch negatives use the GLOBAL batch (logits q @ d^T couple every
+shard pair), so the dp axis also behaves like a contrastive
+"negative-sharing" axis — XLA turns the cross-shard logit matmul into
+ICI collectives automatically under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 2e-5
+    weight_decay: float = 0.01
+    temperature: float = 0.05
+    warmup_steps: int = 100
+    total_steps: int = 10_000
+    max_grad_norm: float = 1.0
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.learning_rate,
+        warmup_steps=cfg.warmup_steps,
+        decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+    )
+
+
+def info_nce_loss(q_emb: jax.Array, d_emb: jax.Array, temperature: float):
+    """Symmetric in-batch-negative InfoNCE.
+
+    q_emb, d_emb: [B, E] L2-normalized embeddings; pair i is positive.
+    """
+    logits = (
+        jnp.einsum("be,ce->bc", q_emb, d_emb, preferred_element_type=jnp.float32)
+        / temperature
+    )
+    labels = jnp.arange(logits.shape[0])
+    loss_q = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    loss_d = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+    loss = 0.5 * (loss_q.mean() + loss_d.mean())
+    acc = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
+    return loss, acc
+
+
+# ---------------------------------------------------------------------------
+# sharding rules
+# ---------------------------------------------------------------------------
+
+
+def param_partition_spec(path: tuple, value, tp_axis: str) -> P:
+    """Tensor-parallel partitioning by param shape/name.
+
+    * embedding tables [V, H] -> shard vocab on tp (row-parallel lookup)
+    * Dense kernels [in, out] -> shard out on tp (column-parallel)
+    * DenseGeneral attn kernels [in, h, hd] -> shard heads on tp
+    * attn out kernels [h, hd, out] -> shard heads on tp (row-parallel)
+    * 1-D scales/biases -> replicated
+    """
+    names = [getattr(p, "key", str(p)) for p in path]
+    joined = "/".join(names)
+    ndim = value.ndim
+    if "embedding" in joined:
+        return P(tp_axis, None)
+    if ndim == 3:  # attention DenseGeneral
+        return P(None, tp_axis, None) if "o_proj" not in joined else P(tp_axis, None, None)
+    if ndim == 2 and "kernel" in joined:
+        return P(None, tp_axis)
+    return P()
+
+
+def make_param_shardings(params, mesh: Mesh, tp_axis: str = "tp"):
+    def spec(path, v):
+        s = param_partition_spec(path, v, tp_axis)
+        # Don't shard axes that aren't divisible by the mesh axis size.
+        tp = mesh.shape[tp_axis]
+        fixed = []
+        for dim, axis_name in zip(v.shape, tuple(s) + (None,) * (v.ndim - len(s))):
+            if axis_name is not None and dim % tp != 0:
+                axis_name = None
+            fixed.append(axis_name)
+        return NamedSharding(mesh, P(*fixed))
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+# ---------------------------------------------------------------------------
+# train state + step
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Builds and runs the jitted sharded train step for a BiEncoder."""
+
+    module: Any  # flax module: (input_ids, attn_mask) -> [B, E]
+    cfg: TrainConfig
+    mesh: Optional[Mesh] = None
+    dp_axis: str = "dp"
+    tp_axis: str = "tp"
+
+    def __post_init__(self):
+        self.optimizer = make_optimizer(self.cfg)
+        self._step_fn = None
+
+    def init_state(self, rng, sample_ids, sample_mask):
+        params = self.module.init(rng, sample_ids, sample_mask)["params"]
+        if self.mesh is not None:
+            shardings = make_param_shardings(params, self.mesh, self.tp_axis)
+            params = jax.tree.map(
+                lambda x, s: jax.device_put(x, s), params, shardings
+            )
+        opt_state = self.optimizer.init(params)
+        return {"params": params, "opt_state": opt_state, "step": jnp.int32(0)}
+
+    def _loss_fn(self, params, q_ids, q_mask, d_ids, d_mask):
+        q_emb = self.module.apply({"params": params}, q_ids, q_mask)
+        d_emb = self.module.apply({"params": params}, d_ids, d_mask)
+        return info_nce_loss(q_emb, d_emb, self.cfg.temperature)
+
+    def _train_step(self, state, q_ids, q_mask, d_ids, d_mask):
+        (loss, acc), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+            state["params"], q_ids, q_mask, d_ids, d_mask
+        )
+        updates, opt_state = self.optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    def step_fn(self):
+        """The jitted train step; batch inputs sharded over dp."""
+        if self._step_fn is not None:
+            return self._step_fn
+        if self.mesh is None:
+            self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
+        else:
+            batch_sh = NamedSharding(self.mesh, P(self.dp_axis, None))
+            self._step_fn = jax.jit(
+                self._train_step,
+                in_shardings=(None,) + (batch_sh,) * 4,
+                donate_argnums=(0,),
+            )
+        return self._step_fn
+
+    def train_step(self, state, q_ids, q_mask, d_ids, d_mask):
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P(self.dp_axis, None))
+            q_ids, q_mask, d_ids, d_mask = (
+                jax.device_put(x, sh) for x in (q_ids, q_mask, d_ids, d_mask)
+            )
+        return self.step_fn()(state, q_ids, q_mask, d_ids, d_mask)
