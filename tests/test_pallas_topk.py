@@ -1,0 +1,76 @@
+"""Fused Pallas top-k kernel vs the XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tristage_rag_tpu.ops.pallas_topk import fused_matmul_topk
+from tristage_rag_tpu.ops.topk import masked_topk
+
+
+def _case(n, d, b, k, count, seed=0, block=1024, per_block_k=0):
+    rng = np.random.default_rng(seed)
+    docs = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v1, i1 = masked_topk(jnp.asarray(q), jnp.asarray(docs), jnp.int32(count), k=k)
+    v2, i2 = fused_matmul_topk(
+        jnp.asarray(q), jnp.asarray(docs), jnp.int32(count), k=k,
+        block_size=block, per_block_k=per_block_k, interpret=True,
+    )
+    return map(np.asarray, (v1, i1, v2, i2))
+
+
+class TestFusedTopk:
+    def test_exact_match_basic(self):
+        v1, i1, v2, i2 = _case(4096, 128, 5, 50, count=3000)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-5)
+
+    def test_single_query_row(self):
+        v1, i1, v2, i2 = _case(2048, 128, 1, 10, count=2048)
+        np.testing.assert_array_equal(i1, i2)
+
+    def test_count_less_than_k(self):
+        v1, i1, v2, i2 = _case(2048, 128, 3, 64, count=20)
+        assert (i2[:, 20:] == -1).all()
+        np.testing.assert_array_equal(i1[:, :20], i2[:, :20])
+
+    def test_zero_count(self):
+        _, _, v2, i2 = _case(1024, 128, 2, 8, count=0)
+        assert (i2 == -1).all()
+
+    def test_adversarial_sorted_corpus_with_safety_margin(self):
+        """Docs sorted by score — worst case for per-block selection.
+        With per_block_k >= k the kernel is exact regardless of order."""
+        n, d, b, k = 2048, 64, 2, 16
+        rng = np.random.default_rng(1)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        direction = rng.standard_normal(d).astype(np.float32)
+        mags = np.linspace(1, 2, n).astype(np.float32)[::-1]
+        docs = np.outer(mags, direction) + 0.01 * rng.standard_normal((n, d)).astype(np.float32)
+        v1, i1 = masked_topk(jnp.asarray(q), jnp.asarray(docs), jnp.int32(n), k=k)
+        v2, i2 = fused_matmul_topk(
+            jnp.asarray(q), jnp.asarray(docs), jnp.int32(n), k=k,
+            block_size=1024, per_block_k=16, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_bf16_corpus(self):
+        rng = np.random.default_rng(2)
+        docs = jnp.asarray(rng.standard_normal((2048, 128)), dtype=jnp.bfloat16)
+        q = jnp.asarray(rng.standard_normal((4, 128)), dtype=jnp.bfloat16)
+        v1, i1 = masked_topk(q, docs, jnp.int32(2048), k=32)
+        v2, i2 = fused_matmul_topk(
+            q, docs, jnp.int32(2048), k=32, interpret=True
+        )
+        agree = (np.asarray(i1) == np.asarray(i2)).mean()
+        assert agree > 0.95  # bf16 score ties may order differently
+
+    def test_indivisible_corpus_raises(self):
+        with pytest.raises(ValueError, match="multiple"):
+            fused_matmul_topk(
+                jnp.zeros((2, 128)), jnp.zeros((1000, 128)), jnp.int32(10),
+                k=5, interpret=True,
+            )

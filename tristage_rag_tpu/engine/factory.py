@@ -66,6 +66,38 @@ def checkpoint_dir(model_dir: str, model_name: str) -> Optional[Path]:
     return None
 
 
+# sentence-transformers prompt parity (SURVEY.md §7 "ST semantic
+# parity"): ST's encode() prepends the model's configured prompts;
+# embeddinggemma ships query/document prompts that materially change
+# embeddings. Read them from the checkpoint, else use the published
+# defaults for known models.
+_DEFAULT_PROMPTS = {
+    "embeddinggemma-300m": {
+        "query": "task: search result | query: ",
+        "document": "title: none | text: ",
+    },
+}
+
+
+def _load_prompts(ckpt, model_name: str) -> dict:
+    import json
+
+    if ckpt is not None:
+        st_cfg = Path(ckpt) / "config_sentence_transformers.json"
+        if st_cfg.exists():
+            try:
+                prompts = json.loads(st_cfg.read_text()).get("prompts", {})
+                if prompts:
+                    return {
+                        "query": prompts.get("query", ""),
+                        "document": prompts.get("document", ""),
+                    }
+            except Exception:
+                pass
+    base = model_name.split("/")[-1].lower()
+    return dict(_DEFAULT_PROMPTS.get(base, {"query": "", "document": ""}))
+
+
 def build_runtime(
     kind: str,
     model_name: str,
@@ -108,6 +140,7 @@ def build_runtime(
     runtime = EncoderRuntime(
         kind, enc_cfg, head, params=params, seed=seed, mesh=mesh
     )
+    runtime.prompts = _load_prompts(ckpt, model_name)
     tokenizer = load_tokenizer(str(ckpt) if ckpt else None)
     if tokenizer.vocab_size > enc_cfg.vocab_size:
         # Hash tokenizer must stay within the embedding table.

@@ -157,7 +157,64 @@ class RetrievalPipeline:
     def batch_search(
         self, queries: Sequence[str], top_k: Optional[int] = None
     ) -> list[dict[str, Any]]:
-        return [self.search(q, top_k) for q in queries]
+        """Batched search: stage 1 runs ONE fused encode+top-k for the
+        whole batch (vs the reference's sequential loop,
+        src/retrieval_pipeline.py:426-448); stages 2/3 then refine per
+        query. Output shape matches ``search`` per query."""
+        if self.stage1 is None or self.stage2 is None or self.stage3 is None:
+            self.initialize_stages()
+        if not queries:
+            return []
+        top_k = top_k or self.config.stage3_top_k
+        t0 = time.time()
+        try:
+            stage1_batches = self.stage1.search_batch(
+                queries, self.config.stage1_top_k
+            )
+        except ValueError:
+            raise
+        stage1_time = (time.time() - t0) / len(queries)
+        out = []
+        for query, s1 in zip(queries, stage1_batches):
+            timing = {
+                "stage1_time": stage1_time,
+                "stage2_time": None,
+                "stage3_time": None,
+                "total_time": None,
+            }
+            q_start = time.time()
+            if not s1:
+                timing["total_time"] = stage1_time
+                out.append(self._empty_response(query, timing))
+                continue
+            t = time.time()
+            s2 = self.stage2.rescore_candidates(query, s1)
+            timing["stage2_time"] = time.time() - t
+            if not s2:
+                timing["total_time"] = stage1_time + (time.time() - q_start)
+                resp = self._empty_response(query, timing)
+                if self.config.save_intermediate_results:
+                    resp["stage1_results"] = s1
+                out.append(resp)
+                continue
+            t = time.time()
+            final = self.stage3.rerank(query, s2)[:top_k]
+            timing["stage3_time"] = time.time() - t
+            timing["total_time"] = stage1_time + (time.time() - q_start)
+            if self.config.enable_timing:
+                self._update_performance_stats(query, timing)
+            keep = self.config.save_intermediate_results
+            out.append(
+                {
+                    "query": query,
+                    "results": final,
+                    "stage1_results": s1 if keep else [],
+                    "stage2_results": s2 if keep else [],
+                    "timing": timing,
+                    "performance_stats": dict(self.performance_stats),
+                }
+            )
+        return out
 
     def _update_performance_stats(self, query: str, timing: dict) -> None:
         s = self.performance_stats

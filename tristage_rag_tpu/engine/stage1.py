@@ -62,10 +62,14 @@ class Stage1Retriever:
             else self.runtime.cfg.hidden_size
         )
 
-    def encode(self, texts: Sequence[str]) -> np.ndarray:
-        """[N, E] f32, L2-normalized by the model head."""
+    def encode(self, texts: Sequence[str], kind: str = "document") -> np.ndarray:
+        """[N, E] f32, L2-normalized; applies the model's ST prompt for
+        ``kind`` in {"query", "document"} (parity with
+        SentenceTransformer.encode's prompt handling)."""
+        prompt = self.runtime.prompts.get(kind, "")
+        texts = [prompt + t for t in texts] if prompt else list(texts)
         return self.runtime.encode_texts(
-            list(texts),
+            texts,
             self.tokenizer,
             max_length=self.config.stage1_max_text_length,
             batch_size=self.config.stage1_batch_size,
@@ -110,19 +114,9 @@ class Stage1Retriever:
 
     # ---- search ----------------------------------------------------------
 
-    def search(self, query: str, top_k: Optional[int] = None) -> list[dict[str, Any]]:
-        if self.index is None or not self.documents:
-            raise ValueError("No documents indexed. Call add_documents() first.")
-        top_k = top_k or self.config.stage1_top_k
-
-        q = self.encode([query])
-        scores, ids = self.index.search(q, top_k)
-        dense = [
-            (int(i), float(s))
-            for i, s in zip(ids[0], scores[0])
-            if i >= 0
-        ]
-
+    def _fuse_and_format(
+        self, query: str, dense: list[tuple[int, float]], top_k: int
+    ) -> list[dict[str, Any]]:
         fused: list[tuple[int, float]]
         if self.bm25 is not None and self.bm25.corpus_size > 0:
             sparse = self.bm25.search(query, self.config.stage1_bm25_top_k)
@@ -158,6 +152,30 @@ class Stage1Retriever:
                     }
                 )
         return results
+
+    def search(self, query: str, top_k: Optional[int] = None) -> list[dict[str, Any]]:
+        return self.search_batch([query], top_k)[0]
+
+    def search_batch(
+        self, queries: Sequence[str], top_k: Optional[int] = None
+    ) -> list[list[dict[str, Any]]]:
+        """Batched candidate generation: ONE encoder forward + ONE
+        device top-k for all queries (the reference loops query-by-query,
+        src/retrieval_pipeline.py:426-448)."""
+        if self.index is None or not self.documents:
+            raise ValueError("No documents indexed. Call add_documents() first.")
+        top_k = top_k or self.config.stage1_top_k
+        q = self.encode(list(queries), kind="query")
+        scores, ids = self.index.search(q, top_k)
+        out = []
+        for qi, query in enumerate(queries):
+            dense = [
+                (int(i), float(s))
+                for i, s in zip(ids[qi], scores[qi])
+                if i >= 0
+            ]
+            out.append(self._fuse_and_format(query, dense, top_k))
+        return out
 
     # ---- persistence (npz + JSON, never pickle — SURVEY.md §5.4) ---------
 

@@ -33,7 +33,7 @@ def bm25_tokenize(text: str) -> list[str]:
 
 
 class BM25Index:
-    def __init__(self, k1: float = 1.2, b: float = 0.75):
+    def __init__(self, k1: float = 1.2, b: float = 0.75, use_native: bool = True):
         self.k1 = k1
         self.b = b
         self.vocab: dict[str, int] = {}
@@ -44,6 +44,16 @@ class BM25Index:
         self._cols: list[np.ndarray] = []
         self._tfs: list[np.ndarray] = []
         self._csc: sparse.csc_matrix | None = None
+        # Optional C++ postings engine (native/bm25.cpp); scoring falls
+        # back to the scipy path when the toolchain is unavailable.
+        self._native = None
+        if use_native:
+            try:
+                from tristage_rag_tpu.native.wrappers import NativeBM25
+
+                self._native = NativeBM25(k1, b)
+            except Exception:
+                self._native = None
 
     @property
     def corpus_size(self) -> int:
@@ -79,6 +89,12 @@ class BM25Index:
                 self._cols.append(tids)
                 self._tfs.append(tfs)
                 self.df[tids] += 1
+                if self._native is not None:
+                    self._native.add_doc(tids, tfs, len(tokens))
+            elif self._native is not None:
+                self._native.add_doc(
+                    np.empty(0, np.int64), np.empty(0, np.float64), len(tokens)
+                )
         self._csc = None  # invalidate
 
     # Back-compat alias mirroring the reference API (fit == rebuild-from).
@@ -114,6 +130,13 @@ class BM25Index:
         q_tokens = bm25_tokenize(query)
         if not q_tokens:
             return scores
+        if self._native is not None and self._native.num_docs == n:
+            q_counts = Counter(q_tokens)
+            tids = np.asarray(
+                [self.vocab.get(t, -1) for t in q_counts], dtype=np.int64
+            )
+            counts = np.asarray(list(q_counts.values()), dtype=np.float64)
+            return self._native.score(tids, counts)
         mat = self._matrix()
         dl = np.asarray(self.doc_lens, dtype=np.float64)
         avg = self.avg_doc_len or 1.0
@@ -177,4 +200,28 @@ class BM25Index:
                 idx._rows = [z["rows"]]
                 idx._cols = [z["cols"]]
                 idx._tfs = [z["tfs"]]
+        idx._rebuild_native()
         return idx
+
+    def _rebuild_native(self) -> None:
+        if self._native is None:
+            return
+        from tristage_rag_tpu.native.wrappers import NativeBM25
+
+        self._native = NativeBM25(self.k1, self.b)
+        if not self._rows:
+            for dl in self.doc_lens:
+                self._native.add_doc(
+                    np.empty(0, np.int64), np.empty(0, np.float64), dl
+                )
+            return
+        rows = np.concatenate(self._rows)
+        cols = np.concatenate(self._cols)
+        tfs = np.concatenate(self._tfs)
+        order = np.argsort(rows, kind="stable")
+        rows, cols, tfs = rows[order], cols[order], tfs[order]
+        starts = np.searchsorted(rows, np.arange(self.corpus_size))
+        ends = np.searchsorted(rows, np.arange(self.corpus_size), side="right")
+        for d in range(self.corpus_size):
+            s, e = starts[d], ends[d]
+            self._native.add_doc(cols[s:e], tfs[s:e], self.doc_lens[d])

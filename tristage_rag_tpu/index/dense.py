@@ -87,11 +87,13 @@ class DenseIndex:
         mesh: Optional[Mesh] = None,
         data_axis: str = "data",
         capacity: int = MIN_CAPACITY,
+        search_impl: str = "auto",  # "auto" | "xla" | "pallas"
     ):
         self.dim = dim
         self.dtype = jnp.dtype(dtype)
         self.mesh = mesh
         self.data_axis = data_axis
+        self.search_impl = search_impl
         self._shards = 1 if mesh is None else mesh.shape[data_axis]
         self.capacity = _round_capacity(capacity, self._shards * 8)
         self.count = 0
@@ -124,6 +126,25 @@ class DenseIndex:
         sh = self._sharding()
         self._buf = jax.device_put(buf, sh) if sh is not None else buf
 
+    def _use_pallas(self) -> bool:
+        """Fused kernel on real TPUs for large corpora; XLA elsewhere.
+
+        The fusion win (no [B, N] score matrix in HBM) only matters at
+        scale, and the Mosaic kernel requires a TPU backend. The
+        TRISTAGE_SEARCH_IMPL env var ("xla" | "pallas" | "auto")
+        overrides — useful on tunneled dev TPUs where Mosaic remote
+        compiles are minutes-slow.
+        """
+        import os
+
+        impl = os.environ.get("TRISTAGE_SEARCH_IMPL", self.search_impl)
+        if impl == "pallas":
+            return True
+        if impl != "auto":
+            return False
+        platform = jax.devices()[0].platform
+        return platform == "tpu" and self.capacity >= 65536
+
     # ---- public API ------------------------------------------------------
 
     def add(self, embeddings: np.ndarray) -> np.ndarray:
@@ -151,6 +172,12 @@ class DenseIndex:
             cnt = jnp.asarray([self.count], dtype=jnp.int32)
             s, i = _sharded_topk(
                 q, self._buf, cnt, k_eff, self.mesh, self.data_axis
+            )
+        elif self._use_pallas():
+            from tristage_rag_tpu.ops.pallas_topk import fused_matmul_topk
+
+            s, i = fused_matmul_topk(
+                q, self._buf, jnp.int32(self.count), k=k_eff
             )
         else:
             s, i = masked_topk(q, self._buf, jnp.int32(self.count), k=k_eff)

@@ -88,6 +88,9 @@ class EncoderRuntime:
             raise ValueError(f"unknown runtime kind {kind!r}")
         self.mesh = mesh
         self.dp_axis = dp_axis
+        # ST-style encode prompts ({"query": ..., "document": ...});
+        # populated by the factory from checkpoint config.
+        self.prompts: dict[str, str] = {"query": "", "document": ""}
         if params is None:
             rng = jax.random.PRNGKey(seed)
             dummy = jnp.zeros((1, 8), dtype=jnp.int32)

@@ -185,6 +185,15 @@ class WordPieceTokenizer(BaseTokenizer):
         self.sep_id = vocab.get("[SEP]", 102)
         self.vocab_size = len(vocab)
         self.max_chars = max_chars_per_word
+        # Optional C++ fast path (native/tokenizer.cpp); identical ids,
+        # pure-Python fallback when the toolchain is unavailable.
+        self._native = None
+        try:
+            from tristage_rag_tpu.native.wrappers import NativeWordPiece
+
+            self._native = NativeWordPiece(self.vocab, self.unk_id)
+        except Exception:
+            self._native = None
 
     def _basic_tokens(self, text: str) -> list[str]:
         if self.lowercase:
@@ -216,7 +225,18 @@ class WordPieceTokenizer(BaseTokenizer):
             start = end
         return ids
 
+    def _normalize(self, text: str) -> str:
+        if not self.lowercase:
+            return text
+        text = text.lower()
+        return "".join(
+            c for c in unicodedata.normalize("NFD", text)
+            if unicodedata.category(c) != "Mn"
+        )
+
     def tokenize_to_ids(self, text: str) -> list[int]:
+        if self._native is not None:
+            return self._native.encode(self._normalize(text))
         out: list[int] = []
         for w in self._basic_tokens(text):
             out.extend(self._wordpiece(w))

@@ -1,0 +1,333 @@
+"""MCP stdio server exposing the retrieval pipeline.
+
+Parity surface with src/mcp_retrieval_server.py: the same 7 tools
+(search, add_documents, batch_search, get_pipeline_status, clear_index,
+health_check, get_document_count — :43-111) and 3 resources
+(pipeline://info|config|status — :113-145), with the same TextContent
+JSON payload shapes.
+
+TPU-native differences (SURVEY.md §3.3, §7 "serving concurrency"):
+
+* the protocol layer is a self-contained stdio JSON-RPC implementation
+  (serve/jsonrpc.py) — no SDK dependency;
+* pipeline work runs in a single worker thread off the event loop, so
+  the loop never blocks (the reference calls the pipeline synchronously
+  inside async handlers, serializing everything);
+* concurrent search calls are micro-batched: requests arriving while a
+  batch is in flight coalesce into the next batch and share encoder
+  forwards (serve/batcher.py).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+from typing import Any, Optional
+
+from tristage_rag_tpu.engine.config import PipelineConfig
+from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+from tristage_rag_tpu.serve.batcher import MicroBatcher
+from tristage_rag_tpu.serve.jsonrpc import JsonRpcError, StdioJsonRpcServer
+
+logger = logging.getLogger(__name__)
+
+PROTOCOL_VERSION = "2024-11-05"
+SERVER_INFO = {"name": "tristage-rag-tpu", "version": "0.1.0"}
+
+TOOLS = [
+    {
+        "name": "search",
+        "description": "Perform 3-stage retrieval search for relevant documents",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string", "description": "Search query text"},
+                "top_k": {
+                    "type": "integer",
+                    "description": "Number of results to return (default: 20)",
+                },
+            },
+            "required": ["query"],
+        },
+    },
+    {
+        "name": "add_documents",
+        "description": "Add documents to the retrieval pipeline index",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "documents": {
+                    "type": "array",
+                    "items": {"type": "string"},
+                    "description": "List of documents to add",
+                },
+                "metadata": {
+                    "type": "array",
+                    "items": {"type": "object"},
+                    "description": "Optional per-document metadata",
+                },
+            },
+            "required": ["documents"],
+        },
+    },
+    {
+        "name": "batch_search",
+        "description": "Perform multiple search queries efficiently",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "queries": {"type": "array", "items": {"type": "string"}},
+                "top_k": {"type": "integer"},
+            },
+            "required": ["queries"],
+        },
+    },
+    {
+        "name": "get_pipeline_status",
+        "description": "Get current status and information about the retrieval pipeline",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"detailed": {"type": "boolean"}},
+        },
+    },
+    {
+        "name": "clear_index",
+        "description": "Clear all documents from the retrieval pipeline index",
+        "inputSchema": {"type": "object", "properties": {}},
+    },
+    {
+        "name": "health_check",
+        "description": "Check the health status of the retrieval pipeline",
+        "inputSchema": {"type": "object", "properties": {}},
+    },
+    {
+        "name": "get_document_count",
+        "description": "Get the number of documents currently indexed",
+        "inputSchema": {"type": "object", "properties": {}},
+    },
+]
+
+RESOURCES = [
+    {
+        "uri": "pipeline://info",
+        "name": "Pipeline Information",
+        "description": "3-stage retrieval pipeline specifications and capabilities",
+        "mimeType": "application/json",
+    },
+    {
+        "uri": "pipeline://config",
+        "name": "Pipeline Configuration",
+        "description": "Current pipeline configuration parameters",
+        "mimeType": "application/json",
+    },
+    {
+        "uri": "pipeline://status",
+        "name": "Pipeline Status",
+        "description": "Current pipeline status and performance metrics",
+        "mimeType": "application/json",
+    },
+]
+
+
+def _text(payload: Any) -> dict[str, Any]:
+    return {
+        "content": [
+            {"type": "text", "text": json.dumps(payload, indent=2, default=str)}
+        ]
+    }
+
+
+class RetrievalMCPServer:
+    def __init__(self, pipeline: Optional[RetrievalPipeline] = None):
+        self.pipeline = pipeline or RetrievalPipeline()
+        self.rpc = StdioJsonRpcServer()
+        # One worker thread for ALL pipeline work: off the event loop
+        # (handlers stay responsive) but serialized against itself —
+        # the pipeline is not thread-safe and there is one TPU queue.
+        # Submission order is preserved, so add -> count sequences from
+        # a single client behave as written.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="pipeline"
+        )
+        self.batcher = MicroBatcher(self._batched_search, executor=self._executor)
+        self._start_time = time.time()
+        self._setup()
+
+    async def _run(self, fn, *args):
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(self._executor, fn, *args)
+
+    def _batched_search(
+        self, requests: list[tuple[str, Optional[int]]]
+    ) -> list[dict[str, Any]]:
+        return [self.pipeline.search(q, k) for q, k in requests]
+
+    # ---- protocol handlers ----------------------------------------------
+
+    def _setup(self) -> None:
+        rpc = self.rpc
+
+        @rpc.method("initialize")
+        async def initialize(params):
+            return {
+                "protocolVersion": params.get("protocolVersion", PROTOCOL_VERSION),
+                "capabilities": {"tools": {}, "resources": {}},
+                "serverInfo": SERVER_INFO,
+            }
+
+        @rpc.method("notifications/initialized")
+        async def initialized(params):
+            return None
+
+        @rpc.method("ping")
+        async def ping(params):
+            return {}
+
+        @rpc.method("tools/list")
+        async def tools_list(params):
+            return {"tools": TOOLS}
+
+        @rpc.method("resources/list")
+        async def resources_list(params):
+            return {"resources": RESOURCES}
+
+        @rpc.method("resources/read")
+        async def resources_read(params):
+            uri = params.get("uri", "")
+            payload = await self._read_resource(uri)
+            return {
+                "contents": [
+                    {
+                        "uri": uri,
+                        "mimeType": "application/json",
+                        "text": json.dumps(payload, indent=2, default=str),
+                    }
+                ]
+            }
+
+        @rpc.method("tools/call")
+        async def tools_call(params):
+            name = params.get("name")
+            args = params.get("arguments") or {}
+            try:
+                return await self._call_tool(name, args)
+            except JsonRpcError:
+                raise
+            except Exception as e:
+                logger.exception("tool %s failed", name)
+                return {
+                    "content": [{"type": "text", "text": f"Error: {e}"}],
+                    "isError": True,
+                }
+
+    async def _call_tool(self, name: str, args: dict[str, Any]) -> dict[str, Any]:
+        if name == "search":
+            query = args.get("query")
+            if not isinstance(query, str) or not query:
+                raise JsonRpcError(-32602, "search requires a 'query' string")
+            result = await self.batcher.submit((query, args.get("top_k", 20)))
+            return _text(
+                {
+                    "query": result["query"],
+                    "results": result["results"],
+                    "timing": result["timing"],
+                }
+            )
+        if name == "add_documents":
+            docs = args.get("documents")
+            if not isinstance(docs, list) or not all(
+                isinstance(d, str) for d in docs
+            ):
+                raise JsonRpcError(-32602, "add_documents requires a string list")
+            out = await self._run(
+                self.pipeline.add_documents, docs, args.get("metadata")
+            )
+            return _text(out)
+        if name == "batch_search":
+            queries = args.get("queries")
+            if not isinstance(queries, list):
+                raise JsonRpcError(-32602, "batch_search requires 'queries' list")
+            top_k = args.get("top_k", 20)
+            results = await asyncio.gather(
+                *(self.batcher.submit((q, top_k)) for q in queries)
+            )
+            return _text(
+                [
+                    {"query": r["query"], "results": r["results"], "timing": r["timing"]}
+                    for r in results
+                ]
+            )
+        if name == "get_pipeline_status":
+            info = await self._run(self.pipeline.get_pipeline_info)
+            if not args.get("detailed", False):
+                info = {
+                    "initialized": info["initialized"],
+                    "device": info["device"],
+                    "documents": self.pipeline.get_document_count(),
+                    "total_queries": info["performance_stats"]["total_queries"],
+                }
+            return _text(info)
+        if name == "clear_index":
+            await self._run(self.pipeline.clear_index)
+            return _text({"status": "cleared", "documents": 0})
+        if name == "health_check":
+            docs = await self._run(self.pipeline.get_document_count)
+            return _text(
+                {
+                    "status": "healthy",
+                    "uptime_s": time.time() - self._start_time,
+                    "initialized": self.pipeline.stage1 is not None,
+                    "documents": docs,
+                    "pending_requests": self.batcher.pending,
+                }
+            )
+        if name == "get_document_count":
+            count = await self._run(self.pipeline.get_document_count)
+            return _text({"document_count": count})
+        raise JsonRpcError(-32602, f"Unknown tool: {name}")
+
+    async def _read_resource(self, uri: str) -> Any:
+        if uri == "pipeline://info":
+            return {
+                "name": SERVER_INFO["name"],
+                "version": SERVER_INFO["version"],
+                "stages": {
+                    "stage1": "dense bi-encoder + BM25 fusion (Pallas/XLA top-k)",
+                    "stage2": "ColBERT MaxSim late interaction (batched XLA)",
+                    "stage3": "cross-encoder reranking (batched XLA)",
+                },
+                "funnel": [
+                    self.pipeline.config.stage1_top_k,
+                    self.pipeline.config.stage2_top_k,
+                    self.pipeline.config.stage3_top_k,
+                ],
+            }
+        if uri == "pipeline://config":
+            return self.pipeline.config.as_dict()
+        if uri == "pipeline://status":
+            return await self._run(self.pipeline.get_pipeline_info)
+        raise JsonRpcError(-32602, f"Unknown resource: {uri}")
+
+    async def run(self, reader=None, writer=None) -> None:
+        await self.batcher.start()
+        try:
+            await self.rpc.serve(reader, writer)
+        finally:
+            await self.batcher.stop()
+
+
+def main(config_path: Optional[str] = None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    config = PipelineConfig.from_yaml(config_path) if config_path else None
+    server = RetrievalMCPServer(RetrievalPipeline(config))
+    asyncio.run(server.run())
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv[1] if len(sys.argv) > 1 else None)
