@@ -89,8 +89,20 @@ class ColBERTScorer:
     def rescore_candidates(
         self, query: str, candidates: list[dict[str, Any]]
     ) -> list[dict[str, Any]]:
+        """Rescore; on stage-level failure return the input candidates
+        unchanged (graceful-degradation parity, SURVEY.md §5.3 /
+        src/stage2_rescorer.py:258-263)."""
         if not candidates:
             return []
+        try:
+            return self._rescore(query, candidates)
+        except Exception:
+            logger.exception("stage2 rescoring failed; passing candidates through")
+            return candidates
+
+    def _rescore(
+        self, query: str, candidates: list[dict[str, Any]]
+    ) -> list[dict[str, Any]]:
         q_emb, q_mask = self.encode_query(query)
         d_emb, d_mask = self._candidate_embeddings(candidates)
 

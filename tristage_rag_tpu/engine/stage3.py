@@ -58,9 +58,16 @@ class CrossEncoderReranker:
     def rerank(
         self, query: str, candidates: list[dict[str, Any]]
     ) -> list[dict[str, Any]]:
+        """Rerank; on stage-level failure return the input candidates
+        unchanged (graceful-degradation parity, SURVEY.md §5.3 /
+        src/stage3_reranker.py:240-246)."""
         if not candidates:
             return []
-        scores = self.predict(query, [c["document"] for c in candidates])
+        try:
+            scores = self.predict(query, [c["document"] for c in candidates])
+        except Exception:
+            logger.exception("stage3 rerank failed; passing candidates through")
+            return candidates
         reranked = []
         for cand, s in zip(candidates, scores):
             c = dict(cand)
