@@ -86,7 +86,14 @@ class RetrievalPipeline:
         if self.stage1 is None:
             self.initialize_stages()
         t0 = time.time()
+        start_id = len(self.stage1.documents)
         n = self.stage1.add_documents(documents, metadata)
+        if n and self.config.stage2_cache_doc_embeddings and self.stage2:
+            # Precompute stage-2 token embeddings at indexing time so
+            # queries skip candidate re-encoding entirely.
+            self.stage2.precompute(
+                range(start_id, start_id + n), list(documents)[:n]
+            )
         return {
             "documents_added": n,
             "total_documents": len(self.stage1.documents),
@@ -166,48 +173,42 @@ class RetrievalPipeline:
         if not queries:
             return []
         top_k = top_k or self.config.stage3_top_k
-        t0 = time.time()
-        try:
-            stage1_batches = self.stage1.search_batch(
-                queries, self.config.stage1_top_k
-            )
-        except ValueError:
-            raise
-        stage1_time = (time.time() - t0) / len(queries)
+        n = len(queries)
+
+        t = time.time()
+        s1_batches = self.stage1.search_batch(queries, self.config.stage1_top_k)
+        stage1_time = (time.time() - t) / n
+        t = time.time()
+        s2_batches = self.stage2.rescore_batch(list(queries), s1_batches)
+        stage2_time = (time.time() - t) / n
+        t = time.time()
+        s3_batches = self.stage3.batch_rerank(list(queries), s2_batches)
+        stage3_time = (time.time() - t) / n
+
         out = []
-        for query, s1 in zip(queries, stage1_batches):
+        keep = self.config.save_intermediate_results
+        for query, s1, s2, s3 in zip(queries, s1_batches, s2_batches, s3_batches):
             timing = {
                 "stage1_time": stage1_time,
-                "stage2_time": None,
-                "stage3_time": None,
-                "total_time": None,
+                "stage2_time": stage2_time if s1 else None,
+                "stage3_time": stage3_time if s2 else None,
+                "total_time": stage1_time
+                + (stage2_time if s1 else 0.0)
+                + (stage3_time if s2 else 0.0),
             }
-            q_start = time.time()
-            if not s1:
-                timing["total_time"] = stage1_time
-                out.append(self._empty_response(query, timing))
-                continue
-            t = time.time()
-            s2 = self.stage2.rescore_candidates(query, s1)
-            timing["stage2_time"] = time.time() - t
-            if not s2:
-                timing["total_time"] = stage1_time + (time.time() - q_start)
+            if not s1 or not s2:
                 resp = self._empty_response(query, timing)
-                if self.config.save_intermediate_results:
+                if keep:
                     resp["stage1_results"] = s1
+                    resp["stage2_results"] = s2
                 out.append(resp)
                 continue
-            t = time.time()
-            final = self.stage3.rerank(query, s2)[:top_k]
-            timing["stage3_time"] = time.time() - t
-            timing["total_time"] = stage1_time + (time.time() - q_start)
             if self.config.enable_timing:
                 self._update_performance_stats(query, timing)
-            keep = self.config.save_intermediate_results
             out.append(
                 {
                     "query": query,
-                    "results": final,
+                    "results": s3[:top_k],
                     "stage1_results": s1 if keep else [],
                     "stage2_results": s2 if keep else [],
                     "timing": timing,
@@ -241,6 +242,18 @@ class RetrievalPipeline:
         if self.stage1 is None:
             self.initialize_stages()
         return self.stage1.load_index(index_dir)
+
+    def delete_documents(self, doc_ids) -> dict[str, Any]:
+        """Tombstone documents by id (stage-1 dense + BM25 exclusion)."""
+        if self.stage1 is None:
+            self.initialize_stages()
+        n = self.stage1.delete_documents(doc_ids)
+        return {
+            "documents_deleted": n,
+            "live_documents": (
+                self.stage1.index.live_count if self.stage1.index else 0
+            ),
+        }
 
     def clear_index(self) -> None:
         if self.stage1 is not None:

@@ -104,9 +104,23 @@ class Stage1Retriever:
         logger.info("stage1 indexed %d docs (total %d)", len(documents), len(self.documents))
         return len(documents)
 
+    def delete_documents(self, doc_ids) -> int:
+        """Tombstone documents by id: excluded from dense top-k on
+        device and filtered from BM25 results host-side. Ids stay
+        stable (no reindexing)."""
+        if self.index is None:
+            return 0
+        n = self.index.delete(doc_ids)
+        self.deleted_ids = getattr(self, "deleted_ids", set())
+        self.deleted_ids.update(
+            int(i) for i in np.atleast_1d(np.asarray(doc_ids, dtype=np.int64))
+        )
+        return n
+
     def clear(self) -> None:
         self.documents = []
         self.doc_metadata = []
+        self.deleted_ids = set()
         if self.index is not None:
             self.index.clear()
         if self.bm25 is not None:
@@ -117,9 +131,14 @@ class Stage1Retriever:
     def _fuse_and_format(
         self, query: str, dense: list[tuple[int, float]], top_k: int
     ) -> list[dict[str, Any]]:
+        deleted = getattr(self, "deleted_ids", set())
+        if deleted:
+            dense = [(d, s) for d, s in dense if d not in deleted]
         fused: list[tuple[int, float]]
         if self.bm25 is not None and self.bm25.corpus_size > 0:
             sparse = self.bm25.search(query, self.config.stage1_bm25_top_k)
+            if deleted:
+                sparse = [(d, s) for d, s in sparse if d not in deleted]
             if self.config.stage1_fusion_method == "rrf":
                 f_ids, f_scores = reciprocal_rank_fusion(
                     [[d for d, _ in dense], [d for d, _ in sparse]],

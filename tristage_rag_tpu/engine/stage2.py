@@ -86,6 +86,24 @@ class ColBERTScorer:
         masks = [self._doc_cache[c["doc_id"]][1] for c in candidates]
         return np.stack(embs), np.stack(masks)
 
+    def precompute(self, doc_ids, documents: Sequence[str]) -> int:
+        """Populate the doc token-embedding cache at indexing time —
+        the TPU-native win over the reference's per-query re-encode of
+        every candidate (SURVEY.md §7 "stage-2 doc token embeddings").
+        """
+        if not self.config.stage2_cache_doc_embeddings:
+            return 0
+        fresh = [
+            (int(i), d) for i, d in zip(doc_ids, documents)
+            if int(i) not in self._doc_cache
+        ]
+        if not fresh:
+            return 0
+        emb, mask = self.encode_documents([d for _, d in fresh])
+        for (i, _), e, m in zip(fresh, emb, mask):
+            self._doc_cache[i] = (e, m)
+        return len(fresh)
+
     def rescore_candidates(
         self, query: str, candidates: list[dict[str, Any]]
     ) -> list[dict[str, Any]]:
@@ -142,6 +160,79 @@ class ColBERTScorer:
             top[0]["stage2_score"] if top else 0.0,
         )
         return top
+
+    def rescore_batch(
+        self, queries: Sequence[str], candidates_list: Sequence[list[dict[str, Any]]]
+    ) -> list[list[dict[str, Any]]]:
+        """Batched rescoring across queries: ONE forward for all query
+        token embeddings and ONE forward for the UNION of candidate
+        documents (deduped by doc_id), then per-query MaxSim."""
+        if len(queries) != len(candidates_list):
+            raise ValueError("queries and candidate lists must align")
+        if not queries:
+            return []
+        try:
+            max_q = min(
+                self.runtime.head_cfg.query_max_len,
+                self.config.stage2_max_seq_length,
+            )
+            q_embs, q_masks = self.runtime.encode_token_embeddings(
+                list(queries), self.tokenizer, max_length=max_q,
+                batch_size=self.config.stage2_batch_size,
+            )
+            # union of candidates across queries, encoded once
+            union: dict[int, int] = {}
+            union_docs: list[str] = []
+            for cands in candidates_list:
+                for c in cands:
+                    if c["doc_id"] not in union:
+                        union[c["doc_id"]] = len(union_docs)
+                        union_docs.append(c["document"])
+            cached = self.config.stage2_cache_doc_embeddings
+            if cached:
+                d_emb, d_mask = self._candidate_embeddings(
+                    [
+                        {"doc_id": did, "document": union_docs[pos]}
+                        for did, pos in union.items()
+                    ]
+                )
+            else:
+                d_emb, d_mask = self.encode_documents(union_docs)
+            out = []
+            for q_emb, q_mask, cands in zip(q_embs, q_masks, candidates_list):
+                if not cands:
+                    out.append([])
+                    continue
+                sel = np.asarray([union[c["doc_id"]] for c in cands])
+                ce, cm = d_emb[sel], d_mask[sel]
+                n = ce.shape[0]
+                bucket = _cand_bucket(n)
+                if bucket > n:
+                    pad = bucket - n
+                    ce = np.concatenate(
+                        [ce, np.zeros((pad,) + ce.shape[1:], ce.dtype)]
+                    )
+                    cm = np.concatenate(
+                        [cm, np.zeros((pad, cm.shape[1]), cm.dtype)]
+                    )
+                scores = np.asarray(
+                    maxsim_scores(
+                        q_emb, q_mask, ce, cm,
+                        method=self.config.stage2_scoring_method,
+                    )
+                )[:n]
+                rescored = []
+                for cand, s in zip(cands, scores.tolist()):
+                    c = dict(cand)
+                    c["stage2_score"] = float(s)
+                    c["stage"] = "stage2"
+                    rescored.append(c)
+                rescored.sort(key=lambda x: x["stage2_score"], reverse=True)
+                out.append(rescored[: self.config.stage2_top_k])
+            return out
+        except Exception:
+            logger.exception("stage2 batch rescoring failed; passing through")
+            return [list(c) for c in candidates_list]
 
     def compute_similarity_matrix(self, query: str, document: str) -> np.ndarray:
         """Token-level [Lq, Ld] similarity (src/stage2_rescorer.py:307-320)."""

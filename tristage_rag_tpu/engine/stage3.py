@@ -88,9 +88,46 @@ class CrossEncoderReranker:
         queries: Sequence[str],
         candidates_list: Sequence[list[dict[str, Any]]],
     ) -> list[list[dict[str, Any]]]:
+        """Batched rerank: ALL (query, doc) pairs across all queries
+        score in one bucketed device run (the reference loops queries,
+        src/stage3_reranker.py:266-279); normalization stays per-query."""
         if len(queries) != len(candidates_list):
             raise ValueError("Number of queries must match number of candidate lists")
-        return [self.rerank(q, c) for q, c in zip(queries, candidates_list)]
+        if not queries:
+            return []
+        pairs, spans = [], []
+        for q, cands in zip(queries, candidates_list):
+            spans.append((len(pairs), len(pairs) + len(cands)))
+            pairs.extend((q, c["document"]) for c in cands)
+        if not pairs:
+            return [[] for _ in queries]
+        try:
+            flat = self.runtime.score_pairs(
+                pairs, self.tokenizer,
+                max_length=self.config.stage3_max_length,
+                batch_size=self.config.stage3_batch_size,
+            )
+        except Exception:
+            logger.exception("stage3 batch rerank failed; passing through")
+            return [list(c) for c in candidates_list]
+        out = []
+        for (lo, hi), cands in zip(spans, candidates_list):
+            scores = np.asarray(flat[lo:hi], dtype=np.float64)
+            if self.config.stage3_normalize_scores and scores.size:
+                mn, mx = float(scores.min()), float(scores.max())
+                scores = (
+                    (scores - mn) / (mx - mn) if mx > mn
+                    else np.zeros_like(scores)
+                )
+            reranked = []
+            for cand, s in zip(cands, scores.tolist()):
+                c = dict(cand)
+                c["stage3_score"] = float(s)
+                c["stage"] = "stage3"
+                reranked.append(c)
+            reranked.sort(key=lambda x: x["stage3_score"], reverse=True)
+            out.append(reranked[: self.config.stage3_top_k])
+        return out
 
     def get_model_info(self) -> dict[str, Any]:
         return {

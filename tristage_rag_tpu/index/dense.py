@@ -48,14 +48,14 @@ def _write_rows(buf: jax.Array, rows: jax.Array, offset: jax.Array) -> jax.Array
 @functools.partial(
     jax.jit, static_argnames=("k", "axis", "mesh"), donate_argnums=()
 )
-def _sharded_topk(queries, corpus, count, k: int, mesh: Mesh, axis: str):
+def _sharded_topk(queries, corpus, count, mask, k: int, mesh: Mesh, axis: str):
     """Document-sharded exact top-k: local scan + all-gather merge."""
 
-    def local(q, c, cnt):
+    def local(q, c, cnt, m):
         shard_rows = c.shape[0]
         base = jax.lax.axis_index(axis) * shard_rows
         local_count = jnp.clip(cnt[0] - base, 0, shard_rows)
-        s, idx = masked_topk(q, c, local_count, k=min(k, shard_rows))
+        s, idx = masked_topk(q, c, local_count, k=min(k, shard_rows), bias=m)
         idx = jnp.where(idx >= 0, idx + base, -1)
         s_all = jax.lax.all_gather(s, axis)  # [ndev, B, k']
         i_all = jax.lax.all_gather(idx, axis)
@@ -71,10 +71,10 @@ def _sharded_topk(queries, corpus, count, k: int, mesh: Mesh, axis: str):
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P()),
+        in_specs=(P(), P(axis, None), P(), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
-    )(queries, corpus, count)
+    )(queries, corpus, count, mask)
 
 
 class DenseIndex:
@@ -98,6 +98,13 @@ class DenseIndex:
         self.capacity = _round_capacity(capacity, self._shards * 8)
         self.count = 0
         self._buf = self._alloc(self.capacity)
+        # Tombstone deletion: deleted rows keep their slot (static
+        # shapes) but carry a -inf additive mask so they can never
+        # surface in a top-k. BASELINE.json's north star calls for
+        # incremental add/delete; the reference's FAISS path has no
+        # delete at all.
+        self._deleted: set[int] = set()
+        self._del_mask = self._alloc_mask(self.capacity)
 
     # ---- device buffer management ---------------------------------------
 
@@ -111,6 +118,16 @@ class DenseIndex:
         sh = self._sharding()
         return jax.device_put(buf, sh) if sh is not None else buf
 
+    def _mask_sharding(self) -> Optional[NamedSharding]:
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh, P(self.data_axis))
+
+    def _alloc_mask(self, capacity: int) -> jax.Array:
+        mask = jnp.zeros((capacity,), dtype=jnp.float32)
+        sh = self._mask_sharding()
+        return jax.device_put(mask, sh) if sh is not None else mask
+
     def _grow(self, needed: int) -> None:
         new_cap = _round_capacity(needed, self._shards * 8)
         if new_cap <= self.capacity:
@@ -120,6 +137,15 @@ class DenseIndex:
         self._buf = self._alloc(new_cap)
         if self.count:
             self._write(old, 0)
+        self._del_mask = self._alloc_mask(new_cap)
+        if self._deleted:
+            self._apply_tombstones(sorted(self._deleted))
+
+    def _apply_tombstones(self, ids) -> None:
+        ids_arr = jnp.asarray(np.asarray(ids, dtype=np.int32))
+        mask = self._del_mask.at[ids_arr].set(float(NEG_INF))
+        sh = self._mask_sharding()
+        self._del_mask = jax.device_put(mask, sh) if sh is not None else mask
 
     def _write(self, rows: np.ndarray, offset: int) -> None:
         buf = _write_rows(self._buf, jnp.asarray(rows), jnp.int32(offset))
@@ -163,24 +189,79 @@ class DenseIndex:
         self.count += n
         return ids
 
+    def delete(self, ids) -> int:
+        """Tombstone rows so they never appear in results. Slots are
+        not reclaimed (static shapes); ``compact()`` rebuilds. Returns
+        the number of newly-deleted rows."""
+        fresh = [
+            int(i) for i in np.atleast_1d(np.asarray(ids, dtype=np.int64))
+            if 0 <= int(i) < self.count and int(i) not in self._deleted
+        ]
+        if not fresh:
+            return 0
+        self._deleted.update(fresh)
+        self._apply_tombstones(fresh)
+        return len(fresh)
+
+    @property
+    def live_count(self) -> int:
+        return self.count - len(self._deleted)
+
+    def compact(self) -> np.ndarray:
+        """Rebuild the buffer without tombstoned rows. Returns the old
+        row index for each surviving new row (old_id = mapping[new_id])
+        so callers can remap their doc stores."""
+        keep = np.asarray(
+            [i for i in range(self.count) if i not in self._deleted],
+            dtype=np.int64,
+        )
+        rows = np.asarray(self._buf[: self.count])[keep]
+        self._deleted = set()
+        self.count = 0
+        self._buf = self._alloc(self.capacity)
+        self._del_mask = self._alloc_mask(self.capacity)
+        if rows.size:
+            self.add(rows)
+        return keep
+
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Exact top-k. Returns (scores [B, k] f32, ids [B, k] i64; -1 pad)."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         k_eff = max(min(k, self.capacity), 1)
         q = jnp.asarray(queries)
+        bias = self._del_mask if self._deleted else None
         if self.mesh is not None and self._shards > 1:
             cnt = jnp.asarray([self.count], dtype=jnp.int32)
             s, i = _sharded_topk(
-                q, self._buf, cnt, k_eff, self.mesh, self.data_axis
+                q, self._buf, cnt, self._del_mask, k_eff,
+                self.mesh, self.data_axis,
             )
         elif self._use_pallas():
             from tristage_rag_tpu.ops.pallas_topk import fused_matmul_topk
 
+            # The fused kernel masks by count only; over-fetch by the
+            # tombstone count and filter host-side (deletions are rare
+            # relative to capacity).
+            extra = min(len(self._deleted), self.capacity - k_eff)
             s, i = fused_matmul_topk(
-                q, self._buf, jnp.int32(self.count), k=k_eff
+                q, self._buf, jnp.int32(self.count), k=k_eff + extra
             )
+            if self._deleted:
+                s, i = np.asarray(s), np.asarray(i)
+                out_s = np.full((s.shape[0], k_eff), -np.inf, np.float32)
+                out_i = np.full((i.shape[0], k_eff), -1, np.int64)
+                for r in range(s.shape[0]):
+                    keep = [
+                        (sv, iv) for sv, iv in zip(s[r], i[r])
+                        if iv >= 0 and int(iv) not in self._deleted
+                    ][:k_eff]
+                    for c2, (sv, iv) in enumerate(keep):
+                        out_s[r, c2], out_i[r, c2] = sv, iv
+                s, i = out_s, out_i
         else:
-            s, i = masked_topk(q, self._buf, jnp.int32(self.count), k=k_eff)
+            s, i = masked_topk(
+                q, self._buf, jnp.int32(self.count), k=k_eff, bias=bias
+            )
         s, i = np.asarray(s), np.asarray(i, dtype=np.int64)
         if k_eff < k:  # pad out to requested k
             pad_s = np.full((s.shape[0], k - k_eff), -np.inf, dtype=s.dtype)
@@ -191,6 +272,9 @@ class DenseIndex:
 
     def clear(self) -> None:
         self.count = 0
+        if self._deleted:
+            self._deleted = set()
+            self._del_mask = self._alloc_mask(self.capacity)
 
     # ---- persistence -----------------------------------------------------
 
@@ -203,6 +287,7 @@ class DenseIndex:
             "dim": self.dim,
             "count": self.count,
             "dtype": str(np.dtype(self.dtype.name)),
+            "deleted": sorted(self._deleted),
             "format": "tristage-dense-v1",
         }
         path.with_suffix(".json").write_text(json.dumps(meta))
@@ -226,4 +311,6 @@ class DenseIndex:
             capacity=max(meta["count"], MIN_CAPACITY),
         )
         idx.add(emb)
+        if meta.get("deleted"):
+            idx.delete(meta["deleted"])
         return idx

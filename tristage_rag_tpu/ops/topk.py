@@ -32,6 +32,7 @@ def masked_topk(
     corpus: jax.Array,
     count: jax.Array,
     k: int,
+    bias=None,
 ):
     """Exact top-k inner-product search over a masked corpus buffer.
 
@@ -41,6 +42,8 @@ def masked_topk(
         garbage and must not be returned.
       count: scalar int32 — number of valid rows in ``corpus``.
       k: static number of results.
+      bias: optional [N] f32 additive row bias (tombstone deletions use
+        -inf to exclude rows without changing shapes).
 
     Returns:
       (scores [B, k] f32, indices [B, k] i32). Slots beyond ``count``
@@ -58,6 +61,8 @@ def masked_topk(
     )
     valid = jnp.arange(n, dtype=jnp.int32) < count
     scores = jnp.where(valid[None, :], scores, NEG_INF)
+    if bias is not None:
+        scores = scores + bias[None, :]
     top_scores, top_idx = jax.lax.top_k(scores, k)
     in_range = top_scores > NEG_INF / 2
     top_idx = jnp.where(in_range, top_idx, -1)
