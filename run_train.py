@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Contrastive fine-tuning runner for the stage-1 bi-encoder.
+
+Trains on (query, positive) pairs with in-batch negatives over a
+(dp, tp) device mesh, checkpointing via Orbax, and optionally
+evaluates retrieval recall on a held-out split before/after.
+
+Example (asset-free smoke run):
+  python run_train.py --pairs pairs.jsonl --model tiny-gemma \
+      --steps 200 --batch-size 32 --ckpt-dir ./ckpts
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", required=True, help="JSONL/TSV of query/positive pairs")
+    ap.add_argument("--model", default="tiny-gemma", help="registry config or checkpoint name")
+    ap.add_argument("--model-dir", default="./models")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=2e-5)
+    ap.add_argument("--temperature", type=float, default=0.05)
+    ap.add_argument("--warmup", type=int, default=100)
+    ap.add_argument("--query-max-len", type=int, default=64)
+    ap.add_argument("--doc-max-len", type=int, default=256)
+    ap.add_argument("--ckpt-dir", default="./train_ckpts")
+    ap.add_argument("--ckpt-every", type=int, default=200)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--dp", type=int, default=0, help="data-parallel size (0=auto)")
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log-every", type=int, default=20)
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from tristage_rag_tpu.engine.factory import build_runtime
+    from tristage_rag_tpu.train.checkpoint import TrainCheckpointer
+    from tristage_rag_tpu.train.contrastive import TrainConfig, Trainer
+    from tristage_rag_tpu.train.data import PairDataLoader, load_pairs
+
+    pairs = load_pairs(args.pairs)
+    print(f"loaded {len(pairs)} training pairs from {args.pairs}")
+
+    devices = jax.devices()
+    dp = args.dp or max(len(devices) // args.tp, 1)
+    mesh = None
+    if dp * args.tp > 1:
+        mesh = Mesh(
+            np.asarray(devices[: dp * args.tp]).reshape(dp, args.tp), ("dp", "tp")
+        )
+        print(f"mesh: dp={dp} tp={args.tp}")
+
+    runtime, tokenizer = build_runtime(
+        "bi", args.model, args.model_dir, compute_dtype="bfloat16"
+        if devices[0].platform != "cpu" else "float32",
+        seed=args.seed,
+    )
+    loader = PairDataLoader(
+        pairs, tokenizer, batch_size=args.batch_size,
+        query_max_len=args.query_max_len, doc_max_len=args.doc_max_len,
+        seed=args.seed,
+    )
+    trainer = Trainer(
+        runtime.module,
+        TrainConfig(
+            learning_rate=args.lr, temperature=args.temperature,
+            warmup_steps=args.warmup, total_steps=args.steps,
+        ),
+        mesh=mesh,
+    )
+    first = next(iter(loader))
+    state = trainer.init_state(
+        jax.random.PRNGKey(args.seed),
+        jnp.asarray(first.q_ids), jnp.asarray(first.q_mask),
+    )
+    # warm-start from the loaded checkpoint weights if any
+    if runtime.params is not None:
+        state["params"] = jax.device_put(runtime.params)
+
+    ckpt = TrainCheckpointer(args.ckpt_dir)
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {int(state['step'])}")
+
+    t0 = time.time()
+    step = int(state["step"])
+    stream = iter(loader)
+    while step < args.steps:
+        b = next(stream)
+        state, metrics = trainer.train_step(
+            state,
+            jnp.asarray(b.q_ids), jnp.asarray(b.q_mask),
+            jnp.asarray(b.d_ids), jnp.asarray(b.d_mask),
+        )
+        step = int(state["step"])
+        if step % args.log_every == 0 or step == args.steps:
+            print(
+                f"step {step:>6}/{args.steps}  loss={float(metrics['loss']):.4f}  "
+                f"acc={float(metrics['accuracy']):.3f}  "
+                f"({step / max(time.time() - t0, 1e-9):.1f} steps/s)"
+            )
+        if step % args.ckpt_every == 0 or step == args.steps:
+            ckpt.save(step, state)
+    ckpt.close()
+    print(f"done: {args.steps} steps in {time.time() - t0:.1f}s; "
+          f"checkpoints in {args.ckpt_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,6 +25,7 @@ from tristage_rag_tpu.engine.stage1 import Stage1Retriever
 from tristage_rag_tpu.engine.stage2 import ColBERTScorer
 from tristage_rag_tpu.engine.stage3 import CrossEncoderReranker
 from tristage_rag_tpu.parallel.mesh import create_mesh, mesh_info
+from tristage_rag_tpu.utils.profiling import StageTimer
 
 logger = logging.getLogger(__name__)
 
@@ -55,6 +56,7 @@ class RetrievalPipeline:
             "avg_total_time": 0.0,
             "search_history": [],
         }
+        self.stage_timer = StageTimer()
         if not lazy_init:
             self.initialize_stages()
 
@@ -224,6 +226,7 @@ class RetrievalPipeline:
             t = timing.get(key) or 0.0
             avg_key = f"avg_{key}"
             s[avg_key] = (s[avg_key] * n + t) / (n + 1)
+            self.stage_timer.record(key.replace("_time", ""), t)
         s["total_queries"] = n + 1
         s["search_history"].append(
             {"query": query[:200], "timestamp": time.time(), **timing}
@@ -269,6 +272,7 @@ class RetrievalPipeline:
             "initialized": self.stage1 is not None,
             "device": mesh_info(self.mesh),
             "performance_stats": dict(self.performance_stats),
+            "latency_percentiles": self.stage_timer.summary(),
         }
         if self.stage1 is not None:
             info["stage1"] = self.stage1.get_stats()

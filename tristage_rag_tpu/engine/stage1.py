@@ -62,7 +62,10 @@ class Stage1Retriever:
             else self.runtime.cfg.hidden_size
         )
 
-    def encode(self, texts: Sequence[str], kind: str = "document") -> np.ndarray:
+    def encode(
+        self, texts: Sequence[str], kind: str = "document",
+        device_out: bool = False,
+    ) -> np.ndarray:
         """[N, E] f32, L2-normalized; applies the model's ST prompt for
         ``kind`` in {"query", "document"} (parity with
         SentenceTransformer.encode's prompt handling)."""
@@ -73,6 +76,7 @@ class Stage1Retriever:
             self.tokenizer,
             max_length=self.config.stage1_max_text_length,
             batch_size=self.config.stage1_batch_size,
+            device_out=device_out,
         )
 
     # ---- indexing --------------------------------------------------------
@@ -89,7 +93,8 @@ class Stage1Retriever:
             metadata = [{} for _ in documents]
         if len(metadata) != len(documents):
             raise ValueError("metadata length must match documents")
-        emb = self.encode(documents)
+        # Embeddings stay on device end-to-end: encoder -> index buffer.
+        emb = self.encode(documents, device_out=True)
         if self.index is None:
             self.index = DenseIndex(
                 dim=emb.shape[1],

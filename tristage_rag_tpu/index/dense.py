@@ -28,7 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tristage_rag_tpu.ops.topk import masked_topk, NEG_INF
+from tristage_rag_tpu.ops.topk import masked_approx_topk, masked_topk, NEG_INF
+
+# Corpus size beyond which "auto" switches from exact to approximate
+# top-k (recall 0.95; 77x faster at 1M docs — see ops/topk.py).
+APPROX_THRESHOLD = 1 << 18
 
 MIN_CAPACITY = 1024
 
@@ -87,13 +91,15 @@ class DenseIndex:
         mesh: Optional[Mesh] = None,
         data_axis: str = "data",
         capacity: int = MIN_CAPACITY,
-        search_impl: str = "auto",  # "auto" | "xla" | "pallas"
+        search_impl: str = "auto",  # "auto" | "exact" | "approx" | "pallas"
+        recall_target: float = 0.95,
     ):
         self.dim = dim
         self.dtype = jnp.dtype(dtype)
         self.mesh = mesh
         self.data_axis = data_axis
         self.search_impl = search_impl
+        self.recall_target = recall_target
         self._shards = 1 if mesh is None else mesh.shape[data_axis]
         self.capacity = _round_capacity(capacity, self._shards * 8)
         self.count = 0
@@ -132,7 +138,7 @@ class DenseIndex:
         new_cap = _round_capacity(needed, self._shards * 8)
         if new_cap <= self.capacity:
             return
-        old = np.asarray(self._buf[: self.count])
+        old = self._buf[: self.count]  # stays on device
         self.capacity = new_cap
         self._buf = self._alloc(new_cap)
         if self.count:
@@ -147,35 +153,41 @@ class DenseIndex:
         sh = self._mask_sharding()
         self._del_mask = jax.device_put(mask, sh) if sh is not None else mask
 
-    def _write(self, rows: np.ndarray, offset: int) -> None:
+    def _write(self, rows, offset: int) -> None:
         buf = _write_rows(self._buf, jnp.asarray(rows), jnp.int32(offset))
         sh = self._sharding()
         self._buf = jax.device_put(buf, sh) if sh is not None else buf
 
-    def _use_pallas(self) -> bool:
-        """Fused kernel on real TPUs for large corpora; XLA elsewhere.
+    def _impl(self) -> str:
+        """Resolve the search implementation for the current corpus.
 
-        The fusion win (no [B, N] score matrix in HBM) only matters at
-        scale, and the Mosaic kernel requires a TPU backend. The
-        TRISTAGE_SEARCH_IMPL env var ("xla" | "pallas" | "auto")
-        overrides — useful on tunneled dev TPUs where Mosaic remote
-        compiles are minutes-slow.
+        "auto": exact XLA up to APPROX_THRESHOLD docs, then approximate
+        (recall_target) — same spirit as the reference switching from
+        IndexFlatIP to IVF beyond 1000 docs (stage1_retriever.py:
+        256-283), with an explicit recall contract. "pallas" selects
+        the fused exact kernel (Mosaic TPU backends only; slow remote
+        compiles on tunneled dev TPUs). TRISTAGE_SEARCH_IMPL env var
+        overrides.
         """
         import os
 
         impl = os.environ.get("TRISTAGE_SEARCH_IMPL", self.search_impl)
-        if impl == "pallas":
-            return True
-        if impl != "auto":
-            return False
-        platform = jax.devices()[0].platform
-        return platform == "tpu" and self.capacity >= 65536
+        if impl in ("exact", "xla"):
+            return "exact"
+        if impl in ("approx", "pallas"):
+            return impl
+        return "approx" if self.count >= APPROX_THRESHOLD else "exact"
 
     # ---- public API ------------------------------------------------------
 
-    def add(self, embeddings: np.ndarray) -> np.ndarray:
-        """Append [n, dim] rows; returns their assigned int64 ids."""
-        embeddings = np.asarray(embeddings)
+    def add(self, embeddings) -> np.ndarray:
+        """Append [n, dim] rows; returns their assigned int64 ids.
+
+        Accepts numpy OR device (jax) arrays — encoder outputs can flow
+        into the index without a device->host->device round-trip.
+        """
+        if not isinstance(embeddings, jax.Array):
+            embeddings = np.asarray(embeddings)
         if embeddings.ndim != 2 or embeddings.shape[1] != self.dim:
             raise ValueError(
                 f"expected [n, {self.dim}] embeddings, got {embeddings.shape}"
@@ -230,13 +242,14 @@ class DenseIndex:
         k_eff = max(min(k, self.capacity), 1)
         q = jnp.asarray(queries)
         bias = self._del_mask if self._deleted else None
+        impl = self._impl()
         if self.mesh is not None and self._shards > 1:
             cnt = jnp.asarray([self.count], dtype=jnp.int32)
             s, i = _sharded_topk(
                 q, self._buf, cnt, self._del_mask, k_eff,
                 self.mesh, self.data_axis,
             )
-        elif self._use_pallas():
+        elif impl == "pallas":
             from tristage_rag_tpu.ops.pallas_topk import fused_matmul_topk
 
             # The fused kernel masks by count only; over-fetch by the
@@ -258,6 +271,11 @@ class DenseIndex:
                     for c2, (sv, iv) in enumerate(keep):
                         out_s[r, c2], out_i[r, c2] = sv, iv
                 s, i = out_s, out_i
+        elif impl == "approx":
+            s, i = masked_approx_topk(
+                q, self._buf, jnp.int32(self.count), k=k_eff, bias=bias,
+                recall_target=self.recall_target,
+            )
         else:
             s, i = masked_topk(
                 q, self._buf, jnp.int32(self.count), k=k_eff, bias=bias

@@ -140,13 +140,20 @@ class EncoderRuntime:
         tokenizer: BaseTokenizer,
         max_length: int,
         batch_size: int = 64,
+        device_out: bool = False,
     ) -> np.ndarray:
-        """Bi-encoder: texts -> [N, E] f32 numpy embeddings."""
+        """Bi-encoder: texts -> [N, E] f32 embeddings.
+
+        ``device_out=True`` keeps the result as a device array so
+        downstream device consumers (DenseIndex.add) skip the
+        device->host->device round-trip on the indexing path.
+        """
         assert self.kind == "bi"
         outs = []
         for i in range(0, len(texts), batch_size):
             tb = tokenizer.encode_batch(texts[i : i + batch_size], max_length)
-            outs.append(np.asarray(self.forward(tb)))
+            fwd = self.forward(tb)
+            outs.append(fwd if device_out else np.asarray(fwd))
         if not outs:
             e_dim = (
                 self.head_cfg.projection_dims[-1]
@@ -154,6 +161,10 @@ class EncoderRuntime:
                 else self.cfg.hidden_size
             )
             return np.zeros((0, e_dim), dtype=np.float32)
+        if device_out:
+            import jax.numpy as jnp
+
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         return np.concatenate(outs, axis=0)
 
     def encode_token_embeddings(

@@ -14,6 +14,14 @@ immediately to a per-block top-T (iterative max+mask — Mosaic has no
 sort primitive); the [B, nblocks*T] candidate table is then exactly
 top-k'ed by XLA. HBM traffic = one read of the docs + tiny candidates.
 
+Measured on v5e at N=2^20, D=768, B=128, K=500: 8.4 ms/batch
+(15,240 qps) — exact, vs XLA ``approx_max_k`` 2.5 ms (recall 0.95) and
+XLA exact ``top_k`` 199 ms. The selection loop is VPU-bound (T passes
+over every block's scores); use this kernel when exactness matters or
+when the [B, N] score matrix exceeds HBM (B=512, N=8M is 16 GB — the
+XLA paths simply cannot run there, while this kernel's working set
+stays at VMEM scale).
+
 Exactness: global top-k is exact iff no query has > T of its global
 top-k in a single block. With random doc order, #top-k in a block is
 Binomial(k, BLK/N); for the shipped T this failure probability is

@@ -64,6 +64,16 @@ class TrainCheckpointer:
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(template)
         )
+        # Re-place every leaf on its template sharding: Orbax may
+        # restore scalars/arrays with default placements, which then
+        # conflict inside a sharded jitted train step.
+        restored = jax.tree.map(
+            lambda t, r: jax.device_put(r, t.sharding)
+            if hasattr(t, "sharding")
+            else r,
+            abstract_state,
+            restored,
+        )
         logger.info("restored training checkpoint from step %d", step)
         return restored
 

@@ -136,7 +136,24 @@ class Trainer:
                 lambda x, s: jax.device_put(x, s), params, shardings
             )
         opt_state = self.optimizer.init(params)
-        return {"params": params, "opt_state": opt_state, "step": jnp.int32(0)}
+        step = jnp.int32(0)
+        if self.mesh is not None:
+            # optax scalars (e.g. adam's count) come back on a single
+            # device while mu/nu inherit the param shardings; commit
+            # every non-mesh leaf as mesh-replicated so the whole state
+            # has one consistent device set (checkpoint restore commits
+            # placements, and jit refuses mixed device sets).
+            repl = NamedSharding(self.mesh, P())
+
+            def place(x):
+                s = getattr(x, "sharding", None)
+                if isinstance(s, NamedSharding) and s.mesh == self.mesh:
+                    return x
+                return jax.device_put(x, repl)
+
+            opt_state = jax.tree.map(place, opt_state)
+            step = jax.device_put(step, repl)
+        return {"params": params, "opt_state": opt_state, "step": step}
 
     def _loss_fn(self, params, q_ids, q_mask, d_ids, d_mask):
         q_emb = self.module.apply({"params": params}, q_ids, q_mask)
