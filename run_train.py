@@ -88,9 +88,20 @@ def main() -> int:
         jax.random.PRNGKey(args.seed),
         jnp.asarray(first.q_ids), jnp.asarray(first.q_mask),
     )
-    # warm-start from the loaded checkpoint weights if any
+    # warm-start from the loaded checkpoint weights if any — re-placed
+    # onto the training mesh shardings (the inference runtime placed
+    # them single-device/replicated).
     if runtime.params is not None:
-        state["params"] = jax.device_put(runtime.params)
+        if mesh is not None:
+            from tristage_rag_tpu.train.contrastive import make_param_shardings
+
+            sh = make_param_shardings(runtime.params, mesh, "tp")
+            state["params"] = jax.tree.map(
+                lambda x, s: jax.device_put(np.asarray(x), s),
+                runtime.params, sh,
+            )
+        else:
+            state["params"] = jax.device_put(runtime.params)
 
     ckpt = TrainCheckpointer(args.ckpt_dir)
     if args.resume and ckpt.latest_step() is not None:
