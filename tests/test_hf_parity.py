@@ -252,7 +252,7 @@ class TestGemma3Parity:
                 attention_mask=torch.tensor(mask, dtype=torch.long),
             ).last_hidden_state.numpy()
         valid = mask.astype(bool)
-        np.testing.assert_allclose(ours[valid], theirs[valid], atol=5e-4)
+        np.testing.assert_allclose(ours[valid], theirs[valid], atol=1e-4)
 
     def test_sentence_embedding_head(self, ckpt):
         d, w2, w3 = ckpt
@@ -280,4 +280,4 @@ class TestGemma3Parity:
             pooled = (hid * m).sum(1) / m.sum(1)
             emb = pooled @ w2.T @ w3.T
             emb = torch.nn.functional.normalize(emb, dim=-1).numpy()
-        np.testing.assert_allclose(ours, emb, atol=5e-4)
+        np.testing.assert_allclose(ours, emb, atol=1e-4)

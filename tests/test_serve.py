@@ -88,7 +88,8 @@ class TestMCPServer:
         names = {t["name"] for t in out[2]["result"]["tools"]}
         assert names == {
             "search", "add_documents", "batch_search", "get_pipeline_status",
-            "clear_index", "health_check", "get_document_count",
+            "delete_documents", "clear_index", "health_check",
+            "get_document_count",
         }
         uris = {r["uri"] for r in out[3]["result"]["resources"]}
         assert uris == {"pipeline://info", "pipeline://config", "pipeline://status"}
@@ -149,6 +150,25 @@ class TestMCPServer:
         assert out[1]["error"]["code"] == -32602
         assert out[2]["error"]["code"] == -32602
         assert out[3]["error"]["code"] == -32601
+
+    def test_delete_documents_tool(self, server):
+        out = _by_id(
+            _run_session(
+                server,
+                [
+                    _tool_call(1, "clear_index"),
+                    _tool_call(2, "add_documents", {"documents": ["keep me", "drop me"]}),
+                    _tool_call(3, "delete_documents", {"doc_ids": [1]}),
+                    _tool_call(4, "search", {"query": "drop me", "top_k": 2}),
+                    _tool_call(5, "delete_documents", {"doc_ids": "bad"}),
+                ],
+            )
+        )
+        deleted = json.loads(out[3]["result"]["content"][0]["text"])
+        assert deleted["documents_deleted"] == 1
+        search = json.loads(out[4]["result"]["content"][0]["text"])
+        assert all(r["doc_id"] != 1 for r in search["results"])
+        assert out[5]["error"]["code"] == -32602
 
     def test_clear_index(self, server):
         out = _by_id(

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Any, Optional
+from typing import Any
 
 from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
 from tristage_rag_tpu.eval.limit import RetrievalTask

@@ -14,7 +14,6 @@ import dataclasses
 import json
 import logging
 from pathlib import Path
-from typing import Optional
 
 logger = logging.getLogger(__name__)
 

@@ -28,12 +28,7 @@ from typing import Any
 
 import numpy as np
 
-from tristage_rag_tpu.models.config import (
-    ColBERTConfig,
-    CrossEncoderConfig,
-    EncoderConfig,
-    PoolingConfig,
-)
+from tristage_rag_tpu.models.config import EncoderConfig, PoolingConfig
 
 logger = logging.getLogger(__name__)
 
@@ -112,7 +107,12 @@ def encoder_config_from_hf(hf: dict[str, Any]) -> EncoderConfig:
             pre_norm=True,
             gemma_norms=True,
             qk_norm=True,
-            activation="geglu",
+            # Gemma uses the tanh-approximate gelu ("gelu_pytorch_tanh")
+            activation=(
+                "geglu"
+                if hf.get("hidden_activation", "gelu_pytorch_tanh") == "gelu"
+                else "geglu_tanh"
+            ),
             use_bias=hf.get("attention_bias", False),
             embedding_scale=True,
             embedding_norm=False,

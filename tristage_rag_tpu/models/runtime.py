@@ -17,7 +17,6 @@ bounded batch sizes.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax
@@ -25,12 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tristage_rag_tpu.models.config import (
-    ColBERTConfig,
-    CrossEncoderConfig,
-    EncoderConfig,
-    PoolingConfig,
-)
+from tristage_rag_tpu.models.config import EncoderConfig
 from tristage_rag_tpu.models.heads import (
     BiEncoder,
     ColBERTEncoder,

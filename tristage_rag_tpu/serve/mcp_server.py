@@ -93,6 +93,21 @@ TOOLS = [
         },
     },
     {
+        "name": "delete_documents",
+        "description": "Delete documents from the index by doc_id (tombstoned; ids stay stable)",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "doc_ids": {
+                    "type": "array",
+                    "items": {"type": "integer"},
+                    "description": "Document ids to delete",
+                }
+            },
+            "required": ["doc_ids"],
+        },
+    },
+    {
         "name": "clear_index",
         "description": "Clear all documents from the retrieval pipeline index",
         "inputSchema": {"type": "object", "properties": {}},
@@ -271,6 +286,14 @@ class RetrievalMCPServer:
                     "total_queries": info["performance_stats"]["total_queries"],
                 }
             return _text(info)
+        if name == "delete_documents":
+            doc_ids = args.get("doc_ids")
+            if not isinstance(doc_ids, list) or not all(
+                isinstance(i, int) for i in doc_ids
+            ):
+                raise JsonRpcError(-32602, "delete_documents requires integer 'doc_ids'")
+            out = await self._run(self.pipeline.delete_documents, doc_ids)
+            return _text(out)
         if name == "clear_index":
             await self._run(self.pipeline.clear_index)
             return _text({"status": "cleared", "documents": 0})

@@ -14,7 +14,6 @@ from pathlib import Path
 from typing import Any, Optional
 
 import jax
-import numpy as np
 
 logger = logging.getLogger(__name__)
 

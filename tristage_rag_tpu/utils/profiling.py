@@ -17,7 +17,7 @@ from __future__ import annotations
 import contextlib
 import statistics
 import time
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 
