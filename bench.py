@@ -89,7 +89,11 @@ def main() -> None:
         def pallas_step(q, d):
             return fused_matmul_topk(q, d, count, k=K)
 
-        paths.insert(0, ("pallas_fused", pallas_step))
+        def pallas_bank_step(q, d):
+            return fused_matmul_topk(q, d, count, k=K, mode="bank")
+
+        paths.insert(0, ("pallas_fused_exact", pallas_step))
+        paths.insert(0, ("pallas_fused_bank", pallas_bank_step))
 
     for name, fn in paths:
         try:

@@ -50,6 +50,49 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bank_topk_kernel(
+    count_ref,  # SMEM [1] int32
+    q_ref,  # VMEM [B, D]
+    docs_ref,  # VMEM [BLK, D]
+    vals_ref,  # VMEM out [1, B, T] f32
+    idx_ref,  # VMEM out [1, B, T] int32
+    *,
+    block_size: int,
+    per_block_k: int,
+):
+    """Bank-reduce selection: the block's scores are viewed as T banks
+    of BLK/T contiguous docs and each bank yields its top-1 in a single
+    max pass (+ one argmax pass). This is the shape of XLA's
+    ``approx_max_k`` PartialReduce, but fused with the matmul — the
+    [B, N] score matrix never exists. Recall matches approx_max_k-style
+    guarantees (a bank holding >=2 global winners loses one)."""
+    i = pl.program_id(0)
+    base = i * block_size
+    s = jax.lax.dot_general(
+        q_ref[:],
+        docs_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    b, blk = s.shape
+    t = per_block_k
+    width = blk // t
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, blk), 1)
+    valid = (col + base) < count_ref[0]
+    neg = jnp.float32(-1e30)
+    s = jnp.where(valid, s, neg)
+    s3 = s.reshape(b, t, width)
+    m = jnp.max(s3, axis=2)  # [B, T]
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (b, t, width), 2)
+    a = jnp.min(
+        jnp.where(s3 == m[:, :, None], col3, jnp.int32(width)), axis=2
+    )  # [B, T] offset within bank
+    bank_base = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1) * width
+    gid = jnp.where(m > -5e29, base + bank_base + a, -1)
+    vals_ref[0] = m
+    idx_ref[0] = gid
+
+
 def _block_topk_kernel(
     count_ref,  # SMEM [1] int32: valid row count
     q_ref,  # VMEM [B, D] bf16/f32
@@ -105,7 +148,8 @@ def _block_topk_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_size", "per_block_k", "interpret")
+    jax.jit,
+    static_argnames=("k", "block_size", "per_block_k", "mode", "interpret"),
 )
 def fused_matmul_topk(
     queries: jax.Array,
@@ -114,6 +158,7 @@ def fused_matmul_topk(
     k: int,
     block_size: int = 1024,
     per_block_k: int = 0,
+    mode: str = "select",  # "select" (exact-grade) | "bank" (1-pass approx)
     interpret: bool = False,
 ):
     """Fused inner-product top-k over a masked corpus buffer.
@@ -121,6 +166,12 @@ def fused_matmul_topk(
     Args/returns match ops.topk.masked_topk. Requires corpus rows to be
     a multiple of ``block_size`` (DenseIndex capacities are powers of
     two >= 1024, so this holds by construction).
+
+    ``mode="select"`` runs T rounds of max+mask per block — exact up to
+    the per-block-k bound (astronomically safe margins, see module
+    doc). ``mode="bank"`` takes each of T contiguous banks' top-1 in a
+    single pass — approx_max_k-grade recall at a fraction of the
+    selection cost, while still never materializing scores in HBM.
     """
     n, d = corpus.shape
     b = queries.shape[0]
@@ -131,6 +182,11 @@ def fused_matmul_topk(
         # Safety margin ~6x the mean occupancy, floor 8 (see module doc).
         per_block_k = max(8, min(128, _round_up(6 * k // max(nblocks, 1) + 1, 8)))
     per_block_k = min(per_block_k, block_size)
+    if mode == "bank" and block_size % per_block_k != 0:
+        per_block_k = max(
+            pk for pk in (8, 16, 32, 64, 128) if block_size % pk == 0
+            and pk <= per_block_k
+        )
 
     # Pad B up to the f32 sublane tile.
     b_pad = _round_up(max(b, 8), 8)
@@ -161,9 +217,10 @@ def fused_matmul_topk(
             ),
         ),
     )
+    kernel = _bank_topk_kernel if mode == "bank" else _block_topk_kernel
     vals, idx = pl.pallas_call(
         functools.partial(
-            _block_topk_kernel,
+            kernel,
             block_size=block_size,
             per_block_k=per_block_k,
         ),
