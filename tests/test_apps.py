@@ -251,3 +251,19 @@ class TestRetrievalApp:
         hist_file = tmp_path / "hist.json"
         app.export_history(hist_file)
         assert len(json.loads(hist_file.read_text())) == 1
+
+
+class TestWebUIEmbedDir:
+    def test_embed_server_directory(self, webapp, tmp_path):
+        d = tmp_path / "docs"
+        d.mkdir()
+        (d / "a.txt").write_text("a fresh server side document about yaks")
+        before = len(webapp.app.docs.documents)
+        body = f"dir={d}".encode()
+        status, _, _ = _request(webapp, "POST", "/embed/run", body)
+        assert status.startswith("303")
+        assert len(webapp.app.docs.documents) == before + 1
+
+    def test_embed_missing_dir_no_crash(self, webapp):
+        status, _, _ = _request(webapp, "POST", "/embed/run", b"dir=/nope/nothere")
+        assert status.startswith("303")

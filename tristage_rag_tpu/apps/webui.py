@@ -333,7 +333,9 @@ class WebUI:
 <p>Chunk size <input type="text" name="chunk_size" value="{self.chunk_size}" style="width:6rem">
 Overlap <input type="text" name="overlap" value="{self.overlap}" style="width:6rem"></p>
 <p><input type="file" name="file" multiple></p>
-<p><button name="action" value="upload">Embed uploads</button></p>
+<p>Or a server-side directory:
+<input type="text" name="dir" placeholder="/path/to/docs" style="width:20rem"></p>
+<p><button name="action" value="upload">Embed</button></p>
 </form>
 <p><small>embedded chunks so far: {self.app.docs.embedded_count()}</small></p></div>"""
         return self._respond(start_response, "200 OK",
@@ -353,6 +355,26 @@ Overlap <input type="text" name="overlap" value="{self.overlap}" style="width:6r
                 added += self._ingest_text(text, fname)
             except Exception as e:
                 logger.warning("embed failed for %s: %s", fname, e)
+        # server-side directory ingest (reference's repo_all action,
+        # webui/app.py:375-486)
+        directory = form.get("dir", "").strip()
+        if directory:
+            from pathlib import Path
+
+            from tristage_rag_tpu.apps.chunker import extract_text
+
+            base = Path(directory)
+            if base.is_dir():
+                for f in sorted(base.rglob("*")):
+                    if f.is_file() and f.suffix.lower() in (
+                        ".txt", ".md", ".markdown", ".json",
+                    ):
+                        try:
+                            added += self._ingest_text(extract_text(f), str(f))
+                        except Exception as e:
+                            logger.warning("embed failed for %s: %s", f, e)
+            else:
+                logger.warning("embed dir not found: %s", directory)
         start_response("303 See Other", [("Location", "/embed")])
         return [b""]
 

@@ -282,6 +282,20 @@ class RetrievalPipeline:
             info["stage3"] = self.stage3.get_model_info()
         return info
 
+    def profile_search(
+        self, query: str, log_dir: str = "/tmp/tristage_trace",
+        top_k: Optional[int] = None,
+    ) -> dict[str, Any]:
+        """Run one search under a jax.profiler trace (SURVEY.md §5.1 —
+        the reference has wall-clock timing only). The returned dict
+        includes the trace directory for TensorBoard/Perfetto."""
+        from tristage_rag_tpu.utils.profiling import trace
+
+        with trace(log_dir):
+            out = self.search(query, top_k)
+        out["trace_dir"] = log_dir
+        return out
+
     def get_document_count(self) -> int:
         return len(self.stage1.documents) if self.stage1 else 0
 
