@@ -1,0 +1,111 @@
+import numpy as np
+import pytest
+
+from tristage_rag_tpu.index.token_cache import DeviceTokenCache
+
+
+class TestDeviceTokenCache:
+    def _data(self, n, l=8, d=16, seed=0):
+        rng = np.random.default_rng(seed)
+        emb = rng.standard_normal((n, l, d)).astype(np.float32)
+        mask = (rng.random((n, l)) > 0.3).astype(np.int32)
+        mask[:, 0] = 1
+        return emb, mask
+
+    def test_add_gather_roundtrip(self):
+        cache = DeviceTokenCache(seq_len=8, dim=16, dtype="float32")
+        emb, mask = self._data(5)
+        assert cache.add([0, 1, 2, 3, 4], emb, mask) == 5
+        ge, gm = cache.gather([3, 1])
+        np.testing.assert_allclose(np.asarray(ge), emb[[3, 1]], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(gm), mask[[3, 1]])
+
+    def test_padding_ids_masked_out(self):
+        cache = DeviceTokenCache(seq_len=8, dim=16, dtype="float32")
+        emb, mask = self._data(2)
+        cache.add([0, 1], emb, mask)
+        ge, gm = cache.gather([0, -1, 1, -1])
+        gm = np.asarray(gm)
+        assert (gm[1] == 0).all() and (gm[3] == 0).all()
+        assert (gm[0] == mask[0]).all()
+
+    def test_growth_preserves_rows(self):
+        cache = DeviceTokenCache(seq_len=4, dim=8, dtype="float32")
+        e1, m1 = self._data(10, l=4, d=8, seed=1)
+        cache.add(list(range(10)), e1, m1)
+        # trigger growth well past MIN_CAPACITY
+        e2, m2 = self._data(1, l=4, d=8, seed=2)
+        cache.add([1000], e2, m2)
+        ge, _ = cache.gather([7])
+        np.testing.assert_allclose(np.asarray(ge)[0], e1[7], rtol=1e-6)
+        assert 1000 in cache
+
+    def test_cap_refuses(self):
+        cache = DeviceTokenCache(seq_len=4, dim=8, max_docs=16)
+        e, m = self._data(1, l=4, d=8)
+        assert cache.add([20], e, m) == 0
+        assert 20 not in cache
+        assert not cache.covers([20])
+
+    def test_sparse_ids_and_contains(self):
+        cache = DeviceTokenCache(seq_len=4, dim=8, dtype="float32")
+        e, m = self._data(3, l=4, d=8)
+        cache.add([5, 17, 100], e, m)
+        assert cache.covers([5, 100]) and not cache.covers([5, 6])
+        assert cache.size == 3
+
+    def test_clear(self):
+        cache = DeviceTokenCache(seq_len=4, dim=8, dtype="float32")
+        e, m = self._data(2, l=4, d=8)
+        cache.add([0, 1], e, m)
+        cache.clear()
+        assert cache.size == 0
+        _, gm = cache.gather([0])
+        assert (np.asarray(gm) == 0).all()
+
+
+class TestStage2DeviceCacheIntegration:
+    def test_cached_scores_match_uncached(self, tiny_config):
+        import dataclasses
+
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        docs = [f"document body number {i} with shared words" for i in range(12)]
+        base = RetrievalPipeline(tiny_config)
+        base.add_documents(docs)
+        cached_cfg = dataclasses.replace(
+            tiny_config, stage2_cache_doc_embeddings=True
+        )
+        cached = RetrievalPipeline(cached_cfg)
+        cached.add_documents(docs)
+        assert cached.stage2._cache is not None and cached.stage2._cache.size == 12
+
+        q = "document number 7"
+        a = base.search(q, top_k=5)["results"]
+        b = cached.search(q, top_k=5)["results"]
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+        np.testing.assert_allclose(
+            [r["stage2_score"] for r in a],
+            [r["stage2_score"] for r in b],
+            rtol=1e-4, atol=1e-5,
+        )
+        # batched path hits the device cache too
+        outs = cached.batch_search([q, "shared words"], top_k=5)
+        assert [r["doc_id"] for r in outs[0]["results"]] == [
+            r["doc_id"] for r in b
+        ]
+
+    def test_cap_fallback_still_correct(self, tiny_config):
+        import dataclasses
+
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        cfg = dataclasses.replace(
+            tiny_config, stage2_cache_doc_embeddings=True,
+            stage2_cache_max_docs=4,
+        )
+        p = RetrievalPipeline(cfg)
+        docs = [f"text chunk {i}" for i in range(10)]
+        p.add_documents(docs)  # ids 4..9 exceed the cap
+        out = p.search("text chunk 7", top_k=3)
+        assert out["results"]  # falls back to re-encode, still answers

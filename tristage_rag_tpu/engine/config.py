@@ -38,6 +38,9 @@ class PipelineConfig:
     stage2_max_seq_length: int = 192
     stage2_scoring_method: str = "maxsim"  # "maxsim" | "colbert"
     stage2_cache_doc_embeddings: bool = False  # TPU-native win (SURVEY §7)
+    # HBM budget for the device-resident token cache (49 KB/doc at
+    # 192x128 bf16); docs beyond the cap re-encode per query.
+    stage2_cache_max_docs: int = 100_000
 
     # Stage 3
     stage3_model: str = "cross-encoder/ms-marco-MiniLM-L6-v2"
@@ -83,6 +86,7 @@ class PipelineConfig:
             ("max_seq_length", "stage2_max_seq_length"),
             ("scoring_method", "stage2_scoring_method"),
             ("cache_doc_embeddings", "stage2_cache_doc_embeddings"),
+            ("cache_max_docs", "stage2_cache_max_docs"),
         ],
         "stage3": [
             ("model", "stage3_model"),

@@ -45,8 +45,17 @@ class ColBERTScorer:
             mesh=mesh,
             seed=config.seed + 1,
         )
-        # doc text -> (token_embs [L, D], mask [L]) when caching enabled
-        self._doc_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # Device-resident token-embedding cache keyed by doc_id (HBM;
+        # per-query host traffic = the candidate id list only).
+        self._cache = None
+        if config.stage2_cache_doc_embeddings:
+            from tristage_rag_tpu.index.token_cache import DeviceTokenCache
+
+            self._cache = DeviceTokenCache(
+                seq_len=config.stage2_max_seq_length,
+                dim=self.runtime.head_cfg.output_dim,
+                max_docs=config.stage2_cache_max_docs,
+            )
 
     def encode_query(self, query: str) -> tuple[np.ndarray, np.ndarray]:
         """([Lq, D] token embeddings, [Lq] mask) — un-padded semantics
@@ -70,39 +79,54 @@ class ColBERTScorer:
             batch_size=self.config.stage2_batch_size,
         )
 
-    def _candidate_embeddings(
-        self, candidates: list[dict[str, Any]]
-    ) -> tuple[np.ndarray, np.ndarray]:
-        if not self.config.stage2_cache_doc_embeddings:
-            return self.encode_documents([c["document"] for c in candidates])
-        missing = [
-            c for c in candidates if c.get("doc_id") not in self._doc_cache
-        ]
+    def _candidate_embeddings(self, candidates: list[dict[str, Any]], bucket: int):
+        """([bucket, Ld, D], [bucket, Ld]) token embeddings + masks,
+        padded to ``bucket`` candidates. Device arrays when the device
+        cache serves the request; numpy otherwise."""
+        if self._cache is None:
+            d_emb, d_mask = self.encode_documents(
+                [c["document"] for c in candidates]
+            )
+            n = d_emb.shape[0]
+            if bucket > n:
+                pad = bucket - n
+                d_emb = np.concatenate(
+                    [d_emb, np.zeros((pad,) + d_emb.shape[1:], d_emb.dtype)]
+                )
+                d_mask = np.concatenate(
+                    [d_mask, np.zeros((pad, d_mask.shape[1]), d_mask.dtype)]
+                )
+            return d_emb, d_mask
+        missing = [c for c in candidates if c["doc_id"] not in self._cache]
         if missing:
             emb, mask = self.encode_documents([c["document"] for c in missing])
-            for c, e, m in zip(missing, emb, mask):
-                self._doc_cache[c["doc_id"]] = (e, m)
-        embs = [self._doc_cache[c["doc_id"]][0] for c in candidates]
-        masks = [self._doc_cache[c["doc_id"]][1] for c in candidates]
-        return np.stack(embs), np.stack(masks)
+            self._cache.add([c["doc_id"] for c in missing], emb, mask)
+        ids = [c["doc_id"] for c in candidates]
+        if not self._cache.covers(ids):
+            # over the HBM cap — re-encode this candidate set host-side
+            saved, self._cache = self._cache, None
+            try:
+                return self._candidate_embeddings(candidates, bucket)
+            finally:
+                self._cache = saved
+        ids += [-1] * (bucket - len(ids))
+        return self._cache.gather(ids)
 
     def precompute(self, doc_ids, documents: Sequence[str]) -> int:
-        """Populate the doc token-embedding cache at indexing time —
+        """Populate the device token-embedding cache at indexing time —
         the TPU-native win over the reference's per-query re-encode of
         every candidate (SURVEY.md §7 "stage-2 doc token embeddings").
         """
-        if not self.config.stage2_cache_doc_embeddings:
+        if self._cache is None:
             return 0
         fresh = [
             (int(i), d) for i, d in zip(doc_ids, documents)
-            if int(i) not in self._doc_cache
+            if int(i) not in self._cache
         ]
         if not fresh:
             return 0
         emb, mask = self.encode_documents([d for _, d in fresh])
-        for (i, _), e, m in zip(fresh, emb, mask):
-            self._doc_cache[i] = (e, m)
-        return len(fresh)
+        return self._cache.add([i for i, _ in fresh], emb, mask)
 
     def rescore_candidates(
         self, query: str, candidates: list[dict[str, Any]]
@@ -122,20 +146,11 @@ class ColBERTScorer:
         self, query: str, candidates: list[dict[str, Any]]
     ) -> list[dict[str, Any]]:
         q_emb, q_mask = self.encode_query(query)
-        d_emb, d_mask = self._candidate_embeddings(candidates)
-
-        # Pad candidate count to a bucket: extra rows have empty masks and
-        # score 0 by construction in the kernel.
-        n = d_emb.shape[0]
+        n = len(candidates)
+        # Pad candidate count to a bucket: extra rows have empty masks
+        # and score 0 by construction in the kernel.
         bucket = _cand_bucket(n)
-        if bucket > n:
-            pad = bucket - n
-            d_emb = np.concatenate(
-                [d_emb, np.zeros((pad,) + d_emb.shape[1:], d_emb.dtype)]
-            )
-            d_mask = np.concatenate(
-                [d_mask, np.zeros((pad, d_mask.shape[1]), d_mask.dtype)]
-            )
+        d_emb, d_mask = self._candidate_embeddings(candidates, bucket)
         scores = np.asarray(
             maxsim_scores(
                 q_emb,
@@ -188,33 +203,33 @@ class ColBERTScorer:
                     if c["doc_id"] not in union:
                         union[c["doc_id"]] = len(union_docs)
                         union_docs.append(c["document"])
-            cached = self.config.stage2_cache_doc_embeddings
-            if cached:
-                d_emb, d_mask = self._candidate_embeddings(
-                    [
-                        {"doc_id": did, "document": union_docs[pos]}
-                        for did, pos in union.items()
-                    ]
-                )
-            else:
+            use_device_cache = self._cache is not None
+            if use_device_cache:
+                self.precompute(list(union.keys()), union_docs)
+                use_device_cache = self._cache.covers(union.keys())
+            if not use_device_cache:
                 d_emb, d_mask = self.encode_documents(union_docs)
             out = []
             for q_emb, q_mask, cands in zip(q_embs, q_masks, candidates_list):
                 if not cands:
                     out.append([])
                     continue
-                sel = np.asarray([union[c["doc_id"]] for c in cands])
-                ce, cm = d_emb[sel], d_mask[sel]
-                n = ce.shape[0]
+                n = len(cands)
                 bucket = _cand_bucket(n)
-                if bucket > n:
-                    pad = bucket - n
-                    ce = np.concatenate(
-                        [ce, np.zeros((pad,) + ce.shape[1:], ce.dtype)]
-                    )
-                    cm = np.concatenate(
-                        [cm, np.zeros((pad, cm.shape[1]), cm.dtype)]
-                    )
+                if use_device_cache:
+                    ids = [c["doc_id"] for c in cands] + [-1] * (bucket - n)
+                    ce, cm = self._cache.gather(ids)
+                else:
+                    sel = np.asarray([union[c["doc_id"]] for c in cands])
+                    ce, cm = d_emb[sel], d_mask[sel]
+                    if bucket > n:
+                        pad = bucket - n
+                        ce = np.concatenate(
+                            [ce, np.zeros((pad,) + ce.shape[1:], ce.dtype)]
+                        )
+                        cm = np.concatenate(
+                            [cm, np.zeros((pad, cm.shape[1]), cm.dtype)]
+                        )
                 scores = np.asarray(
                     maxsim_scores(
                         q_emb, q_mask, ce, cm,
@@ -243,7 +258,8 @@ class ColBERTScorer:
         )
 
     def clear_cache(self) -> None:
-        self._doc_cache.clear()
+        if self._cache is not None:
+            self._cache.clear()
 
     def get_model_info(self) -> dict[str, Any]:
         return {
@@ -252,5 +268,5 @@ class ColBERTScorer:
             "scoring_method": self.config.stage2_scoring_method,
             "output_dim": self.runtime.head_cfg.output_dim,
             "cache_enabled": self.config.stage2_cache_doc_embeddings,
-            "cached_docs": len(self._doc_cache),
+            "cached_docs": self._cache.size if self._cache else 0,
         }

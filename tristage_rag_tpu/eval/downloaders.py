@@ -113,3 +113,46 @@ class ModelDownloader:
     def clean_models(self) -> None:
         if self.models_dir.is_dir():
             shutil.rmtree(self.models_dir)
+
+
+def main() -> int:
+    """Model-management CLI (parity: benchmark/download_models.py:382-430)."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description="manage HF model assets")
+    ap.add_argument("command", choices=["ensure", "info", "clean", "download"])
+    ap.add_argument("--models-dir", default="./models")
+    ap.add_argument("--repo", help="repo id for 'download'")
+    ap.add_argument("--low-mem", action="store_true")
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    dl = ModelDownloader(args.models_dir)
+    if args.command == "ensure":
+        status = dl.ensure_models_available(low_memory=args.low_mem)
+        print(json.dumps(status, indent=2))
+        return 0 if all(status.values()) else 1
+    if args.command == "download":
+        if not args.repo:
+            print("--repo required for download")
+            return 2
+        ok = dl.download(args.repo, force=args.force)
+        print(f"{args.repo}: {'ok' if ok else 'FAILED'}")
+        return 0 if ok else 1
+    if args.command == "info":
+        print(json.dumps({
+            "models_dir": str(dl.models_dir),
+            "available": {r: dl.is_available(r) for r in REQUIRED_MODELS},
+            "sizes_gb": dl.size_report(),
+        }, indent=2))
+        return 0
+    if args.command == "clean":
+        dl.clean_models()
+        print("cleaned")
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,123 @@
+"""Device-resident ColBERT token-embedding cache.
+
+The stage-2 rescorer's biggest cost is re-encoding every candidate per
+query (reference behavior, src/stage2_rescorer.py:259). A host-side
+cache fixes the re-encode but still ships ~50 MB of token embeddings
+host->device per query (500 cands × 192 tokens × 128 dims). This cache
+keeps the embeddings IN HBM, aligned with DenseIndex row ids, and
+gathers candidates on device — per-query host traffic drops to the
+candidate id list.
+
+Memory: seq_len × dim × 2 bytes per doc (49 KB at 192×128 bf16);
+``max_docs`` caps the buffer (default 100k docs ≈ 4.9 GB). Beyond the
+cap the stage falls back to its host cache / re-encode path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MIN_CAPACITY = 256
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter(buf, mask_buf, rows, row_mask, ids):
+    buf = buf.at[ids].set(rows.astype(buf.dtype))
+    mask_buf = mask_buf.at[ids].set(row_mask.astype(mask_buf.dtype))
+    return buf, mask_buf
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _gather(buf, mask_buf, ids, valid):
+    emb = jnp.take(buf, ids, axis=0).astype(jnp.float32)
+    mask = jnp.take(mask_buf, ids, axis=0).astype(jnp.int32)
+    mask = mask * valid[:, None].astype(jnp.int32)
+    return emb, mask
+
+
+class DeviceTokenCache:
+    def __init__(
+        self,
+        seq_len: int,
+        dim: int,
+        dtype: str = "bfloat16",
+        max_docs: int = 100_000,
+    ):
+        self.seq_len = seq_len
+        self.dim = dim
+        self.dtype = jnp.dtype(dtype)
+        self.max_docs = max_docs
+        self.capacity = 0
+        self._buf: Optional[jax.Array] = None
+        self._mask: Optional[jax.Array] = None
+        self._present: set[int] = set()
+
+    def __contains__(self, doc_id: int) -> bool:
+        return doc_id in self._present
+
+    @property
+    def size(self) -> int:
+        return len(self._present)
+
+    def _ensure_capacity(self, max_id: int) -> bool:
+        needed = max_id + 1
+        if needed > self.max_docs:
+            return False
+        if needed <= self.capacity:
+            return True
+        cap = max(MIN_CAPACITY, self.capacity or MIN_CAPACITY)
+        while cap < needed:
+            cap *= 2
+        cap = min(cap, self.max_docs)
+        new_buf = jnp.zeros((cap, self.seq_len, self.dim), dtype=self.dtype)
+        new_mask = jnp.zeros((cap, self.seq_len), dtype=jnp.int8)
+        if self._buf is not None and self.capacity:
+            new_buf = new_buf.at[: self.capacity].set(self._buf)
+            new_mask = new_mask.at[: self.capacity].set(self._mask)
+        self._buf, self._mask = new_buf, new_mask
+        self.capacity = cap
+        return True
+
+    def add(self, doc_ids, embeddings, masks) -> int:
+        """Insert [n, L, D] token embeddings at rows ``doc_ids``.
+
+        Returns how many were stored (0 if the cap is exceeded)."""
+        ids = np.asarray(doc_ids, dtype=np.int32)
+        if ids.size == 0:
+            return 0
+        if not self._ensure_capacity(int(ids.max())):
+            return 0
+        emb = jnp.asarray(embeddings)
+        msk = jnp.asarray(masks)
+        if emb.shape[1] != self.seq_len:
+            raise ValueError(
+                f"expected seq_len {self.seq_len}, got {emb.shape[1]}"
+            )
+        self._buf, self._mask = _scatter(
+            self._buf, self._mask, emb, msk, jnp.asarray(ids)
+        )
+        self._present.update(int(i) for i in ids)
+        return int(ids.size)
+
+    def gather(self, doc_ids) -> tuple[jax.Array, jax.Array]:
+        """Device-side gather: ([n, L, D] f32, [n, L] i32 mask).
+
+        Ids < 0 (padding) return all-zero masks."""
+        ids = np.asarray(doc_ids, dtype=np.int32)
+        valid = jnp.asarray(ids >= 0)
+        safe = jnp.asarray(np.clip(ids, 0, max(self.capacity - 1, 0)))
+        return _gather(self._buf, self._mask, safe, valid)
+
+    def covers(self, doc_ids) -> bool:
+        return all(int(i) in self._present for i in doc_ids)
+
+    def clear(self) -> None:
+        self._present = set()
+        # buffers kept allocated; masks zeroed lazily on reuse
+        if self._mask is not None:
+            self._mask = jnp.zeros_like(self._mask)
