@@ -12,6 +12,7 @@ from tristage_rag_tpu.models.registry import (
     POOLING_CONFIGS,
     encoder_config,
 )
+from tristage_rag_tpu.models.hf_loader import load_checkpoint
 from tristage_rag_tpu.models.runtime import EncoderRuntime
 from tristage_rag_tpu.models.tokenizer import (
     HashTokenizer,
