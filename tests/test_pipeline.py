@@ -140,3 +140,31 @@ class TestConfig:
         cfg = PipelineConfig.from_yaml(path)
         assert cfg.stage1_top_k == 42
         assert cfg.stage3_top_k == 20  # default preserved
+
+
+class TestMeshPipeline:
+    def test_sharded_pipeline_matches_single_device(self, docs_module):
+        import jax
+        import pytest as _pytest
+
+        if len(jax.devices()) < 8:
+            _pytest.skip("needs 8 devices")
+        base = PipelineConfig(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=8, stage2_top_k=6,
+            stage3_top_k=3, stage1_max_text_length=32,
+            stage2_max_seq_length=32, stage3_max_length=48,
+            compute_dtype="float32", mesh_data_parallel=1,
+        )
+        import dataclasses
+
+        sharded_cfg = dataclasses.replace(base, mesh_data_parallel=0)
+        single = RetrievalPipeline(base)
+        single.add_documents(docs_module)
+        sharded = RetrievalPipeline(sharded_cfg)
+        assert sharded.mesh is not None and sharded.mesh.size == 8
+        sharded.add_documents(docs_module)
+        q = "lexical scoring BM25"
+        a = single.search(q, top_k=3)["results"]
+        b = sharded.search(q, top_k=3)["results"]
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]

@@ -137,8 +137,15 @@ def build_runtime(
             logger.warning("failed to load checkpoint %s (%s); random init", ckpt, e)
             params = None
 
+    from tristage_rag_tpu.parallel.mesh import DATA_AXIS
+
     runtime = EncoderRuntime(
-        kind, enc_cfg, head, params=params, seed=seed, mesh=mesh
+        kind, enc_cfg, head, params=params, seed=seed, mesh=mesh,
+        dp_axis=(
+            DATA_AXIS
+            if mesh is not None and DATA_AXIS in mesh.shape
+            else "dp"
+        ),
     )
     runtime.prompts = _load_prompts(ckpt, model_name)
     tokenizer = load_tokenizer(str(ckpt) if ckpt else None)

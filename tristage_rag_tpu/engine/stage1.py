@@ -11,11 +11,14 @@ weighted min-max (ops/fusion.py). Result schema parity:
 
 from __future__ import annotations
 
+import functools
 import json
 import logging
 from pathlib import Path
 from typing import Any, Optional, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
@@ -47,6 +50,7 @@ class Stage1Retriever:
         self.documents: list[str] = []
         self.doc_metadata: list[dict[str, Any]] = []
         self.index: Optional[DenseIndex] = None
+        self._fused_fn = None  # lazy encode+top-k composite jit
         self.bm25: Optional[BM25Index] = (
             BM25Index() if config.stage1_enable_bm25 else None
         )
@@ -180,6 +184,63 @@ class Stage1Retriever:
     def search(self, query: str, top_k: Optional[int] = None) -> list[dict[str, Any]]:
         return self.search_batch([query], top_k)[0]
 
+    def _fused_dense_search(self, queries: Sequence[str], top_k: int):
+        """Encode + top-k in ONE device dispatch (single-device
+        exact/approx paths; mesh and Pallas paths keep the two-step
+        route). Saves a device round-trip per query batch — on
+        tunneled dev TPUs that is ~30 ms of the stage-1 budget."""
+        corpus, count, bias, impl = self.index.search_state()
+        if self.mesh is not None or impl == "pallas":
+            q = self.encode(list(queries), kind="query")
+            return self.index.search(q, top_k)
+        if self._fused_fn is None:
+            module = self.runtime.module
+            from tristage_rag_tpu.ops.topk import (
+                masked_approx_topk, masked_topk,
+            )
+
+            @functools.partial(
+                jax.jit, static_argnames=("k", "impl", "recall")
+            )
+            def fused(params, ids, mask, types, corpus, count, bias,
+                      k, impl, recall):
+                emb = module.apply({"params": params}, ids, mask, types)
+                if impl == "approx":
+                    return masked_approx_topk(
+                        emb, corpus, count, k=k, bias=bias,
+                        recall_target=recall,
+                    )
+                return masked_topk(emb, corpus, count, k=k, bias=bias)
+
+            self._fused_fn = fused
+        prompt = self.runtime.prompts.get("query", "")
+        texts = [prompt + q for q in queries] if prompt else list(queries)
+        from tristage_rag_tpu.models.runtime import batch_bucket, pad_batch
+
+        tb = self.tokenizer.encode_batch(
+            texts, self.config.stage1_max_text_length
+        )
+        n = tb.input_ids.shape[0]
+        tb = pad_batch(tb, batch_bucket(n))
+        k_eff = max(min(top_k, self.index.capacity), 1)
+        s, i = self._fused_fn(
+            self.runtime.params,
+            jnp.asarray(tb.input_ids), jnp.asarray(tb.attn_mask),
+            jnp.asarray(tb.token_type_ids),
+            corpus, count, bias,
+            k=k_eff, impl=impl, recall=self.index.recall_target,
+        )
+        s = np.asarray(s)[:n]
+        i = np.asarray(i, dtype=np.int64)[:n]
+        if k_eff < top_k:
+            s = np.concatenate(
+                [s, np.full((n, top_k - k_eff), -np.inf, s.dtype)], axis=1
+            )
+            i = np.concatenate(
+                [i, np.full((n, top_k - k_eff), -1, i.dtype)], axis=1
+            )
+        return s, i
+
     def search_batch(
         self, queries: Sequence[str], top_k: Optional[int] = None
     ) -> list[list[dict[str, Any]]]:
@@ -189,8 +250,7 @@ class Stage1Retriever:
         if self.index is None or not self.documents:
             raise ValueError("No documents indexed. Call add_documents() first.")
         top_k = top_k or self.config.stage1_top_k
-        q = self.encode(list(queries), kind="query")
-        scores, ids = self.index.search(q, top_k)
+        scores, ids = self._fused_dense_search(queries, top_k)
         out = []
         for qi, query in enumerate(queries):
             dense = [

@@ -236,6 +236,13 @@ class DenseIndex:
             self.add(rows)
         return keep
 
+    def search_state(self):
+        """(corpus, count, bias, impl) for building fused search jits —
+        callers can compose encode+top-k into ONE dispatch
+        (engine/stage1.py). bias is None when nothing is deleted."""
+        bias = self._del_mask if self._deleted else None
+        return self._buf, jnp.int32(self.count), bias, self._impl()
+
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Exact top-k. Returns (scores [B, k] f32, ids [B, k] i64; -1 pad)."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
