@@ -1,0 +1,80 @@
+"""int8 quantized dense index vs the float reference."""
+
+import numpy as np
+import pytest
+
+from tristage_rag_tpu.index.dense import DenseIndex
+
+
+def _normalized(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+
+class TestInt8Index:
+    def test_ranking_close_to_float(self):
+        emb = _normalized(200, 64)
+        f32 = DenseIndex(dim=64, dtype="float32")
+        f32.add(emb)
+        q8 = DenseIndex(dim=64, dtype="int8")
+        assert q8.quantized
+        q8.add(emb)
+        s_f, i_f = f32.search(emb[:20], k=10)
+        s_q, i_q = q8.search(emb[:20], k=10)
+        # top-1 self-retrieval survives quantization
+        np.testing.assert_array_equal(i_q[:, 0], np.arange(20))
+        # scores within ~1% of float
+        np.testing.assert_allclose(s_q[:, 0], s_f[:, 0], atol=0.02)
+        # top-10 overlap high
+        overlap = np.mean(
+            [len(set(i_f[r]) & set(i_q[r])) / 10 for r in range(20)]
+        )
+        assert overlap >= 0.9, overlap
+
+    def test_delete_and_growth(self):
+        emb = _normalized(600, 32, seed=1)
+        idx = DenseIndex(dim=32, dtype="int8", capacity=1024)
+        idx.add(emb)
+        idx.add(_normalized(600, 32, seed=2))  # growth keeps scales
+        s, i = idx.search(emb[:5], k=1)
+        np.testing.assert_array_equal(i[:, 0], np.arange(5))
+        idx.delete([2])
+        _, i2 = idx.search(emb[2:3], k=3)
+        assert 2 not in i2
+
+    def test_persistence_no_double_quantization(self, tmp_path):
+        emb = _normalized(50, 16, seed=3)
+        idx = DenseIndex(dim=16, dtype="int8")
+        idx.add(emb)
+        s1, i1 = idx.search(emb[:8], k=4)
+        idx.save(tmp_path / "q")
+        loaded = DenseIndex.load(tmp_path / "q")
+        assert loaded.quantized
+        s2, i2 = loaded.search(emb[:8], k=4)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    def test_compact_keeps_scales(self):
+        emb = _normalized(30, 16, seed=4)
+        idx = DenseIndex(dim=16, dtype="int8")
+        idx.add(emb)
+        s_before, _ = idx.search(emb[5:6], k=1)
+        idx.delete([0, 1])
+        mapping = idx.compact()
+        new_pos = int(np.where(mapping == 5)[0][0])
+        s_after, i_after = idx.search(emb[5:6], k=1)
+        assert i_after[0, 0] == new_pos
+        np.testing.assert_allclose(s_before, s_after, rtol=1e-6)
+
+    def test_pipeline_with_int8(self, tiny_config, sample_docs):
+        import dataclasses
+
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        cfg = dataclasses.replace(tiny_config, index_dtype="int8")
+        p = RetrievalPipeline(cfg)
+        p.add_documents(sample_docs)
+        assert p.stage1.index.quantized
+        out = p.search("BM25 lexical scoring", top_k=3)
+        assert out["results"]

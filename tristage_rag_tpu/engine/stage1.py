@@ -189,7 +189,7 @@ class Stage1Retriever:
         exact/approx paths; mesh and Pallas paths keep the two-step
         route). Saves a device round-trip per query batch — on
         tunneled dev TPUs that is ~30 ms of the stage-1 budget."""
-        corpus, count, bias, impl = self.index.search_state()
+        corpus, count, bias, scale, impl = self.index.search_state()
         if self.mesh is not None or impl == "pallas":
             q = self.encode(list(queries), kind="query")
             return self.index.search(q, top_k)
@@ -203,14 +203,16 @@ class Stage1Retriever:
                 jax.jit, static_argnames=("k", "impl", "recall")
             )
             def fused(params, ids, mask, types, corpus, count, bias,
-                      k, impl, recall):
+                      scale, k, impl, recall):
                 emb = module.apply({"params": params}, ids, mask, types)
                 if impl == "approx":
                     return masked_approx_topk(
-                        emb, corpus, count, k=k, bias=bias,
+                        emb, corpus, count, k=k, bias=bias, scale=scale,
                         recall_target=recall,
                     )
-                return masked_topk(emb, corpus, count, k=k, bias=bias)
+                return masked_topk(
+                    emb, corpus, count, k=k, bias=bias, scale=scale
+                )
 
             self._fused_fn = fused
         prompt = self.runtime.prompts.get("query", "")
@@ -227,7 +229,7 @@ class Stage1Retriever:
             self.runtime.params,
             jnp.asarray(tb.input_ids), jnp.asarray(tb.attn_mask),
             jnp.asarray(tb.token_type_ids),
-            corpus, count, bias,
+            corpus, count, bias, scale,
             k=k_eff, impl=impl, recall=self.index.recall_target,
         )
         s = np.asarray(s)[:n]

@@ -26,6 +26,39 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-1e30)
 
 
+def _masked_scores(queries, corpus, count, bias, scale):
+    """Shared score computation: matmul + per-row dequant scale + masks.
+
+    ``scale`` dequantizes int8 corpora: each stored row is
+    round(x / scale[n]) in int8, so the true score is the int-domain
+    dot times scale[n] (queries stay full precision; the int8->bf16
+    convert fuses into the matmul read, halving HBM traffic).
+    """
+    n = corpus.shape[0]
+    rhs = corpus
+    if corpus.dtype == jnp.int8:
+        rhs = corpus.astype(jnp.bfloat16)
+        lhs = queries.astype(jnp.bfloat16)
+    else:
+        lhs = queries.astype(corpus.dtype)
+    scores = jnp.einsum(
+        "bd,nd->bn",
+        lhs,
+        rhs,
+        preferred_element_type=jnp.float32,
+        # Full input precision: bf16 corpora still accumulate exactly;
+        # f32 corpora don't get silently truncated to bf16 passes.
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if scale is not None:
+        scores = scores * scale[None, :]
+    valid = jnp.arange(n, dtype=jnp.int32) < count
+    scores = jnp.where(valid[None, :], scores, NEG_INF)
+    if bias is not None:
+        scores = scores + bias[None, :]
+    return scores
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def masked_topk(
     queries: jax.Array,
@@ -33,6 +66,7 @@ def masked_topk(
     count: jax.Array,
     k: int,
     bias=None,
+    scale=None,
 ):
     """Exact top-k inner-product search over a masked corpus buffer.
 
@@ -44,25 +78,13 @@ def masked_topk(
       k: static number of results.
       bias: optional [N] f32 additive row bias (tombstone deletions use
         -inf to exclude rows without changing shapes).
+      scale: optional [N] f32 per-row dequantization scale (int8 mode).
 
     Returns:
       (scores [B, k] f32, indices [B, k] i32). Slots beyond ``count``
       (when count < k) have score -inf and index -1.
     """
-    n = corpus.shape[0]
-    scores = jnp.einsum(
-        "bd,nd->bn",
-        queries.astype(corpus.dtype),
-        corpus,
-        preferred_element_type=jnp.float32,
-        # Full input precision: bf16 corpora still accumulate exactly;
-        # f32 corpora don't get silently truncated to bf16 passes.
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    valid = jnp.arange(n, dtype=jnp.int32) < count
-    scores = jnp.where(valid[None, :], scores, NEG_INF)
-    if bias is not None:
-        scores = scores + bias[None, :]
+    scores = _masked_scores(queries, corpus, count, bias, scale)
     top_scores, top_idx = jax.lax.top_k(scores, k)
     in_range = top_scores > NEG_INF / 2
     top_idx = jnp.where(in_range, top_idx, -1)
@@ -76,6 +98,7 @@ def masked_approx_topk(
     count: jax.Array,
     k: int,
     bias=None,
+    scale=None,
     recall_target: float = 0.95,
 ):
     """Approximate top-k via the TPU-native PartialReduce
@@ -86,17 +109,7 @@ def masked_approx_topk(
     (stage1_retriever.py:264-273) but with an explicit recall target.
     """
     n = corpus.shape[0]
-    scores = jnp.einsum(
-        "bd,nd->bn",
-        queries.astype(corpus.dtype),
-        corpus,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    valid = jnp.arange(n, dtype=jnp.int32) < count
-    scores = jnp.where(valid[None, :], scores, NEG_INF)
-    if bias is not None:
-        scores = scores + bias[None, :]
+    scores = _masked_scores(queries, corpus, count, bias, scale)
     k_eff = min(k, n)
     top_scores, top_idx = jax.lax.approx_max_k(
         scores, k_eff, recall_target=recall_target
