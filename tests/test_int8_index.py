@@ -78,3 +78,43 @@ class TestInt8Index:
         assert p.stage1.index.quantized
         out = p.search("BM25 lexical scoring", top_k=3)
         assert out["results"]
+
+
+class TestScaledTopkOps:
+    def test_masked_approx_topk_with_scale(self):
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.ops.topk import masked_approx_topk, masked_topk
+
+        emb = _normalized(128, 32, seed=7)
+        amax = np.abs(emb).max(axis=1)
+        scales = np.maximum(amax, 1e-12) / 127.0
+        q8 = np.clip(np.round(emb / scales[:, None]), -127, 127).astype(np.int8)
+        q = emb[:4]
+        s_a, i_a = masked_approx_topk(
+            jnp.asarray(q), jnp.asarray(q8), jnp.int32(128), k=5,
+            scale=jnp.asarray(scales),
+        )
+        s_e, i_e = masked_topk(
+            jnp.asarray(q), jnp.asarray(q8), jnp.int32(128), k=5,
+            scale=jnp.asarray(scales),
+        )
+        # top-1 identical between approx and exact scaled paths
+        np.testing.assert_array_equal(
+            np.asarray(i_a)[:, 0], np.asarray(i_e)[:, 0]
+        )
+        np.testing.assert_array_equal(np.asarray(i_e)[:, 0], np.arange(4))
+
+    def test_scale_changes_ordering(self):
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.ops.topk import masked_topk
+
+        corpus = np.eye(4, 8, dtype=np.float32)
+        q = np.ones((1, 8), np.float32)
+        scale = np.array([1.0, 10.0, 1.0, 1.0], np.float32)
+        _, idx = masked_topk(
+            jnp.asarray(q), jnp.asarray(corpus), jnp.int32(4), k=1,
+            scale=jnp.asarray(scale),
+        )
+        assert int(np.asarray(idx)[0, 0]) == 1  # scale dominates
