@@ -267,3 +267,24 @@ class TestWebUIEmbedDir:
     def test_embed_missing_dir_no_crash(self, webapp):
         status, _, _ = _request(webapp, "POST", "/embed/run", b"dir=/nope/nothere")
         assert status.startswith("303")
+
+
+class TestWebUIDelete:
+    def test_api_delete(self, webapp):
+        # find a doc id via search, delete it, confirm exclusion
+        _, _, body = _request(webapp, "GET", "/api/search?q=colbert&top_k=1")
+        target = json.loads(body)["results"][0]["doc_id"]
+        payload = json.dumps({"doc_ids": [target]}).encode()
+        status, _, body2 = _request(
+            webapp, "POST", "/api/delete", payload, ctype="application/json"
+        )
+        assert status == "200 OK"
+        assert json.loads(body2)["documents_deleted"] == 1
+        _, _, body3 = _request(webapp, "GET", "/api/search?q=colbert&top_k=5")
+        assert all(r["doc_id"] != target for r in json.loads(body3)["results"])
+
+    def test_api_delete_bad_payload(self, webapp):
+        status, _, _ = _request(
+            webapp, "POST", "/api/delete", b"not json", ctype="application/json"
+        )
+        assert status.startswith("400")

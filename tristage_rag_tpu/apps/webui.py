@@ -106,6 +106,7 @@ class WebUI:
             ("POST", "/embed/run"): self.embed_run,
             ("GET", "/api/stats"): self.api_stats,
             ("POST", "/api/clear"): self.api_clear,
+            ("POST", "/api/delete"): self.api_delete,
             ("GET", "/api/embedded"): self.api_embedded,
             ("GET", "/api/documents-status"): self.api_documents_status,
         }
@@ -391,6 +392,22 @@ Overlap <input type="text" name="overlap" value="{self.overlap}" style="width:6r
     def api_clear(self, environ, start_response, query):
         self.app.clear_all_data()
         return self._json(start_response, {"status": "cleared"})
+
+    def api_delete(self, environ, start_response, query):
+        try:
+            length = int(environ.get("CONTENT_LENGTH") or 0)
+            payload = json.loads(
+                environ["wsgi.input"].read(length).decode() or "{}"
+            )
+            doc_ids = payload.get("doc_ids", [])
+            if not isinstance(doc_ids, list):
+                raise ValueError("doc_ids must be a list")
+        except (ValueError, json.JSONDecodeError) as e:
+            return self._json(
+                start_response, {"error": str(e)}, "400 Bad Request"
+            )
+        out = self.app.pipeline.delete_documents(doc_ids)
+        return self._json(start_response, out)
 
     def api_embedded(self, environ, start_response, query):
         return self._json(start_response,
