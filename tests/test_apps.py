@@ -288,3 +288,51 @@ class TestWebUIDelete:
             webapp, "POST", "/api/delete", b"not json", ctype="application/json"
         )
         assert status.startswith("400")
+
+
+class TestAppDelete:
+    def test_delete_documents_persists(self, tmp_path):
+        from tristage_rag_tpu.apps.cli import RetrievalApp
+        from tristage_rag_tpu.engine.config import PipelineConfig
+
+        cfg = PipelineConfig(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=4, stage2_top_k=3,
+            stage3_top_k=2, stage1_max_text_length=32,
+            stage2_max_seq_length=32, stage3_max_length=48,
+            compute_dtype="float32", mesh_data_parallel=1,
+            index_dir=str(tmp_path / "idx"),
+        )
+        app = RetrievalApp(cfg, data_dir=str(tmp_path / "data"))
+        app.startup()
+        app.add_documents(["keep this one", "delete this one zz9"])
+        assert app.delete_documents([1]) == 1
+        out = app.search("delete zz9")
+        assert all(r["doc_id"] != 1 for r in out["results"])
+        # persisted: reload still excludes the tombstoned doc
+        app2 = RetrievalApp(cfg, data_dir=str(tmp_path / "data"))
+        app2.startup()
+        out2 = app2.search("delete zz9")
+        assert all(r["doc_id"] != 1 for r in out2["results"])
+
+
+def test_profile_search_captures_trace(tmp_path):
+    from tristage_rag_tpu.engine.config import PipelineConfig
+    from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+    cfg = PipelineConfig(
+        stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+        stage3_model="tiny-bert", stage1_top_k=4, stage2_top_k=3,
+        stage3_top_k=2, stage1_max_text_length=32,
+        stage2_max_seq_length=32, stage3_max_length=48,
+        compute_dtype="float32", mesh_data_parallel=1,
+    )
+    p = RetrievalPipeline(cfg)
+    p.add_documents(["alpha beta", "gamma delta"])
+    out = p.profile_search("alpha", log_dir=str(tmp_path / "trace"))
+    assert out["results"]
+    assert out["trace_dir"] == str(tmp_path / "trace")
+    # a trace artifact was actually written
+    import os
+
+    assert any(os.scandir(tmp_path / "trace"))

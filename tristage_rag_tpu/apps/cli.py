@@ -81,6 +81,12 @@ class RetrievalApp:
             self.search_history = self.search_history[-100:]
         return out
 
+    def delete_documents(self, doc_ids) -> int:
+        """Tombstone documents by pipeline doc_id and persist."""
+        out = self.pipeline.delete_documents(doc_ids)
+        self.pipeline.save_index()
+        return out["documents_deleted"]
+
     def clear_all_data(self) -> None:
         self.docs.clear()
         self.pipeline.clear_index()
@@ -124,6 +130,7 @@ _MENU = """
 7. System info
 8. Export search history
 9. Clear all data
+d. Delete documents by id
 0. Exit
 """
 
@@ -182,6 +189,10 @@ def interactive_loop(app: RetrievalApp) -> None:
                 if input("clear ALL data? (yes/no): ").strip() == "yes":
                     app.clear_all_data()
                     print("cleared")
+            elif choice.lower() == "d":
+                raw = input("doc ids (space-separated): ").strip()
+                ids = [int(x) for x in raw.split() if x.lstrip("-").isdigit()]
+                print(f"deleted {app.delete_documents(ids)} documents")
             else:
                 print("unknown option")
         except Exception as e:

@@ -289,6 +289,9 @@ class Stage1Retriever:
         dense_file = (d / "stage1_dense").with_suffix(".npz")
         if dense_file.exists():
             self.index = DenseIndex.load(d / "stage1_dense", mesh=self.mesh)
+            # restore the host-side filter that keeps tombstoned docs
+            # out of BM25 results too
+            self.deleted_ids = self.index.deleted_ids
         bm25_file = (d / "stage1_bm25").with_suffix(".json")
         if self.config.stage1_enable_bm25 and bm25_file.exists():
             self.bm25 = BM25Index.load(d / "stage1_bm25")

@@ -267,6 +267,10 @@ class DenseIndex:
     def live_count(self) -> int:
         return self.count - len(self._deleted)
 
+    @property
+    def deleted_ids(self) -> set[int]:
+        return set(self._deleted)
+
     def compact(self) -> np.ndarray:
         """Rebuild the buffer without tombstoned rows. Returns the old
         row index for each surviving new row (old_id = mapping[new_id])
