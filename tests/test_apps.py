@@ -289,6 +289,43 @@ class TestWebUIDelete:
         )
         assert status.startswith("400")
 
+    def test_api_delete_non_numeric_ids(self, webapp):
+        payload = json.dumps({"doc_ids": ["abc", None]}).encode()
+        status, _, _ = _request(
+            webapp, "POST", "/api/delete", payload, ctype="application/json"
+        )
+        assert status.startswith("400")
+
+    def test_api_delete_persists_across_restart(self, tmp_path):
+        from tristage_rag_tpu.apps.cli import RetrievalApp
+        from tristage_rag_tpu.apps.webui import WebUI
+        from tristage_rag_tpu.engine.config import PipelineConfig
+
+        cfg = PipelineConfig(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=4, stage2_top_k=3,
+            stage3_top_k=2, stage1_max_text_length=32,
+            stage2_max_seq_length=32, stage3_max_length=48,
+            compute_dtype="float32", mesh_data_parallel=1,
+            index_dir=str(tmp_path / "idx"),
+        )
+        app = RetrievalApp(cfg, data_dir=str(tmp_path / "data"))
+        app.startup()
+        app.add_documents(["keep this one", "web delete target zz9"])
+        ui = WebUI(app)
+        payload = json.dumps({"doc_ids": [1]}).encode()
+        status, _, body = _request(
+            ui, "POST", "/api/delete", payload, ctype="application/json"
+        )
+        assert status == "200 OK"
+        assert json.loads(body)["documents_deleted"] == 1
+        # web deletions must survive restart (ADVICE r1: the old path
+        # skipped save_index, so tombstoned docs resurrected on reload)
+        app2 = RetrievalApp(cfg, data_dir=str(tmp_path / "data"))
+        app2.startup()
+        out2 = app2.search("web delete zz9")
+        assert all(r["doc_id"] != 1 for r in out2["results"])
+
 
 class TestAppDelete:
     def test_delete_documents_persists(self, tmp_path):

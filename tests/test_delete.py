@@ -75,6 +75,28 @@ class TestDenseDelete:
         assert 10 not in ids and 200 not in ids
 
 
+class TestStage1DeleteBounds:
+    def test_out_of_range_delete_does_not_poison_future_ids(
+        self, tiny_config, sample_docs
+    ):
+        """Deleting an id beyond the current count must be a no-op:
+        a document later assigned that id must still be retrievable
+        (ADVICE r1: deleted_ids was updated unconditionally)."""
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        p = RetrievalPipeline(tiny_config)
+        p.add_documents(sample_docs[:5])
+        n = 5
+        out = p.delete_documents([n + 1])  # not yet assigned
+        assert out["documents_deleted"] == 0
+        assert not p.stage1.deleted_ids
+        p.add_documents(sample_docs[5:])  # doc n+1 now exists
+        # stage1 returns every live doc here (top_k=20 > corpus=10), so
+        # absence of id n+1 can only mean the poisoned host-side filter
+        hits = p.stage1.search(sample_docs[6], tiny_config.stage1_top_k)
+        assert any(r["doc_id"] == n + 1 for r in hits)
+
+
 class TestPipelineDelete:
     def test_delete_through_pipeline(self, tiny_config, sample_docs):
         from tristage_rag_tpu.engine.pipeline import RetrievalPipeline

@@ -32,6 +32,38 @@ class TestInt8Index:
         )
         assert overlap >= 0.9, overlap
 
+    def test_raw_int8_add_gets_unit_scales(self):
+        """Pre-quantized int8 rows without explicit scales must score
+        with scale 1.0, not the zero-initialized buffer (ADVICE r1:
+        such rows silently scored exactly 0)."""
+        rng = np.random.default_rng(0)
+        raw = rng.integers(-127, 128, size=(10, 16), dtype=np.int8)
+        idx = DenseIndex(dim=16, dtype="int8")
+        idx.add(raw)
+        q = raw[:3].astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        scores, ids = idx.search(q, k=3)
+        np.testing.assert_array_equal(ids[:, 0], np.arange(3))
+        assert (np.abs(scores[:, 0]) > 1e-6).all()
+
+    def test_raw_int8_add_with_explicit_scales(self):
+        rng = np.random.default_rng(1)
+        emb = _normalized(10, 16, seed=1)
+        scales = np.abs(emb).max(axis=1) / 127.0
+        raw = np.clip(
+            np.round(emb / scales[:, None]), -127, 127
+        ).astype(np.int8)
+        idx = DenseIndex(dim=16, dtype="int8")
+        idx.add(raw, scales=scales)
+        ref = DenseIndex(dim=16, dtype="int8")
+        ref.add(emb)  # quantized internally with the same scheme
+        s_a, i_a = idx.search(emb[:5], k=3)
+        s_b, i_b = ref.search(emb[:5], k=3)
+        np.testing.assert_array_equal(i_a, i_b)
+        np.testing.assert_allclose(s_a, s_b, atol=1e-5)
+        with pytest.raises(ValueError):
+            idx.add(raw, scales=scales[:3])
+
     def test_delete_and_growth(self):
         emb = _normalized(600, 32, seed=1)
         idx = DenseIndex(dim=32, dtype="int8", capacity=1024)

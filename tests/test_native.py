@@ -47,6 +47,19 @@ class TestNativeBM25:
             nat.score_all("fox dog"), py.score_all("fox dog"), rtol=1e-12
         )
 
+    def test_all_empty_corpus_no_nan(self):
+        """avg_doc_len==0 must not divide by zero in the C++ scorer
+        (ADVICE r1); both paths return finite scores and agree."""
+        from tristage_rag_tpu.index.bm25 import BM25Index
+
+        nat = BM25Index(use_native=True)
+        nat.add(["", "", ""])
+        py = BM25Index(use_native=False)
+        py.add(["", "", ""])
+        s_nat, s_py = nat.score_all("anything"), py.score_all("anything")
+        assert np.isfinite(s_nat).all() and np.isfinite(s_py).all()
+        np.testing.assert_allclose(s_nat, s_py, rtol=1e-12)
+
     def test_native_survives_load(self, tmp_path):
         from tristage_rag_tpu.index.bm25 import BM25Index
 

@@ -402,12 +402,23 @@ Overlap <input type="text" name="overlap" value="{self.overlap}" style="width:6r
             doc_ids = payload.get("doc_ids", [])
             if not isinstance(doc_ids, list):
                 raise ValueError("doc_ids must be a list")
-        except (ValueError, json.JSONDecodeError) as e:
+            doc_ids = [int(i) for i in doc_ids]
+        except (ValueError, TypeError, json.JSONDecodeError) as e:
             return self._json(
                 start_response, {"error": str(e)}, "400 Bad Request"
             )
-        out = self.app.pipeline.delete_documents(doc_ids)
-        return self._json(start_response, out)
+        # Route through the app (not the pipeline directly) so the
+        # tombstones are persisted via save_index() and survive restart,
+        # matching the CLI delete path.
+        n = self.app.delete_documents(doc_ids)
+        return self._json(start_response, {
+            "documents_deleted": n,
+            "live_documents": (
+                self.app.pipeline.stage1.index.live_count
+                if self.app.pipeline.stage1 and self.app.pipeline.stage1.index
+                else 0
+            ),
+        })
 
     def api_embedded(self, environ, start_response, query):
         return self._json(start_response,

@@ -120,10 +120,10 @@ class Stage1Retriever:
         if self.index is None:
             return 0
         n = self.index.delete(doc_ids)
-        self.deleted_ids = getattr(self, "deleted_ids", set())
-        self.deleted_ids.update(
-            int(i) for i in np.atleast_1d(np.asarray(doc_ids, dtype=np.int64))
-        )
+        # Mirror the index's tombstone set rather than the raw request:
+        # the index ignores out-of-range ids, and recording those here
+        # would poison the host-side BM25 filter for ids assigned later.
+        self.deleted_ids = set(self.index.deleted_ids)
         return n
 
     def clear(self) -> None:

@@ -223,11 +223,15 @@ class DenseIndex:
 
     # ---- public API ------------------------------------------------------
 
-    def add(self, embeddings) -> np.ndarray:
+    def add(self, embeddings, scales=None) -> np.ndarray:
         """Append [n, dim] rows; returns their assigned int64 ids.
 
         Accepts numpy OR device (jax) arrays — encoder outputs can flow
-        into the index without a device->host->device round-trip.
+        into the index without a device->host->device round-trip. In
+        quantized mode, float input is quantized here; pre-quantized
+        int8 rows may be passed with their per-row ``scales`` (default
+        1.0 — never the zero-initialized buffer, which would silently
+        score those rows as 0).
         """
         if not isinstance(embeddings, jax.Array):
             embeddings = np.asarray(embeddings)
@@ -242,6 +246,17 @@ class DenseIndex:
         if self.quantized and np.dtype(getattr(embeddings, "dtype", None)) != np.int8:
             q, scales = _quantize_rows(jnp.asarray(embeddings))
             self._write(q, self.count)
+            self._write_scales(scales, self.count)
+        elif self.quantized:
+            self._write(embeddings, self.count)
+            if scales is None:
+                scales = jnp.ones((n,), dtype=jnp.float32)
+            else:
+                scales = jnp.asarray(scales, dtype=jnp.float32)
+                if scales.shape != (n,):
+                    raise ValueError(
+                        f"expected [{n}] per-row scales, got {scales.shape}"
+                    )
             self._write_scales(scales, self.count)
         else:
             self._write(embeddings, self.count)

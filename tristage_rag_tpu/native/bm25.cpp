@@ -72,7 +72,10 @@ int64_t bm25_score_query(void* handle, const int64_t* term_ids,
   const int64_t n_docs = idx->doc_lens.size();
   std::memset(out_scores, 0, n_docs * sizeof(double));
   if (n_docs == 0) return 0;
-  const double avg = idx->total_len / static_cast<double>(n_docs);
+  // Guard against an all-empty corpus (avg 0 would divide the norm
+  // term by zero); matches the Python path's `avg_doc_len or 1.0`.
+  const double avg =
+      idx->total_len > 0 ? idx->total_len / static_cast<double>(n_docs) : 1.0;
   const double k1 = idx->k1, b = idx->b;
   for (int64_t i = 0; i < n_terms; ++i) {
     int64_t t = term_ids[i];
