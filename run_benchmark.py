@@ -31,6 +31,11 @@ def main() -> int:
     ap.add_argument("--output", default=None, help="write summary JSON here")
     ap.add_argument("--mteb", action="store_true", help="run via MTEB v2 if installed")
     ap.add_argument("--log-level", default="INFO")
+    ap.add_argument(
+        "--allow-random-weights", action="store_true",
+        help="run even when a stage has no checkpoint (scores will be "
+        "meaningless; they are watermarked in the output)",
+    )
     args = ap.parse_args()
     logging.basicConfig(level=getattr(logging, args.log_level.upper(), logging.INFO))
 
@@ -56,6 +61,26 @@ def main() -> int:
     config = PipelineConfig.from_yaml(args.config) if args.config else PipelineConfig()
     pipeline = RetrievalPipeline(config)
 
+    # Refuse to print authoritative-looking quality numbers from
+    # random-init stages (a missing/corrupt checkpoint must not
+    # masquerade as a real NDCG score).
+    pipeline.initialize_stages()
+    random_weights = not pipeline.all_weights_loaded()
+    if random_weights:
+        banner = (
+            "=" * 70 + "\n"
+            "WARNING: at least one stage is serving RANDOM-INIT weights\n"
+            "(no checkpoint found under model_dir). Quality metrics from\n"
+            "this run are MEANINGLESS.\n" + "=" * 70
+        )
+        print(banner, file=sys.stderr)
+        if not args.allow_random_weights:
+            print(
+                "refusing to run; pass --allow-random-weights to override",
+                file=sys.stderr,
+            )
+            return 3
+
     if args.mteb:
         try:
             import mteb  # noqa: F401
@@ -68,8 +93,11 @@ def main() -> int:
         top_k=args.top_k, max_queries=args.max_queries, stages=args.stages,
     )
     m = summary["metrics"]
+    summary["weights_loaded"] = not random_weights
+    header = "" if not random_weights else " *** RANDOM WEIGHTS ***"
     print(f"\n=== {summary['task']} [{summary['stages']}] "
-          f"({summary['num_queries']} queries, {summary['num_docs']} docs) ===")
+          f"({summary['num_queries']} queries, {summary['num_docs']} docs)"
+          f"{header} ===")
     for k in ("ndcg_at_10", "recall_at_10", "map_at_10", "mrr_at_10",
               "recall_at_100", "main_score"):
         if k in m:

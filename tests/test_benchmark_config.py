@@ -73,3 +73,36 @@ class TestBenchmarkConfig:
         assert pc.stage1_top_k == 333
         assert pc.stage1_model == "tiny-gemma"
         assert pc.stage3_top_k == 20
+
+
+class TestDownloaderCLI:
+    """Model-management CLI parity (benchmark/run_mteb_evaluation.py:164-185,
+    download_models.py:382-430): info/clean/download/ensure subcommands."""
+
+    def _run(self, monkeypatch, argv):
+        import sys
+
+        from tristage_rag_tpu.eval import downloaders
+
+        monkeypatch.setattr(sys, "argv", ["downloaders"] + argv)
+        return downloaders.main()
+
+    def test_info_reports_missing_models(self, tmp_path, monkeypatch, capsys):
+        import json
+
+        rc = self._run(monkeypatch, ["info", "--models-dir", str(tmp_path)])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["models_dir"] == str(tmp_path)
+        assert out["available"] and not any(out["available"].values())
+
+    def test_clean_empties_dir(self, tmp_path, monkeypatch):
+        (tmp_path / "somemodel").mkdir()
+        (tmp_path / "somemodel" / "weights.safetensors").write_bytes(b"x")
+        rc = self._run(monkeypatch, ["clean", "--models-dir", str(tmp_path)])
+        assert rc == 0
+        assert not tmp_path.exists()  # clean removes the whole tree
+
+    def test_download_requires_repo(self, tmp_path, monkeypatch):
+        rc = self._run(monkeypatch, ["download", "--models-dir", str(tmp_path)])
+        assert rc == 2

@@ -124,6 +124,38 @@ def test_colbert_runtime_masks():
     np.testing.assert_allclose(np.linalg.norm(valid, axis=-1), 1.0, atol=1e-5)
 
 
+def test_colbert_no_projection_uses_raw_hidden():
+    """project=False scores tokens at the encoder hidden size —
+    reference-faithful raw last-hidden-state MaxSim
+    (src/stage2_rescorer.py:156-165), toggled by stage2_use_projection."""
+    cfg = encoder_config("tiny-modernbert").replace(dtype="float32")
+    rt = EncoderRuntime("colbert", cfg, ColBERTConfig(project=False))
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    emb, mask = rt.encode_token_embeddings(["a b c"], tok, max_length=16)
+    assert emb.shape == (1, 16, cfg.hidden_size)
+    valid = emb[0][mask[0] == 1]
+    np.testing.assert_allclose(np.linalg.norm(valid, axis=-1), 1.0, atol=1e-5)
+    # no projection params exist
+    assert "colbert_proj" not in rt.params
+
+
+def test_stage2_projection_toggle(tiny_config):
+    import dataclasses
+
+    from tristage_rag_tpu.engine.stage2 import ColBERTScorer
+
+    on = ColBERTScorer(tiny_config)
+    off = ColBERTScorer(
+        dataclasses.replace(tiny_config, stage2_use_projection=False)
+    )
+    assert on.get_model_info()["use_projection"] is True
+    assert off.get_model_info()["use_projection"] is False
+    assert off.token_dim == off.runtime.cfg.hidden_size
+    e_on, _ = on.encode_documents(["a document"])
+    e_off, _ = off.encode_documents(["a document"])
+    assert e_on.shape[-1] != e_off.shape[-1]
+
+
 def test_cross_runtime_scores():
     cfg = encoder_config("tiny-bert").replace(dtype="float32")
     rt = EncoderRuntime("cross", cfg, CrossEncoderConfig())

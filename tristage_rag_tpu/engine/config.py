@@ -37,6 +37,11 @@ class PipelineConfig:
     stage2_batch_size: int = 16
     stage2_max_seq_length: int = 192
     stage2_scoring_method: str = "maxsim"  # "maxsim" | "colbert"
+    # True (default) applies the checkpoint's ColBERT projection (the
+    # PyLate 1_Dense head — the checkpoint's intended use); False scores
+    # MaxSim on raw last-hidden-state tokens, byte-faithful to the
+    # reference (src/stage2_rescorer.py:156-165). See PARITY.md.
+    stage2_use_projection: bool = True
     stage2_cache_doc_embeddings: bool = False  # TPU-native win (SURVEY §7)
     # HBM budget for the device-resident token cache (49 KB/doc at
     # 192x128 bf16); docs beyond the cap re-encode per query.
@@ -49,6 +54,12 @@ class PipelineConfig:
     stage3_max_length: int = 256
     stage3_activation: str = "sigmoid"  # "sigmoid" | "softmax"
     stage3_normalize_scores: bool = True
+    # Fused-path pair layout: queries are capped at this many tokens
+    # (incl. [CLS]/[SEP]) and docs at stage3_max_length - reserve, so
+    # [CLS] q [SEP] d [SEP] rows splice on device with static shapes
+    # (engine/fused.py). The staged path keeps exact HF longest-first
+    # truncation.
+    stage3_query_reserve: int = 32
 
     # General
     model_dir: str = "./models"  # checkpoint root (HF layout per model)
@@ -63,6 +74,11 @@ class PipelineConfig:
     index_dtype: str = "float32"
     mesh_data_parallel: int = 0  # 0 = use all local devices on one axis
     seed: int = 0
+    # Single-dispatch tri-stage search (engine/fused.py). Activates when
+    # its device caches are populated (requires
+    # stage2_cache_doc_embeddings on a single device); the pipeline
+    # falls back to the staged path otherwise.
+    enable_fused_search: bool = True
 
     # ---- YAML ------------------------------------------------------------
 
@@ -85,6 +101,7 @@ class PipelineConfig:
             ("batch_size", "stage2_batch_size"),
             ("max_seq_length", "stage2_max_seq_length"),
             ("scoring_method", "stage2_scoring_method"),
+            ("use_projection", "stage2_use_projection"),
             ("cache_doc_embeddings", "stage2_cache_doc_embeddings"),
             ("cache_max_docs", "stage2_cache_max_docs"),
         ],
@@ -95,6 +112,7 @@ class PipelineConfig:
             ("max_length", "stage3_max_length"),
             ("activation", "stage3_activation"),
             ("normalize_scores", "stage3_normalize_scores"),
+            ("query_reserve", "stage3_query_reserve"),
         ],
         "general": [
             ("model_dir", "model_dir"),
@@ -107,6 +125,7 @@ class PipelineConfig:
             ("index_dtype", "index_dtype"),
             ("mesh_data_parallel", "mesh_data_parallel"),
             ("seed", "seed"),
+            ("enable_fused_search", "enable_fused_search"),
         ],
     }
 

@@ -139,6 +139,7 @@ def build_runtime(
 
     from tristage_rag_tpu.parallel.mesh import DATA_AXIS
 
+    weights_loaded = params is not None
     runtime = EncoderRuntime(
         kind, enc_cfg, head, params=params, seed=seed, mesh=mesh,
         dp_axis=(
@@ -147,6 +148,10 @@ def build_runtime(
             else "dp"
         ),
     )
+    # Surfaced through get_stats/get_model_info/get_pipeline_info so an
+    # eval run on random init can never masquerade as a real score
+    # (run_benchmark.py refuses without --allow-random-weights).
+    runtime.weights_loaded = weights_loaded
     runtime.prompts = _load_prompts(ckpt, model_name)
     tokenizer = load_tokenizer(str(ckpt) if ckpt else None)
     if tokenizer.vocab_size > enc_cfg.vocab_size:

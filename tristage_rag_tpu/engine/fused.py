@@ -1,0 +1,344 @@
+"""Single-dispatch tri-stage search — the whole funnel in ONE XLA program.
+
+The staged path (pipeline.search) makes 3+ sequential device round
+trips per query: stage-1 encode+top-k, stage-2 gather+MaxSim, stage-3
+cross-encoder — each paying host<->device latency between stages (the
+reference pays the same structure in torch, src/retrieval_pipeline.py:
+323-424). On TPU every intermediate is already device-resident
+(DenseIndex buffer, stage-2 token-embedding cache, stage-3 doc-token
+cache), so the funnel compiles into one jit:
+
+    bi-encode(q) -> dense top-k1 -> device RRF/weighted fusion with the
+    host BM25 list -> gather ColBERT token cache -> MaxSim -> top-k2 ->
+    gather doc token ids -> splice [CLS] q [SEP] d [SEP] rows on device
+    -> cross-encoder forward -> stage-3 scores
+
+Host work per query: tokenize the query three ways (three models, three
+tokenizers), score BM25 (C++/numpy), and format the final dicts. One
+host->device transfer (a few hundred token ids), one device->host
+transfer (a few hundred scores/ids).
+
+Divergences from the staged path (both documented in PARITY.md):
+* stage-3 pair truncation: the reference truncates pairs longest-first
+  (src/stage3_reranker.py:139-160); here the query is capped at
+  ``stage3_query_reserve`` tokens and docs at
+  ``stage3_max_length - stage3_query_reserve`` at indexing time, so
+  rows splice with static shapes. Identical whenever
+  len(q) + len(d) + 3 <= stage3_max_length.
+* fused top-k1 keeps the best k1 of the dense/bm25 union (the host path
+  keeps the whole union before slicing — same first k1 entries).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tristage_rag_tpu.engine.config import PipelineConfig
+from tristage_rag_tpu.index.doc_tokens import DocTokenCache
+from tristage_rag_tpu.models.heads import apply_score_activation
+from tristage_rag_tpu.ops.device_fusion import (
+    rrf_fuse_device,
+    weighted_fuse_device,
+)
+from tristage_rag_tpu.ops.maxsim import maxsim_scores
+from tristage_rag_tpu.ops.topk import masked_approx_topk, masked_topk
+
+logger = logging.getLogger(__name__)
+
+
+class FusedSearcher:
+    """Owns the fused jit + the stage-3 doc-token cache.
+
+    Built lazily by the pipeline once all three stages exist. Requires
+    single-device placement (no mesh), the stage-2 device token cache,
+    and a non-Pallas dense-search impl; ``ready()`` gates per query and
+    the pipeline falls back to the staged path otherwise.
+    """
+
+    def __init__(self, config: PipelineConfig, stage1, stage2, stage3):
+        self.config = config
+        self.stage1 = stage1
+        self.stage2 = stage2
+        self.stage3 = stage3
+        self.q_reserve = config.stage3_query_reserve
+        self.doc_tokens = DocTokenCache(
+            seq_len=max(config.stage3_max_length - self.q_reserve, 8),
+            sep_id=stage3.tokenizer.sep_id,
+        )
+        self._fn = self._build_fn()
+
+    # ---- indexing-time precompute -----------------------------------------
+
+    def precompute(self, doc_ids, documents) -> int:
+        return self.doc_tokens.add(doc_ids, documents, self.stage3.tokenizer)
+
+    # ---- eligibility -------------------------------------------------------
+
+    def ready(self) -> bool:
+        s1 = self.stage1
+        if s1.index is None or s1.index.count == 0:
+            return False
+        if s1.mesh is not None:
+            return False
+        cache = self.stage2._cache
+        if cache is None or cache.size < s1.index.count:
+            return False
+        if not self.doc_tokens.covers_count(s1.index.count):
+            return False
+        impl = s1.index.search_state()[4]
+        return impl in ("exact", "approx")
+
+    # ---- the device program -------------------------------------------------
+
+    def _build_fn(self):
+        cfg = self.config
+        s1_module = self.stage1.runtime.module
+        s2_module = self.stage2.runtime.module
+        s3_module = self.stage3.runtime.module
+
+        def fn(
+            s1_params, s2_params, s3_params,
+            s1_ids, s1_mask, s1_types,          # [1, L1]
+            s2_ids, s2_mask,                    # [1, L2q]
+            q3_row, q3_len,                     # [Rq] i32, scalar i32
+            corpus, count, bias, scale,         # dense index state
+            bm_ids, bm_scores,                  # [kb] i32 / f32 (padded -1/0)
+            s2_buf, s2_mask_buf,                # ColBERT token cache
+            d3_buf, d3_len,                     # stage-3 doc token cache
+            *, k1, k2, impl, use_bm25,
+        ):
+            # ---- stage 1: bi-encode + masked top-k over the corpus buffer
+            q_emb = s1_module.apply({"params": s1_params}, s1_ids, s1_mask, s1_types)
+            if impl == "approx":
+                d_s, d_i = masked_approx_topk(
+                    q_emb, corpus, count, k=k1, bias=bias, scale=scale,
+                    recall_target=self.stage1.index.recall_target,
+                )
+            else:
+                d_s, d_i = masked_topk(
+                    q_emb, corpus, count, k=k1, bias=bias, scale=scale
+                )
+            d_s, d_i = d_s[0], d_i[0].astype(jnp.int32)
+
+            # ---- fusion with the host BM25 list, on device
+            if use_bm25:
+                if cfg.stage1_fusion_method == "rrf":
+                    f_s, f_i = rrf_fuse_device(
+                        d_i, bm_ids, k=k1, rrf_k=float(cfg.stage1_rrf_k)
+                    )
+                else:
+                    f_s, f_i = weighted_fuse_device(
+                        d_i, d_s, bm_ids, bm_scores, k=k1,
+                        dense_weight=cfg.stage1_dense_weight,
+                        sparse_weight=cfg.stage1_bm25_weight,
+                    )
+            else:
+                f_s, f_i = d_s, d_i
+
+            # ---- stage 2: gather cached token embeddings + MaxSim
+            q2 = s2_module.apply({"params": s2_params}, s2_ids, s2_mask)[0]
+            valid1 = f_i >= 0
+            safe1 = jnp.clip(f_i, 0, s2_buf.shape[0] - 1)
+            c_emb = jnp.take(s2_buf, safe1, axis=0).astype(jnp.float32)
+            c_mask = (
+                jnp.take(s2_mask_buf, safe1, axis=0).astype(jnp.int32)
+                * valid1[:, None].astype(jnp.int32)
+            )
+            s2_scores = maxsim_scores(
+                q2, s2_mask[0], c_emb, c_mask,
+                method=cfg.stage2_scoring_method,
+            )
+            s2_scores = jnp.where(valid1, s2_scores, -jnp.inf)
+            top2_s, top2_pos = jax.lax.top_k(s2_scores, k2)
+            ids2 = jnp.where(jnp.isfinite(top2_s), f_i[top2_pos], -1)
+            s1_of_2 = f_s[top2_pos]
+
+            # ---- stage 3: splice [CLS] q [SEP] | d [SEP] rows on device
+            valid2 = ids2 >= 0
+            safe2 = jnp.clip(ids2, 0, d3_buf.shape[0] - 1)
+            d_rows = jnp.take(d3_buf, safe2, axis=0)        # [k2, Ld3]
+            d_lens = jnp.take(d3_len, safe2) * valid2.astype(jnp.int32)
+            rq = q3_row.shape[0]
+            lp = rq + d_rows.shape[1]
+            pos = jnp.arange(lp, dtype=jnp.int32)
+            q_part = q3_row[jnp.clip(pos, 0, rq - 1)]       # [lp]
+            doc_idx = jnp.clip(pos[None, :] - q3_len, 0, d_rows.shape[1] - 1)
+            doc_part = jnp.take_along_axis(
+                d_rows, jnp.broadcast_to(doc_idx, (d_rows.shape[0], lp)), axis=1
+            )
+            in_q = pos[None, :] < q3_len
+            total = (q3_len + d_lens)[:, None]
+            pair_mask = (pos[None, :] < total).astype(jnp.int32)
+            pair_ids = jnp.where(in_q, q_part[None, :], doc_part) * pair_mask
+            pair_types = ((~in_q) & (pos[None, :] < total)).astype(jnp.int32)
+            logits = s3_module.apply(
+                {"params": s3_params}, pair_ids, pair_mask, pair_types
+            )
+            s3_scores = apply_score_activation(logits, cfg.stage3_activation)
+            s3_scores = jnp.where(valid2, s3_scores, -jnp.inf)
+            # Pack EVERYTHING into one array: each device->host fetch
+            # pays a full round trip (~30 ms on tunneled dev TPUs), so
+            # ids travel bitcast inside the float payload and the host
+            # reinterprets them.
+            ids_as_f32 = jax.lax.bitcast_convert_type(
+                jnp.concatenate([f_i, ids2]), jnp.float32
+            )
+            payload = jnp.concatenate([
+                ids_as_f32,
+                f_s.astype(jnp.float32),
+                top2_s.astype(jnp.float32),
+                s1_of_2.astype(jnp.float32),
+                s3_scores.astype(jnp.float32),
+            ])
+            return payload
+
+        return jax.jit(fn, static_argnames=("k1", "k2", "impl", "use_bm25"))
+
+    # ---- the host wrapper ----------------------------------------------------
+
+    def search(self, query: str, top_k: Optional[int] = None) -> dict[str, Any]:
+        cfg = self.config
+        s1 = self.stage1
+        t0 = time.time()
+
+        # host: three query tokenizations
+        prompt = s1.runtime.prompts.get("query", "")
+        tb1 = s1.tokenizer.encode_batch(
+            [prompt + query], cfg.stage1_max_text_length
+        )
+        max_q2 = min(
+            self.stage2.runtime.head_cfg.query_max_len,
+            cfg.stage2_max_seq_length,
+        )
+        tb2 = self.stage2.tokenizer.encode_batch(
+            [query], max_q2, buckets=(max_q2,)
+        )
+        t3 = self.stage3.tokenizer
+        q3_tok = t3.tokenize_to_ids(query)[: self.q_reserve - 2]
+        q3 = [t3.cls_id] + q3_tok + [t3.sep_id]
+        q3_row = np.zeros(self.q_reserve, dtype=np.int32)
+        q3_row[: len(q3)] = q3
+
+        # host: BM25 candidate list (C++ scorer), tombstones filtered
+        kb = cfg.stage1_bm25_top_k
+        bm_ids = np.full(kb, -1, dtype=np.int32)
+        bm_scores = np.zeros(kb, dtype=np.float32)
+        use_bm25 = s1.bm25 is not None and s1.bm25.corpus_size > 0
+        if use_bm25:
+            deleted = getattr(s1, "deleted_ids", set())
+            sparse = [
+                (d, s) for d, s in s1.bm25.search(query, kb)
+                if d not in deleted
+            ]
+            for r, (d, sc) in enumerate(sparse[:kb]):
+                bm_ids[r], bm_scores[r] = d, sc
+
+        corpus, count, bias, scale, impl = s1.index.search_state()
+        k1 = max(min(cfg.stage1_top_k, s1.index.capacity), 1)
+        k2 = max(min(cfg.stage2_top_k, k1), 1)
+        s2_buf, s2_mask_buf = self.stage2._cache._buf, self.stage2._cache._mask
+        d3_buf, d3_len = self.doc_tokens.state()
+
+        payload = self._fn(
+            s1.runtime.params,
+            self.stage2.runtime.params,
+            self.stage3.runtime.params,
+            jnp.asarray(tb1.input_ids), jnp.asarray(tb1.attn_mask),
+            jnp.asarray(tb1.token_type_ids),
+            jnp.asarray(tb2.input_ids), jnp.asarray(tb2.attn_mask),
+            jnp.asarray(q3_row), jnp.int32(len(q3)),
+            corpus, count, bias, scale,
+            jnp.asarray(bm_ids), jnp.asarray(bm_scores),
+            s2_buf, s2_mask_buf, d3_buf, d3_len,
+            k1=k1, k2=k2, impl=impl, use_bm25=use_bm25,
+        )
+        # ONE device->host transfer for everything the host needs
+        payload = np.asarray(payload)
+        ids = payload[: k1 + k2].view(np.int32)
+        f_i, ids2 = ids[:k1], ids[k1:]
+        floats = payload[k1 + k2 :]
+        f_s = floats[:k1]
+        top2_s = floats[k1 : k1 + k2]
+        s1_of_2 = floats[k1 + k2 : k1 + 2 * k2]
+        s3_scores = floats[k1 + 2 * k2 :]
+        total_time = time.time() - t0
+
+        return self._format(
+            query, top_k, f_s, f_i, top2_s, ids2, s1_of_2, s3_scores,
+            total_time,
+        )
+
+    def _format(
+        self, query, top_k, f_s, f_i, top2_s, ids2, s1_of_2, s3_scores,
+        total_time,
+    ) -> dict[str, Any]:
+        cfg = self.config
+        docs = self.stage1.documents
+        meta = self.stage1.doc_metadata
+        valid2 = ids2 >= 0
+
+        # min-max normalization over the scored set (stage-3 parity,
+        # src/stage3_reranker.py:212-228) — monotonic, order unchanged
+        s3 = s3_scores.astype(np.float64)
+        if cfg.stage3_normalize_scores and valid2.any():
+            vals = s3[valid2]
+            lo, hi = float(vals.min()), float(vals.max())
+            s3[valid2] = (vals - lo) / (hi - lo) if hi > lo else 0.0
+
+        def base(doc_id, s1_score):
+            return {
+                "doc_id": int(doc_id),
+                "document": docs[int(doc_id)],
+                "score": float(s1_score),
+                "stage1_score": float(s1_score),
+                "metadata": meta[int(doc_id)],
+            }
+
+        order = np.argsort(-s3, kind="stable")
+        results = []
+        for pos in order[: cfg.stage3_top_k]:
+            if not valid2[pos]:
+                continue
+            r = base(ids2[pos], s1_of_2[pos])
+            r["stage2_score"] = float(top2_s[pos])
+            r["stage3_score"] = float(s3[pos])
+            r["stage"] = "stage3"
+            results.append(r)
+        if top_k is not None:
+            results = results[:top_k]
+
+        keep = cfg.save_intermediate_results
+        stage1_results, stage2_results = [], []
+        if keep:
+            for doc_id, sc in zip(f_i, f_s):
+                if doc_id >= 0 and np.isfinite(sc):
+                    r = base(doc_id, sc)
+                    r["stage"] = "stage1"
+                    stage1_results.append(r)
+            for pos in range(len(ids2)):
+                if valid2[pos]:
+                    r = base(ids2[pos], s1_of_2[pos])
+                    r["stage2_score"] = float(top2_s[pos])
+                    r["stage"] = "stage2"
+                    stage2_results.append(r)
+
+        timing = {
+            "stage1_time": None,
+            "stage2_time": None,
+            "stage3_time": None,
+            "total_time": total_time,
+            "fused": True,
+        }
+        return {
+            "query": query,
+            "results": results,
+            "stage1_results": stage1_results,
+            "stage2_results": stage2_results,
+            "timing": timing,
+        }

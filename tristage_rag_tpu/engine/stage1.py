@@ -299,6 +299,7 @@ class Stage1Retriever:
 
     def get_stats(self) -> dict[str, Any]:
         return {
+            "weights_loaded": getattr(self.runtime, "weights_loaded", False),
             "num_documents": len(self.documents),
             "embedding_dim": self.embedding_dim if self.index else None,
             "index_capacity": self.index.capacity if self.index else 0,

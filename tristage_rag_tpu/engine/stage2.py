@@ -44,6 +44,16 @@ class ColBERTScorer:
             compute_dtype=config.compute_dtype,
             mesh=mesh,
             seed=config.seed + 1,
+            head_overrides=(
+                None if config.stage2_use_projection else {"project": False}
+            ),
+        )
+        # Token-embedding dim: the projection's output, or the raw
+        # hidden size in reference-faithful no-projection mode.
+        self.token_dim = (
+            self.runtime.head_cfg.output_dim
+            if self.runtime.head_cfg.project
+            else self.runtime.cfg.hidden_size
         )
         # Device-resident token-embedding cache keyed by doc_id (HBM;
         # per-query host traffic = the candidate id list only).
@@ -53,7 +63,7 @@ class ColBERTScorer:
 
             self._cache = DeviceTokenCache(
                 seq_len=config.stage2_max_seq_length,
-                dim=self.runtime.head_cfg.output_dim,
+                dim=self.token_dim,
                 max_docs=config.stage2_cache_max_docs,
             )
 
@@ -263,10 +273,12 @@ class ColBERTScorer:
 
     def get_model_info(self) -> dict[str, Any]:
         return {
+            "weights_loaded": getattr(self.runtime, "weights_loaded", False),
             "model": self.config.stage2_model,
             "max_seq_length": self.config.stage2_max_seq_length,
             "scoring_method": self.config.stage2_scoring_method,
-            "output_dim": self.runtime.head_cfg.output_dim,
+            "output_dim": self.token_dim,
+            "use_projection": self.runtime.head_cfg.project,
             "cache_enabled": self.config.stage2_cache_doc_embeddings,
             "cached_docs": self._cache.size if self._cache else 0,
         }

@@ -131,6 +131,7 @@ class CrossEncoderReranker:
 
     def get_model_info(self) -> dict[str, Any]:
         return {
+            "weights_loaded": getattr(self.runtime, "weights_loaded", False),
             "model": self.config.stage3_model,
             "max_length": self.config.stage3_max_length,
             "activation": self.config.stage3_activation,

@@ -7,27 +7,55 @@ pipeline through MTEB's model interface for users who want
 
 * ``encode`` routes corpus vs query by prompt/task-name keywords and
   indexes corpus batches into the pipeline as a side effect
-  (tristage_mteb_model.py:135-200),
+  (tristage_mteb_model.py:135-200, :238-251); embeddings go through a
+  cached EmbeddingService (the reference caches corpus/query embeddings
+  keyed by task + content hash, :94-98 — the service generalizes that
+  to per-text LRU caching),
 * ``search`` runs the full tri-stage funnel, maps internal int ids ->
   external corpus ids, score preference stage3>stage2>stage1 (:253-308),
 * ``predict`` handles (query, doc)-pairs mode: index unique docs once
   (keyed by doc-set hash), group pairs by query, full pipeline per
-  query, scores mapped back with a 0.0 default (:327-379).
+  query, scores mapped back with a 0.0 default (:327-379),
+* ``search_cross_encoder`` returns ``{query_id: {doc_id: score}}`` with
+  corpus extraction from dict / list-of-dicts / iterable (:402-481),
+* ``ModelCard`` metadata + best-effort mteb model registration
+  (:20-40, :529-555).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import logging
 from typing import Any, Optional, Sequence
 
 import numpy as np
 
+from tristage_rag_tpu.engine.embedding_service import EmbeddingService
 from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+from tristage_rag_tpu.version import __version__
 
 logger = logging.getLogger(__name__)
 
 _QUERY_HINTS = ("query", "question", "queries")
+
+
+@dataclasses.dataclass
+class ModelCard:
+    """Model metadata in MTEB's ModelMeta shape
+    (benchmark/tristage_mteb_model.py:20-40)."""
+
+    name: str = "tristage-rag-tpu"
+    revision: str = __version__
+    release_date: str = "2026-08-16"
+    languages: tuple[str, ...] = ("eng-Latn",)
+    framework: tuple[str, ...] = ("JAX",)
+    similarity_fn_name: str = "cosine"
+    n_parameters: Optional[int] = None
+    embed_dim: Optional[int] = None
+
+    def as_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
 
 
 class TriStageMTEBModel:
@@ -38,6 +66,26 @@ class TriStageMTEBModel:
         self.top_k = top_k
         self._ext_ids: list[str] = []
         self._indexed_hash: Optional[str] = None
+        self._embedder: Optional[EmbeddingService] = None
+        self.model_card = ModelCard()
+
+    @property
+    def mteb_model_meta(self):  # attribute probed by MTEB v2
+        return self.model_card
+
+    def _service(self) -> EmbeddingService:
+        if self._embedder is None:
+            self.pipeline.initialize_stages()
+            s1 = self.pipeline.stage1
+            self._embedder = EmbeddingService(
+                s1.runtime,
+                s1.tokenizer,
+                max_length=self.pipeline.config.stage1_max_text_length,
+                batch_size=self.pipeline.config.stage1_batch_size,
+                cache_size=4096,
+            )
+            self.model_card.embed_dim = s1.embedding_dim
+        return self._embedder
 
     # -- encode ------------------------------------------------------------
 
@@ -49,38 +97,71 @@ class TriStageMTEBModel:
         task_name: Optional[str] = None,
         **kwargs,
     ) -> np.ndarray:
-        """Bi-encoder embeddings; corpus batches are also indexed."""
-        self.pipeline.initialize_stages()
-        is_query = any(
-            h in (prompt_name or "").lower() or h in (task_name or "").lower()
-            for h in _QUERY_HINTS
-        ) and "corpus" not in (prompt_name or "").lower()
-        if not is_query and "passage" not in (prompt_name or "").lower():
-            # MTEB calls encode(corpus) before search; heuristically the
-            # non-query call carries documents (reference keys off the
-            # same hints, tristage_mteb_model.py:135-161).
-            pass
-        emb = self.pipeline.stage1.encode(list(sentences))
+        """Bi-encoder embeddings via the cached EmbeddingService.
+
+        Corpus calls (the non-query route) also index the sentences
+        into the pipeline so a later ``search``/``predict`` finds them
+        — the reference's encode side effect
+        (tristage_mteb_model.py:163-200).
+        """
+        sentences = list(sentences)
+        hints = f"{prompt_name or ''} {task_name or ''}".lower()
+        is_query = (
+            any(h in hints for h in _QUERY_HINTS) and "corpus" not in hints
+        )
+        emb = self._service().encode(
+            sentences, kind="query" if is_query else "document"
+        )
+        if not is_query and sentences:
+            self._index_texts(sentences)
         return emb
 
     # -- retrieval (MTEB DenseRetrievalExactSearch protocol) ---------------
 
-    def _ensure_indexed(self, corpus: dict[str, dict[str, str]]) -> None:
+    def _index_texts(self, docs: list[str]) -> None:
+        """Index raw corpus texts (encode side effect), keyed by content
+        hash so repeated encode() calls don't re-index."""
+        key = hashlib.sha256("\x00".join(docs).encode()).hexdigest()
+        if key == self._indexed_hash:
+            return
+        ext_ids = [str(i) for i in range(len(docs))]
+        self.pipeline.clear_index()
+        self.pipeline.add_documents(docs, [{"corpus_id": c} for c in ext_ids])
+        self._ext_ids = ext_ids
+        self._indexed_hash = key
+
+    @staticmethod
+    def _corpus_to_dict(corpus: Any) -> dict[str, Any]:
+        """Normalize MTEB's corpus shapes: id->entry dict, list of dicts
+        with id fields, or a plain iterable of texts
+        (tristage_mteb_model.py:402-481)."""
+        if isinstance(corpus, dict):
+            return corpus
+        out: dict[str, Any] = {}
+        for i, entry in enumerate(corpus):
+            if isinstance(entry, dict):
+                cid = str(entry.get("id", entry.get("_id", i)))
+                out[cid] = entry
+            else:
+                out[str(i)] = {"text": str(entry)}
+        return out
+
+    @staticmethod
+    def _entry_text(entry: Any) -> str:
+        if isinstance(entry, dict):
+            title = entry.get("title", "")
+            text = entry.get("text", "")
+            return f"{title} {text}".strip() if title else text
+        return str(entry)
+
+    def _ensure_indexed(self, corpus: dict[str, Any]) -> None:
         key = hashlib.sha256(
             ("\x00".join(sorted(corpus.keys()))).encode()
         ).hexdigest()
         if key == self._indexed_hash:
             return
         ext_ids = list(corpus.keys())
-        docs = []
-        for cid in ext_ids:
-            entry = corpus[cid]
-            if isinstance(entry, dict):
-                title = entry.get("title", "")
-                text = entry.get("text", "")
-                docs.append(f"{title} {text}".strip() if title else text)
-            else:
-                docs.append(str(entry))
+        docs = [self._entry_text(corpus[cid]) for cid in ext_ids]
         self.pipeline.clear_index()
         self.pipeline.add_documents(docs, [{"corpus_id": c} for c in ext_ids])
         self._ext_ids = ext_ids
@@ -94,7 +175,7 @@ class TriStageMTEBModel:
         **kwargs,
     ) -> dict[str, dict[str, float]]:
         top_k = top_k or self.top_k
-        self._ensure_indexed(corpus)
+        self._ensure_indexed(self._corpus_to_dict(corpus))
         out: dict[str, dict[str, float]] = {}
         for qid, qtext in queries.items():
             res = self.pipeline.search(qtext, top_k)["results"]
@@ -105,6 +186,22 @@ class TriStageMTEBModel:
                     scored[self._ext_ids[idx]] = self._score(r)
             out[qid] = scored
         return out
+
+    def search_cross_encoder(
+        self,
+        corpus: Any,
+        queries: Any,
+        top_k: Optional[int] = None,
+        **kwargs,
+    ) -> dict[str, dict[str, float]]:
+        """Full-funnel search (stage 3 IS the cross-encoder) returning
+        ``{query_id: {doc_id: stage3 score}}``
+        (benchmark/tristage_mteb_model.py:402-481). Accepts the same
+        loose corpus shapes as the reference; queries may be a dict or
+        an iterable of texts (ids become "0", "1", ...)."""
+        if not isinstance(queries, dict):
+            queries = {str(i): str(q) for i, q in enumerate(queries)}
+        return self.search(corpus, queries, top_k=top_k)
 
     @staticmethod
     def _score(r: dict[str, Any]) -> float:
@@ -134,6 +231,33 @@ class TriStageMTEBModel:
             for i in pair_idxs:
                 scores[i] = doc_scores.get(pairs[i][1], 0.0)
         return scores
+
+    def cache_info(self) -> dict:
+        """Embedding-cache hit statistics (EmbeddingService)."""
+        return self._service().cache_info()
+
+
+def register_model(model: Optional[TriStageMTEBModel] = None) -> bool:
+    """Best-effort registration with mteb's model registry, mirroring
+    the reference's exec-guarded Model.register
+    (tristage_mteb_model.py:529-555). Returns True if registered."""
+    try:
+        import mteb
+    except ImportError:
+        return False
+    card = (model.model_card if model else ModelCard()).as_dict()
+    try:
+        registry = getattr(mteb, "models", None)
+        register = getattr(registry, "register", None) or getattr(
+            mteb, "register_model", None
+        )
+        if register is None:
+            return False
+        register(card["name"], card)
+        return True
+    except Exception:
+        logger.debug("mteb model registration skipped", exc_info=True)
+        return False
 
 
 def make_mteb_tasks(data_dir: str):

@@ -1,0 +1,109 @@
+"""Device-resident stage-3 document token-id cache.
+
+The cross-encoder's host cost is tokenizing ``top_k`` (query, doc)
+pairs per query. Documents don't change between queries, so their
+token ids are cached ON DEVICE at indexing time, aligned with
+DenseIndex row ids; at query time the fused searcher gathers candidate
+rows by id and splices the (host-tokenized) query in front of them
+inside the same XLA program (engine/fused.py) — no per-query document
+tokenization, no host->device candidate traffic.
+
+Rows are stored WITH their trailing [SEP] so a gathered row is exactly
+the ``d [SEP]`` tail of the reference's ``[CLS] q [SEP] d [SEP]`` pair
+encoding (src/stage3_reranker.py:139-160). Memory is 4 bytes/token:
+~1 KB per doc at 224 tokens, 1 GB per million docs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MIN_CAPACITY = 256
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter(buf, len_buf, rows, lens, ids):
+    buf = buf.at[ids].set(rows)
+    len_buf = len_buf.at[ids].set(lens)
+    return buf, len_buf
+
+
+class DocTokenCache:
+    """[capacity, seq_len] i32 token ids + [capacity] i32 lengths."""
+
+    def __init__(self, seq_len: int, sep_id: int, max_docs: int = 2_000_000):
+        self.seq_len = seq_len
+        self.sep_id = sep_id
+        self.max_docs = max_docs
+        self.capacity = 0
+        self._buf: Optional[jax.Array] = None
+        self._len: Optional[jax.Array] = None
+        self._present: set[int] = set()
+
+    def __contains__(self, doc_id: int) -> bool:
+        return doc_id in self._present
+
+    @property
+    def size(self) -> int:
+        return len(self._present)
+
+    def state(self) -> tuple[jax.Array, jax.Array]:
+        """(token buffer [cap, L] i32, lengths [cap] i32) device arrays."""
+        return self._buf, self._len
+
+    def _ensure_capacity(self, max_id: int) -> bool:
+        needed = max_id + 1
+        if needed > self.max_docs:
+            return False
+        if needed <= self.capacity:
+            return True
+        cap = max(MIN_CAPACITY, self.capacity or MIN_CAPACITY)
+        while cap < needed:
+            cap *= 2
+        cap = min(cap, self.max_docs)
+        new_buf = jnp.zeros((cap, self.seq_len), dtype=jnp.int32)
+        new_len = jnp.zeros((cap,), dtype=jnp.int32)
+        if self._buf is not None and self.capacity:
+            new_buf = new_buf.at[: self.capacity].set(self._buf)
+            new_len = new_len.at[: self.capacity].set(self._len)
+        self._buf, self._len = new_buf, new_len
+        self.capacity = cap
+        return True
+
+    def add(self, doc_ids, documents, tokenizer) -> int:
+        """Tokenize ``documents`` (truncated to seq_len - 1 tokens, then
+        ``[SEP]`` appended) and store at rows ``doc_ids``. Returns how
+        many were stored (0 if over the cap)."""
+        ids = np.asarray(list(doc_ids), dtype=np.int32)
+        if ids.size == 0:
+            return 0
+        if not self._ensure_capacity(int(ids.max())):
+            return 0
+        rows = np.zeros((ids.size, self.seq_len), dtype=np.int32)
+        lens = np.zeros((ids.size,), dtype=np.int32)
+        budget = self.seq_len - 1
+        for r, text in enumerate(documents):
+            tok = tokenizer.tokenize_to_ids(text)[:budget]
+            tok.append(self.sep_id)
+            rows[r, : len(tok)] = tok
+            lens[r] = len(tok)
+        self._buf, self._len = _scatter(
+            self._buf, self._len, jnp.asarray(rows), jnp.asarray(lens),
+            jnp.asarray(ids),
+        )
+        self._present.update(int(i) for i in ids)
+        return int(ids.size)
+
+    def covers_count(self, count: int) -> bool:
+        """True when every row id in [0, count) is cached."""
+        return len(self._present) >= count and count <= self.capacity
+
+    def clear(self) -> None:
+        self._present = set()
+        if self._len is not None:
+            self._len = jnp.zeros_like(self._len)

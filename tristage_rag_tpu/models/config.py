@@ -103,12 +103,21 @@ class PoolingConfig:
 
 @dataclasses.dataclass(frozen=True)
 class ColBERTConfig:
-    """Late-interaction head: linear projection to a small token dim."""
+    """Late-interaction head: linear projection to a small token dim.
+
+    ``project=False`` scores MaxSim on raw last-hidden-state tokens —
+    the reference's behavior (src/stage2_rescorer.py:156-165 applies NO
+    projection even for checkpoints that ship one). Default True uses
+    the checkpoint's intended PyLate ``1_Dense`` projection; the
+    divergence is flagged in PARITY.md and toggled by
+    ``stage2_use_projection``.
+    """
 
     output_dim: int = 128
     normalize: bool = True
     query_max_len: int = 32
     doc_max_len: int = 192
+    project: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

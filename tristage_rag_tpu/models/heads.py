@@ -81,9 +81,15 @@ class ColBERTEncoder(nn.Module):
             input_ids, attn_mask, token_type_ids
         )
         dt = compute_dtype(self.cfg)
-        tok = nn.Dense(
-            self.head.output_dim, use_bias=False, dtype=dt, name="colbert_proj"
-        )(hidden).astype(jnp.float32)
+        if self.head.project:
+            tok = nn.Dense(
+                self.head.output_dim, use_bias=False, dtype=dt,
+                name="colbert_proj",
+            )(hidden).astype(jnp.float32)
+        else:
+            # reference-faithful raw-hidden-state MaxSim
+            # (src/stage2_rescorer.py:156-165)
+            tok = hidden.astype(jnp.float32)
         if self.head.normalize:
             tok = l2_normalize(tok)
         # Zero out padded positions so downstream kernels can rely on it.

@@ -447,13 +447,20 @@ def load_checkpoint(
         for i, (_, kernel) in enumerate(dense):
             params[f"proj_{i}"] = {"kernel": kernel}
     elif kind == "colbert":
-        dense = _st_dense_modules(path)
-        if dense:
-            out_dim, kernel = dense[0]
-            head = dataclasses.replace(fallback_head, output_dim=out_dim)
-            params["colbert_proj"] = {"kernel": kernel}
+        if not fallback_head.project:
+            # reference-faithful mode: score raw hidden states, skip the
+            # checkpoint's projection entirely (stage2_use_projection)
+            head = fallback_head
         else:
-            raise ValueError("ColBERT checkpoint missing Dense projection module")
+            dense = _st_dense_modules(path)
+            if dense:
+                out_dim, kernel = dense[0]
+                head = dataclasses.replace(fallback_head, output_dim=out_dim)
+                params["colbert_proj"] = {"kernel": kernel}
+            else:
+                raise ValueError(
+                    "ColBERT checkpoint missing Dense projection module"
+                )
     elif kind == "cross":
         head = fallback_head
         cls_w = _maybe(state, "classifier.weight")

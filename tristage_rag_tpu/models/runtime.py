@@ -183,8 +183,13 @@ class EncoderRuntime:
             embs.append(out)
             masks.append(tb.attn_mask)
         if not embs:
+            dim = (
+                self.head_cfg.output_dim
+                if getattr(self.head_cfg, "project", True)
+                else self.cfg.hidden_size
+            )
             return (
-                np.zeros((0, max_length, self.head_cfg.output_dim), np.float32),
+                np.zeros((0, max_length, dim), np.float32),
                 np.zeros((0, max_length), np.int32),
             )
         return np.concatenate(embs, 0), np.concatenate(masks, 0)
