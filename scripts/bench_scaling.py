@@ -1,0 +1,107 @@
+"""Data-parallel scaling evidence for the sharded dense index.
+
+Context: VERDICT r1 next-7 asked for measured dp scaling. This host has
+ONE physical core, so wall-clock over an 8-way *virtual* CPU mesh
+cannot show real speedup (all virtual devices timeshare the core) —
+and real multi-chip hardware is not available this round. What CAN be
+measured faithfully here:
+
+1. **Per-device compiled cost** — XLA's cost analysis of the compiled
+   SPMD module. Under shard_map the module is the per-device program,
+   so its FLOPs dropping ~1/n with mesh size is compile-level proof
+   that each chip does 1/n of the scan (the quantity that sets
+   wall-clock on real chips, where the matmul is HBM/MXU bound and
+   the all-gather of k-sized partials rides ICI).
+2. **Result parity** — sharded top-k must equal single-device exactly
+   at every mesh size (extends tests/test_index.py's 8-way parity).
+
+Prints a table plus one JSON line per mesh size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+N_DOCS = 32_768
+DIM = 256
+K = 128
+BATCH = 8
+
+
+def per_device_flops(idx, queries) -> float:
+    """FLOPs of the compiled per-device SPMD search program."""
+    from tristage_rag_tpu.index.dense import _sharded_topk
+    import jax.numpy as jnp
+
+    if idx.mesh is None or idx._shards <= 1:
+        from tristage_rag_tpu.ops.topk import masked_topk
+
+        lowered = jax.jit(
+            lambda q, buf, cnt: masked_topk(q, buf, cnt, k=K)
+        ).lower(jnp.asarray(queries), idx._buf, jnp.int32(idx.count))
+    else:
+        cnt = jnp.asarray([idx.count], dtype=jnp.int32)
+        lowered = jax.jit(
+            lambda q, buf, cnt, mask, scales: _sharded_topk(
+                q, buf, cnt, mask, scales, K, idx.mesh, idx.data_axis
+            )
+        ).lower(jnp.asarray(queries), idx._buf, cnt, idx._del_mask, idx._scales)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost.get("flops", float("nan")))
+
+
+def main() -> None:
+    from tristage_rag_tpu.index.dense import DenseIndex
+    from tristage_rag_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(0)
+    docs = rng.standard_normal((N_DOCS, DIM)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    queries = docs[:BATCH]
+
+    base_scores = base_ids = None
+    rows = []
+    for n in (1, 2, 4, 8):
+        mesh = create_mesh(n) if n > 1 else None
+        idx = DenseIndex(dim=DIM, mesh=mesh)
+        idx.add(docs)
+        scores, ids = idx.search(queries, k=K)
+        if base_ids is None:
+            base_scores, base_ids = scores, ids
+        else:
+            np.testing.assert_array_equal(ids, base_ids)
+            np.testing.assert_allclose(scores, base_scores, atol=1e-5)
+        flops = per_device_flops(idx, queries)
+        rows.append((n, flops))
+        print(json.dumps({
+            "mesh_devices": n,
+            "per_device_flops": flops,
+            "flops_vs_1dev": flops / rows[0][1],
+            "parity_vs_single_device": "exact",
+        }))
+
+    print("\n# per-device compiled FLOPs vs mesh size "
+          f"({N_DOCS} docs x {DIM}d, k={K}, batch={BATCH}):")
+    for n, flops in rows:
+        print(f"#   {n} device(s): {flops:.3e} flops/device "
+              f"({rows[0][1] / flops:.2f}x less work per device)")
+
+
+if __name__ == "__main__":
+    main()

@@ -105,17 +105,28 @@ class TestFusion:
         np.testing.assert_allclose(scores, [v for _, v in expect], rtol=1e-12)
 
     def test_weighted_fusion(self):
+        # reference semantics: score / max per list
+        # (src/stage1_retriever.py:350-360)
         ids, scores = weighted_fusion(
             np.array([0, 1]), np.array([2.0, 1.0]),
             np.array([1, 2]), np.array([5.0, 0.0]),
             dense_weight=0.7, sparse_weight=0.3,
         )
         d = dict(zip(ids.tolist(), scores.tolist()))
-        # doc1: dense minmax = 0, sparse minmax = 1 -> 0.3
-        assert d[1] == pytest.approx(0.3)
-        assert d[0] == pytest.approx(0.7)
-        assert d[2] == pytest.approx(0.0)
-        assert ids[0] == 0
+        assert d[0] == pytest.approx(0.7)           # 0.7 * 2/2
+        assert d[1] == pytest.approx(0.35 + 0.3)    # 0.7 * 1/2 + 0.3 * 5/5
+        assert d[2] == pytest.approx(0.0)           # 0.3 * 0/5
+        assert ids[0] == 0                          # 0.7 > 0.65
+
+    def test_weighted_fusion_zero_max_guard(self):
+        # all-zero sparse list contributes 0 (the reference would divide
+        # by zero here)
+        ids, scores = weighted_fusion(
+            np.array([0]), np.array([1.0]),
+            np.array([1]), np.array([0.0]),
+        )
+        d = dict(zip(ids.tolist(), scores.tolist()))
+        assert d[0] == pytest.approx(0.7) and d[1] == pytest.approx(0.0)
 
     def test_empty(self):
         ids, scores = reciprocal_rank_fusion([[], []])

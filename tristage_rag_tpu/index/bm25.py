@@ -160,8 +160,13 @@ class BM25Index:
         if n == 0:
             return []
         top_k = min(top_k, n)
-        part = np.argpartition(-scores, top_k - 1)[:top_k]
-        order = part[np.argsort(-scores[part], kind="stable")]
+        # Stable full sort, NOT argpartition: ties (zero-score docs in
+        # particular) must come out in doc-id order to match the
+        # reference's stable list.sort (stage1_retriever.py:103-112) —
+        # argpartition selects an arbitrary subset of boundary ties,
+        # which perturbs downstream RRF ranks (caught by
+        # tests/test_reference_parity.py).
+        order = np.argsort(-scores, kind="stable")[:top_k]
         return [(int(i), float(scores[i])) for i in order]
 
     # ---- persistence (JSON + npz; never pickle — SURVEY.md §5.4) --------

@@ -9,8 +9,8 @@ can run as one XLA program (engine/fused.py).
 Semantics match ops/fusion.py (tested against it):
 
 * RRF: score(d) = sum over lists of 1/(rrf_k + rank), rank 1-based.
-* Weighted: per-list min-max normalisation (degenerate lists -> all
-  ones, mirroring ops/fusion.py::_minmax), then weighted sum.
+* Weighted: per-list MAX-normalisation (score / max, zero max -> 0,
+  mirroring ops/fusion.py::_maxnorm), then weighted sum.
 
 Tie order also matches: the host sorts a dict built dense-first with a
 stable argsort; here the concatenated candidate array is dense-first and
@@ -75,14 +75,14 @@ def rrf_fuse_device(
     return _merge(dense_ids, sparse_ids, d_total, b_contrib, eq, k)
 
 
-def _minmax_device(scores: jax.Array, valid: jax.Array) -> jax.Array:
-    """Min-max over valid entries; all-equal lists normalise to 1.0
-    (parity with ops/fusion.py::_minmax)."""
+def _maxnorm_device(scores: jax.Array, valid: jax.Array) -> jax.Array:
+    """score / max over valid entries; zero max -> 0 (parity with
+    ops/fusion.py::_maxnorm)."""
     s = scores.astype(jnp.float32)
-    lo = jnp.min(jnp.where(valid, s, jnp.inf))
-    hi = jnp.max(jnp.where(valid, s, -jnp.inf))
-    span = hi - lo
-    return jnp.where(span < 1e-12, 1.0, (s - lo) / jnp.maximum(span, 1e-30))
+    mx = jnp.max(jnp.where(valid, s, -jnp.inf))
+    return jnp.where(
+        jnp.abs(mx) < 1e-12, 0.0, s / jnp.where(jnp.abs(mx) < 1e-12, 1.0, mx)
+    )
 
 
 def weighted_fuse_device(
@@ -94,12 +94,12 @@ def weighted_fuse_device(
     dense_weight: float = 0.7,
     sparse_weight: float = 0.3,
 ) -> tuple[jax.Array, jax.Array]:
-    """Min-max-normalised weighted fusion on device (see rrf_fuse_device
+    """Max-normalised weighted fusion on device (see rrf_fuse_device
     for the shape/padding contract)."""
     d_valid = dense_ids >= 0
     b_valid = sparse_ids >= 0
-    dn = _minmax_device(dense_scores, d_valid) * dense_weight
-    bn = _minmax_device(sparse_scores, b_valid) * sparse_weight
+    dn = _maxnorm_device(dense_scores, d_valid) * dense_weight
+    bn = _maxnorm_device(sparse_scores, b_valid) * sparse_weight
     eq = _match(dense_ids, sparse_ids)
     d_total = dn + jnp.sum(jnp.where(eq, bn[None, :], 0.0), axis=1)
     return _merge(dense_ids, sparse_ids, d_total, bn, eq, k)

@@ -6,8 +6,12 @@ reference:
 
 * RRF: score(d) = sum over systems of 1 / (rrf_k + rank_d), rank is
   1-based (src/stage1_retriever.py:326-343).
-* Weighted: min-max normalise each system's scores to [0, 1], then
-  ``dense_w * dense + sparse_w * sparse`` (src/stage1_retriever.py:345-366).
+* Weighted: MAX-normalise each system's scores (score / max — the
+  reference's exact scheme, src/stage1_retriever.py:350-360; NOT
+  min-max), then ``dense_w * dense + sparse_w * sparse``. Verified
+  against the executed reference in tests/test_reference_parity.py.
+  One guard the reference lacks: a zero max contributes 0 instead of
+  dividing by zero.
 """
 
 from __future__ import annotations
@@ -40,13 +44,15 @@ def reciprocal_rank_fusion(
     return ids[order], scores[order]
 
 
-def _minmax(scores: np.ndarray) -> np.ndarray:
+def _maxnorm(scores: np.ndarray) -> np.ndarray:
+    """score / max(score) — reference semantics
+    (src/stage1_retriever.py:352-360), guarded against max == 0."""
     if scores.size == 0:
         return scores
-    lo, hi = float(scores.min()), float(scores.max())
-    if hi - lo < 1e-12:
-        return np.ones_like(scores)
-    return (scores - lo) / (hi - lo)
+    mx = float(scores.max())
+    if abs(mx) < 1e-12:
+        return np.zeros_like(scores)
+    return scores / mx
 
 
 def weighted_fusion(
@@ -57,9 +63,9 @@ def weighted_fusion(
     dense_weight: float = 0.7,
     sparse_weight: float = 0.3,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Min-max-normalised weighted score fusion of two result lists."""
-    dn = _minmax(np.asarray(dense_scores, dtype=np.float64))
-    sn = _minmax(np.asarray(sparse_scores, dtype=np.float64))
+    """Max-normalised weighted score fusion of two result lists."""
+    dn = _maxnorm(np.asarray(dense_scores, dtype=np.float64))
+    sn = _maxnorm(np.asarray(sparse_scores, dtype=np.float64))
     fused: dict[int, float] = {}
     for doc_id, s in zip(np.asarray(dense_ids).tolist(), dn.tolist()):
         fused[doc_id] = fused.get(doc_id, 0.0) + dense_weight * s
