@@ -108,15 +108,19 @@ def main():
         "index shard latency search",
     ]
 
-    print(f"# rtt_probe: {rtt_probe():.1f} ms")
+    print(f"# rtt_probe: {rtt_probe():.1f} ms", flush=True)
 
     p = RetrievalPipeline(PipelineConfig(enable_fused_search=True, **base))
     t0 = time.time()
     p.add_documents(docs)
     print(f"# indexed {args.docs} docs in {time.time()-t0:.1f}s "
-          f"({args.docs/(time.time()-t0):.0f} docs/s)")
+          f"({args.docs/(time.time()-t0):.0f} docs/s)", flush=True)
     fused = measure(p, queries, reps=args.reps)
-    print(f"# fused: {json.dumps(fused)}")
+    print(f"# fused: {json.dumps(fused)}", flush=True)
+    if p._fused is not None and p._fused.ready():
+        probe = p._fused.device_time_probe(queries[0], iters=32)
+        print(f"# device_time_probe: {json.dumps(probe)}", flush=True)
+        fused["device_ms"] = probe["per_query_ms"]
 
     if args.staged_also:
         p2 = RetrievalPipeline(PipelineConfig(enable_fused_search=False, **base))

@@ -185,6 +185,33 @@ class TestFusedVsStaged:
         assert all(r["doc_id"] != target for r in out["results"])
         assert all(r["doc_id"] != target for r in out["stage1_results"])
 
+    def test_batch_search_matches_individual(self, fused_and_staged):
+        """The one-dispatch lax.map batch path returns exactly what N
+        individual fused searches return."""
+        fused, _, _ = fused_and_staged
+        queries = self.QUERIES[:3]
+        batch = fused.batch_search(queries, top_k=5)
+        for q, resp in zip(queries, batch):
+            single = fused.search(q, top_k=5)
+            assert resp["timing"].get("fused") is True
+            assert [r["doc_id"] for r in resp["results"]] == [
+                r["doc_id"] for r in single["results"]
+            ]
+            for rb, rs in zip(resp["results"], single["results"]):
+                assert rb["stage3_score"] == pytest.approx(
+                    rs["stage3_score"], rel=1e-5, abs=1e-6
+                )
+
+    def test_batch_search_matches_staged_batch(self, fused_and_staged):
+        fused, staged, _ = fused_and_staged
+        queries = self.QUERIES[:2]
+        bf = fused.batch_search(queries, top_k=4)
+        bs = staged.batch_search(queries, top_k=4)
+        for rf, rs in zip(bf, bs):
+            assert [r["doc_id"] for r in rf["results"]] == [
+                r["doc_id"] for r in rs["results"]
+            ]
+
     def test_fused_survives_incremental_add(self, fused_and_staged):
         fused, _, _ = fused_and_staged
         fused.add_documents(["a brand new document about zebras zz17"])

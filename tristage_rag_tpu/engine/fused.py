@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Any, Optional
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -102,7 +102,7 @@ class FusedSearcher:
         s2_module = self.stage2.runtime.module
         s3_module = self.stage3.runtime.module
 
-        def fn(
+        def core(
             s1_params, s2_params, s3_params,
             s1_ids, s1_mask, s1_types,          # [1, L1]
             s2_ids, s2_mask,                    # [1, L2q]
@@ -111,7 +111,7 @@ class FusedSearcher:
             bm_ids, bm_scores,                  # [kb] i32 / f32 (padded -1/0)
             s2_buf, s2_mask_buf,                # ColBERT token cache
             d3_buf, d3_len,                     # stage-3 doc token cache
-            *, k1, k2, impl, use_bm25,
+            k1, k2, impl, use_bm25,
         ):
             # ---- stage 1: bi-encode + masked top-k over the corpus buffer
             q_emb = s1_module.apply({"params": s1_params}, s1_ids, s1_mask, s1_types)
@@ -198,6 +198,46 @@ class FusedSearcher:
             ])
             return payload
 
+        def fn(*args, k1, k2, impl, use_bm25):
+            return core(*args, k1, k2, impl, use_bm25)
+
+        def fn_batch(
+            s1_params, s2_params, s3_params,
+            b_s1_ids, b_s1_mask, b_s1_types,    # [B, L1]
+            b_s2_ids, b_s2_mask,                # [B, L2q]
+            b_q3_row, b_q3_len,                 # [B, Rq], [B]
+            corpus, count, bias, scale,
+            b_bm_ids, b_bm_scores,              # [B, kb]
+            s2_buf, s2_mask_buf, d3_buf, d3_len,
+            *, k1, k2, impl, use_bm25,
+        ):
+            # ONE dispatch for the whole query batch: lax.map runs the
+            # per-query funnel sequentially on device (peak memory =
+            # one query's working set), so N queries cost N device
+            # executions but only one host round trip — the reference
+            # loops batch_search on the host instead
+            # (src/retrieval_pipeline.py:426-448).
+            def body(qa):
+                i1, m1, t1, i2, m2, q3r, q3l, bmi, bms = qa
+                return core(
+                    s1_params, s2_params, s3_params,
+                    i1[None], m1[None], t1[None],
+                    i2[None], m2[None],
+                    q3r, q3l,
+                    corpus, count, bias, scale,
+                    bmi, bms,
+                    s2_buf, s2_mask_buf, d3_buf, d3_len,
+                    k1, k2, impl, use_bm25,
+                )
+
+            return jax.lax.map(body, (
+                b_s1_ids, b_s1_mask, b_s1_types, b_s2_ids, b_s2_mask,
+                b_q3_row, b_q3_len, b_bm_ids, b_bm_scores,
+            ))
+
+        self._fn_batch = jax.jit(
+            fn_batch, static_argnames=("k1", "k2", "impl", "use_bm25")
+        )
         return jax.jit(fn, static_argnames=("k1", "k2", "impl", "use_bm25"))
 
     # ---- the host wrapper ----------------------------------------------------
@@ -259,20 +299,147 @@ class FusedSearcher:
             k1=k1, k2=k2, impl=impl, use_bm25=use_bm25,
         )
         # ONE device->host transfer for everything the host needs
-        payload = np.asarray(payload)
+        total_time = time.time() - t0
+        return self._format(
+            query, top_k, *self._unpack(np.asarray(payload), k1, k2),
+            total_time,
+        )
+
+    @staticmethod
+    def _unpack(payload: np.ndarray, k1: int, k2: int):
+        """Split a packed payload row back into (f_s, f_i, top2_s, ids2,
+        s1_of_2, s3_scores)."""
         ids = payload[: k1 + k2].view(np.int32)
         f_i, ids2 = ids[:k1], ids[k1:]
         floats = payload[k1 + k2 :]
-        f_s = floats[:k1]
-        top2_s = floats[k1 : k1 + k2]
-        s1_of_2 = floats[k1 + k2 : k1 + 2 * k2]
-        s3_scores = floats[k1 + 2 * k2 :]
-        total_time = time.time() - t0
-
-        return self._format(
-            query, top_k, f_s, f_i, top2_s, ids2, s1_of_2, s3_scores,
-            total_time,
+        return (
+            floats[:k1], f_i,
+            floats[k1 : k1 + k2], ids2,
+            floats[k1 + k2 : k1 + 2 * k2],
+            floats[k1 + 2 * k2 :],
         )
+
+    def search_batch(
+        self, queries: Sequence[str], top_k: Optional[int] = None
+    ) -> list[dict[str, Any]]:
+        """All queries in ONE device dispatch (lax.map over the fused
+        funnel) + one fetch — the host never round-trips between
+        queries."""
+        cfg = self.config
+        s1 = self.stage1
+        t0 = time.time()
+
+        prompt = s1.runtime.prompts.get("query", "")
+        tb1 = s1.tokenizer.encode_batch(
+            [prompt + q for q in queries], cfg.stage1_max_text_length
+        )
+        max_q2 = min(
+            self.stage2.runtime.head_cfg.query_max_len,
+            cfg.stage2_max_seq_length,
+        )
+        tb2 = self.stage2.tokenizer.encode_batch(
+            list(queries), max_q2, buckets=(max_q2,)
+        )
+        t3 = self.stage3.tokenizer
+        nb = len(queries)
+        q3_rows = np.zeros((nb, self.q_reserve), dtype=np.int32)
+        q3_lens = np.zeros(nb, dtype=np.int32)
+        for r, q in enumerate(queries):
+            q3 = [t3.cls_id] + t3.tokenize_to_ids(q)[: self.q_reserve - 2] \
+                + [t3.sep_id]
+            q3_rows[r, : len(q3)] = q3
+            q3_lens[r] = len(q3)
+
+        kb = cfg.stage1_bm25_top_k
+        bm_ids = np.full((nb, kb), -1, dtype=np.int32)
+        bm_scores = np.zeros((nb, kb), dtype=np.float32)
+        use_bm25 = s1.bm25 is not None and s1.bm25.corpus_size > 0
+        if use_bm25:
+            deleted = getattr(s1, "deleted_ids", set())
+            for r, q in enumerate(queries):
+                sparse = [
+                    (d, sc) for d, sc in s1.bm25.search(q, kb)
+                    if d not in deleted
+                ]
+                for rank, (d, sc) in enumerate(sparse[:kb]):
+                    bm_ids[r, rank], bm_scores[r, rank] = d, sc
+
+        corpus, count, bias, scale, impl = s1.index.search_state()
+        k1 = max(min(cfg.stage1_top_k, s1.index.capacity), 1)
+        k2 = max(min(cfg.stage2_top_k, k1), 1)
+
+        payloads = np.asarray(self._fn_batch(
+            s1.runtime.params,
+            self.stage2.runtime.params,
+            self.stage3.runtime.params,
+            jnp.asarray(tb1.input_ids), jnp.asarray(tb1.attn_mask),
+            jnp.asarray(tb1.token_type_ids),
+            jnp.asarray(tb2.input_ids), jnp.asarray(tb2.attn_mask),
+            jnp.asarray(q3_rows), jnp.asarray(q3_lens),
+            corpus, count, bias, scale,
+            jnp.asarray(bm_ids), jnp.asarray(bm_scores),
+            self.stage2._cache._buf, self.stage2._cache._mask,
+            *self.doc_tokens.state(),
+            k1=k1, k2=k2, impl=impl, use_bm25=use_bm25,
+        ))
+        per_query = (time.time() - t0) / max(nb, 1)
+        return [
+            self._format(
+                q, top_k, *self._unpack(payloads[r], k1, k2), per_query
+            )
+            for r, q in enumerate(queries)
+        ]
+
+    def device_time_probe(self, query: str, iters: int = 32) -> dict[str, float]:
+        """Estimate pure device time per query: dispatch the fused
+        program ``iters`` times and block only on the LAST result.
+        Dispatches queue in-order on the device stream, so
+        (total - one round trip) / iters bounds the per-query device
+        execution time — robust against relays that ack dispatches
+        before completion (BENCH_NOTES.md method note)."""
+        import time as _t
+
+        cfg = self.config
+        s1 = self.stage1
+        prompt = s1.runtime.prompts.get("query", "")
+        tb1 = s1.tokenizer.encode_batch(
+            [prompt + query], cfg.stage1_max_text_length
+        )
+        max_q2 = min(
+            self.stage2.runtime.head_cfg.query_max_len,
+            cfg.stage2_max_seq_length,
+        )
+        tb2 = self.stage2.tokenizer.encode_batch([query], max_q2, buckets=(max_q2,))
+        t3 = self.stage3.tokenizer
+        q3 = [t3.cls_id] + t3.tokenize_to_ids(query)[: self.q_reserve - 2] + [t3.sep_id]
+        q3_row = np.zeros(self.q_reserve, dtype=np.int32)
+        q3_row[: len(q3)] = q3
+        corpus, count, bias, scale, impl = s1.index.search_state()
+        k1 = max(min(cfg.stage1_top_k, s1.index.capacity), 1)
+        k2 = max(min(cfg.stage2_top_k, k1), 1)
+        kb = cfg.stage1_bm25_top_k
+        args = (
+            s1.runtime.params, self.stage2.runtime.params,
+            self.stage3.runtime.params,
+            jnp.asarray(tb1.input_ids), jnp.asarray(tb1.attn_mask),
+            jnp.asarray(tb1.token_type_ids),
+            jnp.asarray(tb2.input_ids), jnp.asarray(tb2.attn_mask),
+            jnp.asarray(q3_row), jnp.int32(len(q3)),
+            corpus, count, bias, scale,
+            jnp.asarray(np.full(kb, -1, np.int32)),
+            jnp.asarray(np.zeros(kb, np.float32)),
+            self.stage2._cache._buf, self.stage2._cache._mask,
+            *self.doc_tokens.state(),
+        )
+        kw = dict(k1=k1, k2=k2, impl=impl, use_bm25=False)
+        np.asarray(self._fn(*args, **kw))  # warm
+        t0 = _t.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = self._fn(*args, **kw)
+        np.asarray(out)  # block on the last dispatch only
+        total = _t.perf_counter() - t0
+        return {"total_s": total, "per_query_ms": total / iters * 1000.0}
 
     def _format(
         self, query, top_k, f_s, f_i, top2_s, ids2, s1_of_2, s3_scores,

@@ -203,6 +203,18 @@ class RetrievalPipeline:
         if not queries:
             return []
         top_k = top_k or self.config.stage3_top_k
+        if self._fused is not None and self._fused.ready():
+            try:
+                out = self._fused.search_batch(queries, top_k)
+                for q, resp in zip(queries, out):
+                    if self.config.enable_timing:
+                        self._update_performance_stats(q, resp["timing"])
+                    resp["performance_stats"] = dict(self.performance_stats)
+                return out
+            except Exception:
+                logger.exception(
+                    "fused batch search failed; falling back to staged path"
+                )
         n = len(queries)
 
         t = time.time()
@@ -322,6 +334,13 @@ class RetrievalPipeline:
             info["stage3"] = self.stage3.get_model_info()
         if self.stage1 is not None:
             info["weights_loaded"] = self.all_weights_loaded()
+        info["fused_search"] = {
+            "enabled": self.config.enable_fused_search,
+            "active": self._fused is not None and self._fused.ready(),
+            "doc_tokens_cached": (
+                self._fused.doc_tokens.size if self._fused else 0
+            ),
+        }
         return info
 
     def all_weights_loaded(self) -> bool:
