@@ -59,16 +59,26 @@ def run_evaluation(
     results: dict[str, dict[str, float]] = {}
     t0 = time.time()
     per_query_times: list[float] = []
-    for qid, qtext in task.queries.items():
-        tq = time.time()
-        ranked = _search_stages(pipeline, qtext, top_k, stages)
-        per_query_times.append(time.time() - tq)
-        scored: dict[str, float] = {}
-        for r in ranked:
-            idx = r["doc_id"]
-            if 0 <= idx < len(ext_ids):
-                scored[ext_ids[idx]] = _result_score(r)
-        results[qid] = scored
+    qids = list(task.queries)
+    use_batch = stages == "full" and len(qids) > 1
+    chunk = 32  # bounded lax.map length per dispatch on the fused path
+    if use_batch:
+        for lo in range(0, len(qids), chunk):
+            ids_chunk = qids[lo : lo + chunk]
+            tq = time.time()
+            ranked_chunk = pipeline.batch_search(
+                [task.queries[q] for q in ids_chunk], top_k
+            )
+            per = (time.time() - tq) / len(ids_chunk)
+            for qid, resp in zip(ids_chunk, ranked_chunk):
+                per_query_times.append(per)
+                results[qid] = _map_back(resp["results"], ext_ids)
+    else:
+        for qid in qids:
+            tq = time.time()
+            ranked = _search_stages(pipeline, task.queries[qid], top_k, stages)
+            per_query_times.append(time.time() - tq)
+            results[qid] = _map_back(ranked, ext_ids)
     wall = time.time() - t0
     metrics = evaluate_retrieval(task.qrels, results, ks=ks)
     per_query_times.sort()
@@ -90,6 +100,17 @@ def run_evaluation(
         n, summary["qps"],
     )
     return summary
+
+
+def _map_back(
+    ranked: list[dict[str, Any]], ext_ids: list[str]
+) -> dict[str, float]:
+    scored: dict[str, float] = {}
+    for r in ranked:
+        idx = r["doc_id"]
+        if 0 <= idx < len(ext_ids):
+            scored[ext_ids[idx]] = _result_score(r)
+    return scored
 
 
 def _search_stages(
