@@ -197,6 +197,36 @@ class TestRandomWeightGuard:
         assert run_benchmark.main() == 0
 
 
+class TestHarnessBatchedPath:
+    def test_batched_fused_eval_matches_staged(self, tiny_config):
+        """run_evaluation's chunked batch_search (fused path) must yield
+        the same metrics as the per-query staged path."""
+        import dataclasses
+
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+        from tristage_rag_tpu.eval.harness import run_evaluation
+
+        corpus = {
+            f"d{i}": {"text": f"unique token yy{i}q appears here", "title": ""}
+            for i in range(8)
+        }
+        queries = {f"q{i}": f"find yy{i}q token" for i in range(6)}
+        qrels = {f"q{i}": {f"d{i}": 1} for i in range(6)}
+        task = RetrievalTask("toy-batch", corpus, queries, qrels)
+
+        fused_cfg = dataclasses.replace(
+            tiny_config, enable_fused_search=True,
+            stage2_cache_doc_embeddings=True,
+        )
+        staged_cfg = dataclasses.replace(tiny_config, enable_fused_search=False)
+        out_f = run_evaluation(RetrievalPipeline(fused_cfg), task, top_k=8)
+        out_s = run_evaluation(RetrievalPipeline(staged_cfg), task, top_k=8)
+        for k in ("ndcg_at_10", "recall_at_10", "mrr_at_10"):
+            assert out_f["metrics"][k] == pytest.approx(
+                out_s["metrics"][k], abs=1e-6
+            )
+
+
 def _raise_on_mteb(orig_import):
     def _imp(name, *a, **kw):
         if name == "mteb":
