@@ -279,6 +279,26 @@ class TestMTEBAdapter:
         model.encode(["a query"], prompt_name="query")
         assert p.get_document_count() == 2
 
+    def test_chunked_corpus_encode_accumulates(self, tiny_config):
+        """MTEB encodes corpora in chunks; each chunk must APPEND (not
+        clear-and-reindex, which would leave only the last chunk)."""
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+        from tristage_rag_tpu.eval.mteb_adapter import TriStageMTEBModel
+
+        p = RetrievalPipeline(tiny_config)
+        model = TriStageMTEBModel(p)
+        chunk1 = ["first chunk doc aa1z", "first chunk doc aa2z"]
+        chunk2 = ["second chunk doc bb1z", ""]  # empty text is data
+        model.encode(chunk1, prompt_name="corpus")
+        model.encode(chunk2, prompt_name="corpus")
+        assert p.get_document_count() == 4
+        # re-encoding a chunk doesn't duplicate
+        model.encode(chunk1, prompt_name="corpus")
+        assert p.get_document_count() == 4
+        # unhinted call must not wipe or grow the index
+        model.encode(["mystery sentence"])
+        assert p.get_document_count() == 4
+
     def test_embedding_cache_hits(self, tiny_config):
         from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
         from tristage_rag_tpu.eval.mteb_adapter import TriStageMTEBModel

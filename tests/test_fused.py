@@ -249,6 +249,40 @@ class TestFusedPersistence:
         assert [r["doc_id"] for r in out["results"]] == ranked
 
 
+class TestFusedLoadOverWarmCaches:
+    def test_load_index_clears_stale_device_caches(self, tmp_path):
+        """Loading a persisted index into a pipeline whose device caches
+        hold a DIFFERENT corpus must not serve stale embeddings
+        (code-review r2 finding: precompute skips present ids)."""
+        from tristage_rag_tpu.engine.config import PipelineConfig
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        cfg = PipelineConfig(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=6, stage2_top_k=4,
+            stage3_top_k=3, stage1_max_text_length=64,
+            stage2_max_seq_length=32, stage3_max_length=64,
+            compute_dtype="float32", mesh_data_parallel=1,
+            stage2_cache_doc_embeddings=True, enable_fused_search=True,
+            index_dir=str(tmp_path / "B"),
+        )
+        fresh = RetrievalPipeline(cfg)
+        corpus_b = ["zebra migration zz1", "volcanic rocks zz2",
+                    "sea bioluminescence zz3"]
+        fresh.add_documents(corpus_b)
+        expect = [r["doc_id"] for r in fresh.search("volcanic zz2")["results"]]
+        fresh.save_index()
+
+        warm = RetrievalPipeline(cfg)
+        warm.add_documents(["apple pie aa1", "bike repair aa2", "tax aa3"])
+        warm.search("warmup")  # device caches now hold corpus A
+        assert warm.load_index()
+        out = warm.search("volcanic zz2")
+        assert out["timing"].get("fused") is True
+        assert all("zz" in r["document"] for r in out["results"])
+        assert [r["doc_id"] for r in out["results"]] == expect
+
+
 class TestFusedFallback:
     def test_no_cache_means_staged(self, tiny_config, sample_docs):
         import dataclasses

@@ -153,3 +153,30 @@ class TestBM25:
         # incremental add still works after load
         loaded.add(["another document about a fox"])
         assert loaded.corpus_size == 5
+
+
+class TestBM25TieOrder:
+    def test_bounded_sort_matches_full_stable_sort(self):
+        """The O(N + k log k) selection must equal a full stable argsort
+        on tie-heavy score distributions (zero-score docs in doc-id
+        order — the reference's stable list.sort contract)."""
+        import numpy as np
+
+        from tristage_rag_tpu.index.bm25 import BM25Index
+
+        rng = np.random.default_rng(0)
+        words = ["fox", "dog", "bm25", "tpu", "rank"]
+        docs = []
+        for i in range(200):
+            if i % 3 == 0:
+                docs.append(" ".join(rng.choice(words, size=3)))
+            else:
+                docs.append(f"filler{i} nothing relevant")
+        idx = BM25Index()
+        idx.add(docs)
+        for q in ("fox dog", "bm25", "absent-term", ""):
+            scores = idx.score_all(q)
+            for k in (5, 50, 150, 200):
+                expect = np.argsort(-scores, kind="stable")[:k]
+                got = [i for i, _ in idx.search(q, k)]
+                np.testing.assert_array_equal(got, expect)

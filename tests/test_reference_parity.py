@@ -321,6 +321,45 @@ class TestFullPipelineOracle:
             o_ref["results"], o_my["results"], "stage3_score", 2e-2
         )
 
+    def test_ndcg_parity_on_synthetic_limit(self, pipelines):
+        """BASELINE.md protocol steps 1-2, executed with the reference
+        stack as step 1: both pipelines retrieve over the same
+        LIMIT-shaped task and must produce the same NDCG@10 /
+        Recall@10 (real-checkpoint LIMIT needs egress; the semantics
+        are what's provable here)."""
+        from tristage_rag_tpu.eval.metrics import evaluate_retrieval
+
+        ref, mine = pipelines
+        queries = {f"q{i}": q for i, q in enumerate(QUERIES)}
+        # qrels from lexical ground truth: docs sharing >= 2 query words
+        qrels = {}
+        for qid, q in queries.items():
+            qw = set(q.lower().split())
+            rel = {
+                f"d{j}": 1 for j, d in enumerate(DOCS)
+                if len(qw & set(d.lower().split())) >= 2
+            }
+            qrels[qid] = rel or {"d0": 1}
+
+        def run(pipe):
+            out = {}
+            for qid, q in queries.items():
+                res = pipe.search(q, 8)["results"]
+                out[qid] = {
+                    f"d{r['doc_id']}": float(r.get("stage3_score") or 0.0)
+                    for r in res
+                }
+            return evaluate_retrieval(qrels, out, ks=(5, 10))
+
+        m_ref = run(ref)
+        m_my = run(mine)
+        assert m_my["ndcg_at_10"] == pytest.approx(
+            m_ref["ndcg_at_10"], abs=1e-6
+        )
+        assert m_my["recall_at_10"] == pytest.approx(
+            m_ref["recall_at_10"], abs=1e-6
+        )
+
     def test_fused_path_matches_reference_too(self, assets, my_config, pipelines):
         """The single-dispatch fused path agrees with the reference
         end-to-end (docs here are short, so pair truncation is

@@ -74,18 +74,28 @@ class EmbeddingService:
     def _key(text: str, prompt: str) -> str:
         return hashlib.sha256((prompt + "\x00" + text).encode()).hexdigest()
 
-    def _validate(self, text: str) -> str:
-        if not isinstance(text, str) or not text.strip():
+    def _validate(self, text: str, strict: bool = True) -> str:
+        if not isinstance(text, str) or (strict and not text.strip()):
             raise ValueError("text must be a non-empty string")
         return text[: self.max_text_chars]
 
     def encode(
-        self, texts: Sequence[str], kind: str = "document"
+        self, texts: Sequence[str], kind: str = "document",
+        strict: bool = True,
     ) -> np.ndarray:
         """[N, E] embeddings; cache hits reused, misses batch-encoded,
-        output order preserved."""
+        output order preserved.
+
+        ``strict=False`` accepts blank texts (encoded as their special
+        tokens) and an empty list (returns [0, E]) — needed by the MTEB
+        adapter, where empty corpus entries are data, not errors.
+        """
+        if not texts:
+            return self.runtime.encode_texts(
+                [], self.tokenizer, max_length=self.max_length
+            )
         prompt = self.runtime.prompts.get(kind, "")
-        texts = [self._validate(t) for t in texts]
+        texts = [self._validate(t, strict) for t in texts]
         keys = [self._key(t, prompt) for t in texts]
         out: list[Optional[np.ndarray]] = [None] * len(texts)
         misses: list[int] = []

@@ -328,6 +328,14 @@ class FusedSearcher:
         cfg = self.config
         s1 = self.stage1
         t0 = time.time()
+        n_real = len(queries)
+        # Pad the batch to a bucket so remainder chunks don't retrace
+        # the whole three-model program (waste bounded at <2x compute,
+        # compiles bounded at len(buckets)).
+        for b in (1, 2, 4, 8, 16, 32, 64, 128):
+            if b >= n_real:
+                break
+        queries = list(queries) + [""] * (b - n_real)
 
         prompt = s1.runtime.prompts.get("query", "")
         tb1 = s1.tokenizer.encode_batch(
@@ -382,12 +390,12 @@ class FusedSearcher:
             *self.doc_tokens.state(),
             k1=k1, k2=k2, impl=impl, use_bm25=use_bm25,
         ))
-        per_query = (time.time() - t0) / max(nb, 1)
+        per_query = (time.time() - t0) / max(n_real, 1)
         return [
             self._format(
                 q, top_k, *self._unpack(payloads[r], k1, k2), per_query
             )
-            for r, q in enumerate(queries)
+            for r, q in enumerate(queries[:n_real])
         ]
 
     def device_time_probe(self, query: str, iters: int = 32) -> dict[str, float]:

@@ -288,11 +288,16 @@ class RetrievalPipeline:
         if ok and self.stage1.documents:
             # Repopulate the device caches the fused path depends on
             # (embeddings aren't persisted; the doc store is the source
-            # of truth). One-time cost comparable to indexing.
+            # of truth). Clear first: the loaded corpus reuses row ids
+            # 0..n-1, and precompute skips ids already present — stale
+            # entries from a previously indexed corpus would otherwise
+            # silently serve wrong embeddings for the new docs.
             docs = self.stage1.documents
             if self.config.stage2_cache_doc_embeddings and self.stage2:
+                self.stage2.clear_cache()
                 self.stage2.precompute(range(len(docs)), docs)
             if self._fused is not None:
+                self._fused.doc_tokens.clear()
                 self._fused.precompute(range(len(docs)), docs)
         return ok
 

@@ -93,6 +93,9 @@ def run_evaluation(
         "qps": n / wall if wall > 0 else 0.0,
         "latency_p50_ms": per_query_times[n // 2] * 1e3 if n else 0.0,
         "latency_p95_ms": per_query_times[int(n * 0.95)] * 1e3 if n else 0.0,
+        # In batched mode per-query times are chunk averages, so the
+        # percentiles describe throughput-per-query, not tail latency.
+        "latency_mode": "batched-chunk-average" if use_batch else "per-query",
     }
     logger.info(
         "eval %s [%s]: ndcg@10=%.4f recall@10=%.4f (%d q, %.1f qps)",

@@ -66,6 +66,9 @@ class TriStageMTEBModel:
         self.top_k = top_k
         self._ext_ids: list[str] = []
         self._indexed_hash: Optional[str] = None
+        # text -> external id for the encode-side-effect index; None
+        # means the current index was built by _ensure_indexed instead
+        self._text_ids: Optional[dict[str, str]] = None
         self._embedder: Optional[EmbeddingService] = None
         self.model_card = ModelCard()
 
@@ -99,10 +102,15 @@ class TriStageMTEBModel:
     ) -> np.ndarray:
         """Bi-encoder embeddings via the cached EmbeddingService.
 
-        Corpus calls (the non-query route) also index the sentences
-        into the pipeline so a later ``search``/``predict`` finds them
-        — the reference's encode side effect
-        (tristage_mteb_model.py:163-200).
+        Explicit corpus calls (prompt/task hints containing corpus/
+        passage/document) also index the sentences into the pipeline so
+        a later ``search``/``predict`` finds them — the reference's
+        encode side effect (tristage_mteb_model.py:163-200) — but
+        ACCUMULATIVELY: MTEB encodes corpora in chunks, so each chunk
+        appends only its unseen texts (clear-and-reindex per chunk would
+        leave only the last chunk searchable). Unhinted calls just
+        encode: wiping an indexed corpus because a query batch arrived
+        without a prompt name is worse than skipping the side effect.
         """
         sentences = list(sentences)
         hints = f"{prompt_name or ''} {task_name or ''}".lower()
@@ -110,25 +118,36 @@ class TriStageMTEBModel:
             any(h in hints for h in _QUERY_HINTS) and "corpus" not in hints
         )
         emb = self._service().encode(
-            sentences, kind="query" if is_query else "document"
+            sentences, kind="query" if is_query else "document",
+            strict=False,  # empty corpus entries are data, not errors
         )
-        if not is_query and sentences:
+        is_corpus = any(
+            h in hints for h in ("corpus", "passage", "document", "doc")
+        )
+        if is_corpus and sentences:
             self._index_texts(sentences)
         return emb
 
     # -- retrieval (MTEB DenseRetrievalExactSearch protocol) ---------------
 
     def _index_texts(self, docs: list[str]) -> None:
-        """Index raw corpus texts (encode side effect), keyed by content
-        hash so repeated encode() calls don't re-index."""
-        key = hashlib.sha256("\x00".join(docs).encode()).hexdigest()
-        if key == self._indexed_hash:
+        """Append unseen corpus texts (encode side effect); positional
+        external ids. A later ``search(corpus=...)`` with real corpus
+        ids re-indexes under its own keying."""
+        if self._text_ids is None:
+            self.pipeline.clear_index()
+            self._ext_ids = []
+            self._indexed_hash = None
+            self._text_ids = {}
+        fresh = [d for d in docs if d not in self._text_ids]
+        if not fresh:
             return
-        ext_ids = [str(i) for i in range(len(docs))]
-        self.pipeline.clear_index()
-        self.pipeline.add_documents(docs, [{"corpus_id": c} for c in ext_ids])
-        self._ext_ids = ext_ids
-        self._indexed_hash = key
+        start = len(self._ext_ids)
+        ext = [str(start + i) for i in range(len(fresh))]
+        self.pipeline.add_documents(fresh, [{"corpus_id": c} for c in ext])
+        for d, c in zip(fresh, ext):
+            self._text_ids[d] = c
+        self._ext_ids.extend(ext)
 
     @staticmethod
     def _corpus_to_dict(corpus: Any) -> dict[str, Any]:
@@ -166,6 +185,7 @@ class TriStageMTEBModel:
         self.pipeline.add_documents(docs, [{"corpus_id": c} for c in ext_ids])
         self._ext_ids = ext_ids
         self._indexed_hash = key
+        self._text_ids = None  # owned by corpus-id keying now
 
     def search(
         self,

@@ -160,13 +160,25 @@ class BM25Index:
         if n == 0:
             return []
         top_k = min(top_k, n)
-        # Stable full sort, NOT argpartition: ties (zero-score docs in
-        # particular) must come out in doc-id order to match the
-        # reference's stable list.sort (stage1_retriever.py:103-112) —
-        # argpartition selects an arbitrary subset of boundary ties,
-        # which perturbs downstream RRF ranks (caught by
-        # tests/test_reference_parity.py).
-        order = np.argsort(-scores, kind="stable")[:top_k]
+        # Tie contract: ties (zero-score docs in particular) must come
+        # out in doc-id order to match the reference's stable list.sort
+        # (stage1_retriever.py:103-112) — plain argpartition selects an
+        # arbitrary subset of boundary ties, which perturbs downstream
+        # RRF ranks (caught by tests/test_reference_parity.py). To keep
+        # O(N + k log k) instead of a full O(N log N) sort: partition
+        # for the k-th score, stable-sort only the strictly-greater
+        # rows, then fill with threshold ties in ascending-id order
+        # (np.nonzero yields ids ascending).
+        if top_k == n:
+            order = np.argsort(-scores, kind="stable")
+        else:
+            part = np.argpartition(-scores, top_k - 1)[:top_k]
+            kth = scores[part].min()
+            above = np.nonzero(scores > kth)[0]
+            above = above[np.argsort(-scores[above], kind="stable")]
+            need = top_k - above.size
+            ties = np.nonzero(scores == kth)[0][:need]
+            order = np.concatenate([above, ties])
         return [(int(i), float(scores[i])) for i in order]
 
     # ---- persistence (JSON + npz; never pickle — SURVEY.md §5.4) --------

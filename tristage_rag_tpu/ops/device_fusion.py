@@ -77,7 +77,8 @@ def rrf_fuse_device(
 
 def _maxnorm_device(scores: jax.Array, valid: jax.Array) -> jax.Array:
     """score / max over valid entries; zero max -> 0 (parity with
-    ops/fusion.py::_maxnorm)."""
+    ops/fusion.py::_maxnorm, including its all-negative inversion
+    caveat — see that docstring)."""
     s = scores.astype(jnp.float32)
     mx = jnp.max(jnp.where(valid, s, -jnp.inf))
     return jnp.where(

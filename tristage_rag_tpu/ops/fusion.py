@@ -46,7 +46,13 @@ def reciprocal_rank_fusion(
 
 def _maxnorm(scores: np.ndarray) -> np.ndarray:
     """score / max(score) — reference semantics
-    (src/stage1_retriever.py:352-360), guarded against max == 0."""
+    (src/stage1_retriever.py:352-360), guarded against max == 0.
+
+    Bug-for-bug parity caveat: when a list's scores are ALL negative
+    (possible for dense cosine on out-of-domain queries), dividing by a
+    negative max inverts that list's ordering — exactly as the
+    reference does. Prefer fusion_method="rrf" (rank-based, inversion-
+    proof) when that regime matters."""
     if scores.size == 0:
         return scores
     mx = float(scores.max())
