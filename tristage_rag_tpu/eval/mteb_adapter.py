@@ -197,14 +197,20 @@ class TriStageMTEBModel:
         top_k = top_k or self.top_k
         self._ensure_indexed(self._corpus_to_dict(corpus))
         out: dict[str, dict[str, float]] = {}
-        for qid, qtext in queries.items():
-            res = self.pipeline.search(qtext, top_k)["results"]
-            scored: dict[str, float] = {}
-            for r in res:
-                idx = r["doc_id"]
-                if 0 <= idx < len(self._ext_ids):
-                    scored[self._ext_ids[idx]] = self._score(r)
-            out[qid] = scored
+        qids = list(queries)
+        chunk = 32  # one fused device dispatch per chunk
+        for lo in range(0, len(qids), chunk):
+            ids_chunk = qids[lo : lo + chunk]
+            responses = self.pipeline.batch_search(
+                [queries[q] for q in ids_chunk], top_k
+            )
+            for qid, resp in zip(ids_chunk, responses):
+                scored: dict[str, float] = {}
+                for r in resp["results"]:
+                    idx = r["doc_id"]
+                    if 0 <= idx < len(self._ext_ids):
+                        scored[self._ext_ids[idx]] = self._score(r)
+                out[qid] = scored
         return out
 
     def search_cross_encoder(
