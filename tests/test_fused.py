@@ -249,6 +249,41 @@ class TestFusedPersistence:
         assert [r["doc_id"] for r in out["results"]] == ranked
 
 
+class TestFusedWeightedFusion:
+    def test_weighted_fusion_fused_matches_staged(self, tmp_path, sample_docs):
+        import dataclasses
+
+        from tristage_rag_tpu.engine.config import PipelineConfig
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        kw = dict(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=10, stage1_bm25_top_k=10,
+            stage2_top_k=6, stage3_top_k=4, stage2_max_seq_length=32,
+            stage3_max_length=64, stage1_max_text_length=64,
+            compute_dtype="float32", mesh_data_parallel=1,
+            stage2_cache_doc_embeddings=True, save_intermediate_results=True,
+            stage1_fusion_method="weighted",
+        )
+        fused = RetrievalPipeline(PipelineConfig(enable_fused_search=True, **kw))
+        staged = RetrievalPipeline(PipelineConfig(enable_fused_search=False, **kw))
+        fused.add_documents(sample_docs)
+        staged.add_documents(sample_docs)
+        for q in ("BM25 lexical scoring", "token embeddings"):
+            of, os_ = fused.search(q), staged.search(q)
+            assert of["timing"].get("fused") is True
+            assert [r["doc_id"] for r in of["stage1_results"]] == [
+                r["doc_id"] for r in os_["stage1_results"]
+            ]
+            for rf, rs in zip(of["stage1_results"], os_["stage1_results"]):
+                assert rf["stage1_score"] == pytest.approx(
+                    rs["stage1_score"], rel=1e-4, abs=1e-6
+                )
+            assert [r["doc_id"] for r in of["results"]] == [
+                r["doc_id"] for r in os_["results"]
+            ]
+
+
 class TestFusedLoadOverWarmCaches:
     def test_load_index_clears_stale_device_caches(self, tmp_path):
         """Loading a persisted index into a pipeline whose device caches
