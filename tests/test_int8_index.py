@@ -112,6 +112,32 @@ class TestInt8Index:
         assert out["results"]
 
 
+class TestInt8Fused:
+    def test_fused_path_with_int8_index(self, tiny_config, sample_docs):
+        """The single-dispatch fused program must carry the per-row
+        dequant scales through its dense top-k (int8 corpus mode)."""
+        import dataclasses
+
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        cfg = dataclasses.replace(
+            tiny_config, index_dtype="int8",
+            stage2_cache_doc_embeddings=True, enable_fused_search=True,
+        )
+        fused = RetrievalPipeline(cfg)
+        staged = RetrievalPipeline(
+            dataclasses.replace(cfg, enable_fused_search=False)
+        )
+        fused.add_documents(sample_docs)
+        staged.add_documents(sample_docs)
+        of = fused.search("BM25 lexical scoring")
+        os_ = staged.search("BM25 lexical scoring")
+        assert of["timing"].get("fused") is True
+        assert [r["doc_id"] for r in of["results"]] == [
+            r["doc_id"] for r in os_["results"]
+        ]
+
+
 class TestScaledTopkOps:
     def test_masked_approx_topk_with_scale(self):
         import jax.numpy as jnp
