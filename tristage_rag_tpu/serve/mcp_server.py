@@ -179,7 +179,23 @@ class RetrievalMCPServer:
     def _batched_search(
         self, requests: list[tuple[str, Optional[int]]]
     ) -> list[dict[str, Any]]:
-        return [self.pipeline.search(q, k) for q, k in requests]
+        """Serve one coalesced micro-batch. Requests sharing a top_k
+        (the common case) go through batch_search together — on the
+        fused path that is ONE device dispatch for the whole batch."""
+        if len(requests) == 1:
+            q, k = requests[0]
+            return [self.pipeline.search(q, k)]
+        by_k: dict[Optional[int], list[int]] = {}
+        for i, (_, k) in enumerate(requests):
+            by_k.setdefault(k, []).append(i)
+        out: list[Optional[dict[str, Any]]] = [None] * len(requests)
+        for k, idxs in by_k.items():
+            responses = self.pipeline.batch_search(
+                [requests[i][0] for i in idxs], k
+            )
+            for i, resp in zip(idxs, responses):
+                out[i] = resp
+        return out
 
     # ---- protocol handlers ----------------------------------------------
 
