@@ -227,6 +227,53 @@ class TestHarnessBatchedPath:
             )
 
 
+class TestMakeMTEBTasks:
+    def test_task_classes_load_local_data(self, tmp_path, monkeypatch):
+        """make_mteb_tasks builds AbsTaskRetrieval subclasses that load
+        LIMIT JSONL into MTEB-shape dicts — exercised with a minimal
+        fake mteb package so the path runs in CI without the dep."""
+        import sys
+        import types
+
+        d = tmp_path / "limit-small"
+        d.mkdir()
+        (d / "queries.jsonl").write_text(
+            json.dumps({"_id": "q0", "text": "query 0"})
+        )
+        (d / "corpus.jsonl").write_text("\n".join(
+            json.dumps({"_id": f"d{i}", "text": f"doc {i}"}) for i in range(3)
+        ))
+        (d / "qrels.jsonl").write_text(
+            json.dumps({"query-id": "q0", "corpus-id": "d0", "score": 1})
+        )
+        limit_dir = tmp_path
+
+        fake = types.ModuleType("mteb")
+        abstasks = types.ModuleType("mteb.abstasks")
+        abstask_mod = types.ModuleType("mteb.abstasks.AbsTaskRetrieval")
+
+        class AbsTaskRetrieval:
+            def __init__(self, **kwargs):
+                self.data_loaded = False
+
+        abstask_mod.AbsTaskRetrieval = AbsTaskRetrieval
+        fake.abstasks = abstasks
+        monkeypatch.setitem(sys.modules, "mteb", fake)
+        monkeypatch.setitem(sys.modules, "mteb.abstasks", abstasks)
+        monkeypatch.setitem(
+            sys.modules, "mteb.abstasks.AbsTaskRetrieval", abstask_mod
+        )
+        from tristage_rag_tpu.eval.mteb_adapter import make_mteb_tasks
+
+        cls = make_mteb_tasks(str(limit_dir))
+        task = cls()
+        task.load_data()
+        assert task.data_loaded
+        assert set(task.corpus["test"]) and set(task.queries["test"])
+        qid = next(iter(task.relevant_docs["test"]))
+        assert task.relevant_docs["test"][qid]
+
+
 def _raise_on_mteb(orig_import):
     def _imp(name, *a, **kw):
         if name == "mteb":
