@@ -66,6 +66,37 @@ def per_device_flops(idx, queries) -> float:
     return float(cost.get("flops", float("nan")))
 
 
+def encoder_per_device_flops(n_devices: int) -> float:
+    """Per-device FLOPs of a dp-sharded bi-encoder forward (the
+    indexing hot path): batch sharded over the mesh, params replicated."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tristage_rag_tpu.models.config import PoolingConfig
+    from tristage_rag_tpu.models.heads import BiEncoder
+    from tristage_rag_tpu.models.registry import encoder_config
+    from tristage_rag_tpu.parallel.mesh import create_mesh
+
+    cfg = encoder_config("tiny-gemma").replace(dtype="float32")
+    module = BiEncoder(cfg, PoolingConfig(pooling="mean", projection_dims=(32,)))
+    ids = jnp.zeros((32, 32), dtype=jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = module.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    mesh = create_mesh(n_devices) if n_devices > 1 else None
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("data", None))
+        ids = jax.device_put(ids, sh)
+        mask = jax.device_put(mask, sh)
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+    lowered = jax.jit(
+        lambda p, i, m: module.apply({"params": p}, i, m)
+    ).lower(params, ids, mask)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost.get("flops", float("nan")))
+
+
 def main() -> None:
     from tristage_rag_tpu.index.dense import DenseIndex
     from tristage_rag_tpu.parallel.mesh import create_mesh
@@ -101,6 +132,14 @@ def main() -> None:
     for n, flops in rows:
         print(f"#   {n} device(s): {flops:.3e} flops/device "
               f"({rows[0][1] / flops:.2f}x less work per device)")
+
+    enc_rows = [(n, encoder_per_device_flops(n)) for n in (1, 2, 4, 8)]
+    print("# dp-sharded encoder forward (indexing path), batch 32:")
+    for n, flops in enc_rows:
+        print(json.dumps({
+            "mesh_devices": n, "encoder_per_device_flops": flops,
+            "flops_vs_1dev": flops / enc_rows[0][1],
+        }))
 
 
 if __name__ == "__main__":
