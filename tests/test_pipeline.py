@@ -1,4 +1,17 @@
 import numpy as np
+
+
+def test_warmup(tiny_config, sample_docs):
+    from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+    p = RetrievalPipeline(tiny_config)
+    assert p.warmup() is False  # empty index -> no-op
+    p.add_documents(sample_docs[:3])
+    assert p.warmup() is True
+    # warmup must not pollute performance stats
+    assert p.performance_stats["total_queries"] == 0
+    out = p.search("BM25 lexical", top_k=2)
+    assert out["results"] and p.performance_stats["total_queries"] == 1
 import pytest
 
 from tristage_rag_tpu.engine.config import PipelineConfig

@@ -373,6 +373,23 @@ class RetrievalPipeline:
         out["trace_dir"] = log_dir
         return out
 
+    def warmup(self) -> bool:
+        """Trigger the search-path compiles (fused program or staged
+        stages) with one throwaway query so the first real request
+        doesn't pay XLA compilation latency. No-op on an empty index.
+        Returns True if a warmup search ran."""
+        if self.stage1 is None:
+            self.initialize_stages()
+        if self.stage1.index is None or not self.stage1.documents:
+            return False
+        timing_was = self.config.enable_timing
+        self.config.enable_timing = False  # keep stats clean
+        try:
+            self.search(self.stage1.documents[0][:64] or "warmup", top_k=1)
+        finally:
+            self.config.enable_timing = timing_was
+        return True
+
     def get_document_count(self) -> int:
         return len(self.stage1.documents) if self.stage1 else 0
 

@@ -362,7 +362,15 @@ class RetrievalMCPServer:
 def main(config_path: Optional[str] = None) -> None:
     logging.basicConfig(level=logging.INFO)
     config = PipelineConfig.from_yaml(config_path) if config_path else None
-    server = RetrievalMCPServer(RetrievalPipeline(config))
+    pipeline = RetrievalPipeline(config)
+    # Serve warm: load any persisted index and pay the XLA compiles now
+    # rather than on the first client request.
+    try:
+        if pipeline.load_index():
+            pipeline.warmup()
+    except Exception:
+        logger.exception("startup index load/warmup failed; serving cold")
+    server = RetrievalMCPServer(pipeline)
     asyncio.run(server.run())
 
 
