@@ -242,64 +242,95 @@ class FusedSearcher:
 
     # ---- the host wrapper ----------------------------------------------------
 
-    def search(self, query: str, top_k: Optional[int] = None) -> dict[str, Any]:
+    def _prepare(self, queries: list[str], with_bm25: bool = True):
+        """Host-side prep shared by search/search_batch/probe: three
+        tokenizations per query, BM25 candidate lists (tombstones
+        filtered), index state, and the static k's. Returns
+        (params_and_arrays_tuple_prefix..., statics dict)."""
         cfg = self.config
         s1 = self.stage1
-        t0 = time.time()
+        nb = len(queries)
 
-        # host: three query tokenizations
         prompt = s1.runtime.prompts.get("query", "")
         tb1 = s1.tokenizer.encode_batch(
-            [prompt + query], cfg.stage1_max_text_length
+            [prompt + q for q in queries], cfg.stage1_max_text_length
         )
         max_q2 = min(
             self.stage2.runtime.head_cfg.query_max_len,
             cfg.stage2_max_seq_length,
         )
         tb2 = self.stage2.tokenizer.encode_batch(
-            [query], max_q2, buckets=(max_q2,)
+            list(queries), max_q2, buckets=(max_q2,)
         )
         t3 = self.stage3.tokenizer
-        q3_tok = t3.tokenize_to_ids(query)[: self.q_reserve - 2]
-        q3 = [t3.cls_id] + q3_tok + [t3.sep_id]
-        q3_row = np.zeros(self.q_reserve, dtype=np.int32)
-        q3_row[: len(q3)] = q3
+        q3_rows = np.zeros((nb, self.q_reserve), dtype=np.int32)
+        q3_lens = np.zeros(nb, dtype=np.int32)
+        for r, q in enumerate(queries):
+            q3 = [t3.cls_id] + t3.tokenize_to_ids(q)[: self.q_reserve - 2] \
+                + [t3.sep_id]
+            q3_rows[r, : len(q3)] = q3
+            q3_lens[r] = len(q3)
 
-        # host: BM25 candidate list (C++ scorer), tombstones filtered
         kb = cfg.stage1_bm25_top_k
-        bm_ids = np.full(kb, -1, dtype=np.int32)
-        bm_scores = np.zeros(kb, dtype=np.float32)
-        use_bm25 = s1.bm25 is not None and s1.bm25.corpus_size > 0
+        bm_ids = np.full((nb, kb), -1, dtype=np.int32)
+        bm_scores = np.zeros((nb, kb), dtype=np.float32)
+        use_bm25 = (
+            with_bm25 and s1.bm25 is not None and s1.bm25.corpus_size > 0
+        )
         if use_bm25:
             deleted = getattr(s1, "deleted_ids", set())
-            sparse = [
-                (d, s) for d, s in s1.bm25.search(query, kb)
-                if d not in deleted
-            ]
-            for r, (d, sc) in enumerate(sparse[:kb]):
-                bm_ids[r], bm_scores[r] = d, sc
+            for r, q in enumerate(queries):
+                sparse = [
+                    (d, sc) for d, sc in s1.bm25.search(q, kb)
+                    if d not in deleted
+                ]
+                for rank, (d, sc) in enumerate(sparse[:kb]):
+                    bm_ids[r, rank], bm_scores[r, rank] = d, sc
 
         corpus, count, bias, scale, impl = s1.index.search_state()
         k1 = max(min(cfg.stage1_top_k, s1.index.capacity), 1)
-        k2 = max(min(cfg.stage2_top_k, k1), 1)
-        s2_buf, s2_mask_buf = self.stage2._cache._buf, self.stage2._cache._mask
-        d3_buf, d3_len = self.doc_tokens.state()
+        prep = {
+            "params": (
+                s1.runtime.params,
+                self.stage2.runtime.params,
+                self.stage3.runtime.params,
+            ),
+            "tb1": (
+                jnp.asarray(tb1.input_ids), jnp.asarray(tb1.attn_mask),
+                jnp.asarray(tb1.token_type_ids),
+            ),
+            "tb2": (jnp.asarray(tb2.input_ids), jnp.asarray(tb2.attn_mask)),
+            "q3_rows": jnp.asarray(q3_rows),
+            "q3_lens": jnp.asarray(q3_lens),
+            "index_state": (corpus, count, bias, scale),
+            "bm": (jnp.asarray(bm_ids), jnp.asarray(bm_scores)),
+            "caches": (
+                self.stage2._cache._buf, self.stage2._cache._mask,
+                *self.doc_tokens.state(),
+            ),
+            "statics": dict(
+                k1=k1,
+                k2=max(min(cfg.stage2_top_k, k1), 1),
+                impl=impl,
+                use_bm25=use_bm25,
+            ),
+        }
+        return prep
 
+    def search(self, query: str, top_k: Optional[int] = None) -> dict[str, Any]:
+        t0 = time.time()
+        p = self._prepare([query])
         payload = self._fn(
-            s1.runtime.params,
-            self.stage2.runtime.params,
-            self.stage3.runtime.params,
-            jnp.asarray(tb1.input_ids), jnp.asarray(tb1.attn_mask),
-            jnp.asarray(tb1.token_type_ids),
-            jnp.asarray(tb2.input_ids), jnp.asarray(tb2.attn_mask),
-            jnp.asarray(q3_row), jnp.int32(len(q3)),
-            corpus, count, bias, scale,
-            jnp.asarray(bm_ids), jnp.asarray(bm_scores),
-            s2_buf, s2_mask_buf, d3_buf, d3_len,
-            k1=k1, k2=k2, impl=impl, use_bm25=use_bm25,
+            *p["params"], *p["tb1"], *p["tb2"],
+            p["q3_rows"][0], p["q3_lens"][0],
+            *p["index_state"],
+            p["bm"][0][0], p["bm"][1][0],
+            *p["caches"],
+            **p["statics"],
         )
         # ONE device->host transfer for everything the host needs
         total_time = time.time() - t0
+        k1, k2 = p["statics"]["k1"], p["statics"]["k2"]
         return self._format(
             query, top_k, *self._unpack(np.asarray(payload), k1, k2),
             total_time,
@@ -325,8 +356,6 @@ class FusedSearcher:
         """All queries in ONE device dispatch (lax.map over the fused
         funnel) + one fetch — the host never round-trips between
         queries."""
-        cfg = self.config
-        s1 = self.stage1
         t0 = time.time()
         n_real = len(queries)
         # Pad the batch to a bucket so remainder chunks don't retrace
@@ -337,60 +366,15 @@ class FusedSearcher:
                 break
         queries = list(queries) + [""] * (b - n_real)
 
-        prompt = s1.runtime.prompts.get("query", "")
-        tb1 = s1.tokenizer.encode_batch(
-            [prompt + q for q in queries], cfg.stage1_max_text_length
-        )
-        max_q2 = min(
-            self.stage2.runtime.head_cfg.query_max_len,
-            cfg.stage2_max_seq_length,
-        )
-        tb2 = self.stage2.tokenizer.encode_batch(
-            list(queries), max_q2, buckets=(max_q2,)
-        )
-        t3 = self.stage3.tokenizer
-        nb = len(queries)
-        q3_rows = np.zeros((nb, self.q_reserve), dtype=np.int32)
-        q3_lens = np.zeros(nb, dtype=np.int32)
-        for r, q in enumerate(queries):
-            q3 = [t3.cls_id] + t3.tokenize_to_ids(q)[: self.q_reserve - 2] \
-                + [t3.sep_id]
-            q3_rows[r, : len(q3)] = q3
-            q3_lens[r] = len(q3)
-
-        kb = cfg.stage1_bm25_top_k
-        bm_ids = np.full((nb, kb), -1, dtype=np.int32)
-        bm_scores = np.zeros((nb, kb), dtype=np.float32)
-        use_bm25 = s1.bm25 is not None and s1.bm25.corpus_size > 0
-        if use_bm25:
-            deleted = getattr(s1, "deleted_ids", set())
-            for r, q in enumerate(queries):
-                sparse = [
-                    (d, sc) for d, sc in s1.bm25.search(q, kb)
-                    if d not in deleted
-                ]
-                for rank, (d, sc) in enumerate(sparse[:kb]):
-                    bm_ids[r, rank], bm_scores[r, rank] = d, sc
-
-        corpus, count, bias, scale, impl = s1.index.search_state()
-        k1 = max(min(cfg.stage1_top_k, s1.index.capacity), 1)
-        k2 = max(min(cfg.stage2_top_k, k1), 1)
-
+        p = self._prepare(queries)
         payloads = np.asarray(self._fn_batch(
-            s1.runtime.params,
-            self.stage2.runtime.params,
-            self.stage3.runtime.params,
-            jnp.asarray(tb1.input_ids), jnp.asarray(tb1.attn_mask),
-            jnp.asarray(tb1.token_type_ids),
-            jnp.asarray(tb2.input_ids), jnp.asarray(tb2.attn_mask),
-            jnp.asarray(q3_rows), jnp.asarray(q3_lens),
-            corpus, count, bias, scale,
-            jnp.asarray(bm_ids), jnp.asarray(bm_scores),
-            self.stage2._cache._buf, self.stage2._cache._mask,
-            *self.doc_tokens.state(),
-            k1=k1, k2=k2, impl=impl, use_bm25=use_bm25,
+            *p["params"], *p["tb1"], *p["tb2"],
+            p["q3_rows"], p["q3_lens"],
+            *p["index_state"], *p["bm"], *p["caches"],
+            **p["statics"],
         ))
         per_query = (time.time() - t0) / max(n_real, 1)
+        k1, k2 = p["statics"]["k1"], p["statics"]["k2"]
         return [
             self._format(
                 q, top_k, *self._unpack(payloads[r], k1, k2), per_query
@@ -407,39 +391,15 @@ class FusedSearcher:
         before completion (BENCH_NOTES.md method note)."""
         import time as _t
 
-        cfg = self.config
-        s1 = self.stage1
-        prompt = s1.runtime.prompts.get("query", "")
-        tb1 = s1.tokenizer.encode_batch(
-            [prompt + query], cfg.stage1_max_text_length
-        )
-        max_q2 = min(
-            self.stage2.runtime.head_cfg.query_max_len,
-            cfg.stage2_max_seq_length,
-        )
-        tb2 = self.stage2.tokenizer.encode_batch([query], max_q2, buckets=(max_q2,))
-        t3 = self.stage3.tokenizer
-        q3 = [t3.cls_id] + t3.tokenize_to_ids(query)[: self.q_reserve - 2] + [t3.sep_id]
-        q3_row = np.zeros(self.q_reserve, dtype=np.int32)
-        q3_row[: len(q3)] = q3
-        corpus, count, bias, scale, impl = s1.index.search_state()
-        k1 = max(min(cfg.stage1_top_k, s1.index.capacity), 1)
-        k2 = max(min(cfg.stage2_top_k, k1), 1)
-        kb = cfg.stage1_bm25_top_k
+        p = self._prepare([query], with_bm25=False)
         args = (
-            s1.runtime.params, self.stage2.runtime.params,
-            self.stage3.runtime.params,
-            jnp.asarray(tb1.input_ids), jnp.asarray(tb1.attn_mask),
-            jnp.asarray(tb1.token_type_ids),
-            jnp.asarray(tb2.input_ids), jnp.asarray(tb2.attn_mask),
-            jnp.asarray(q3_row), jnp.int32(len(q3)),
-            corpus, count, bias, scale,
-            jnp.asarray(np.full(kb, -1, np.int32)),
-            jnp.asarray(np.zeros(kb, np.float32)),
-            self.stage2._cache._buf, self.stage2._cache._mask,
-            *self.doc_tokens.state(),
+            *p["params"], *p["tb1"], *p["tb2"],
+            p["q3_rows"][0], p["q3_lens"][0],
+            *p["index_state"],
+            p["bm"][0][0], p["bm"][1][0],
+            *p["caches"],
         )
-        kw = dict(k1=k1, k2=k2, impl=impl, use_bm25=False)
+        kw = p["statics"]
         np.asarray(self._fn(*args, **kw))  # warm
         t0 = _t.perf_counter()
         out = None
