@@ -346,6 +346,27 @@ class TestMTEBAdapter:
         model.encode(["mystery sentence"])
         assert p.get_document_count() == 4
 
+    def test_task_names_containing_corpus_do_not_misroute(self, tiny_config):
+        """'NFCorpus'/'SciDocsRR'-style task names must not flip query
+        batches into corpus indexing (code-review r2 finding)."""
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+        from tristage_rag_tpu.eval.mteb_adapter import TriStageMTEBModel
+
+        p = RetrievalPipeline(tiny_config)
+        model = TriStageMTEBModel(p)
+        model.encode(["a corpus doc zz1"], prompt_name="corpus")
+        assert p.get_document_count() == 1
+        # queries for a task whose NAME contains 'corpus' stay queries
+        model.encode(
+            ["what is zz1"], prompt_name="query", task_name="NFCorpus"
+        )
+        assert p.get_document_count() == 1
+        model.encode(["another q"], prompt_name="query", task_name="SciDocsRR")
+        assert p.get_document_count() == 1
+        # task-name fallback still routes queries when prompt_name absent
+        model.encode(["plain q"], task_name="LIMITSmallRetrieval-queries")
+        assert p.get_document_count() == 1
+
     def test_embedding_cache_hits(self, tiny_config):
         from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
         from tristage_rag_tpu.eval.mteb_adapter import TriStageMTEBModel

@@ -318,6 +318,55 @@ class TestFusedLoadOverWarmCaches:
         assert [r["doc_id"] for r in out["results"]] == expect
 
 
+class TestFusedCircuitBreaker:
+    def test_repeated_failures_disable_fused_path(self, tmp_path, sample_docs):
+        from tristage_rag_tpu.engine.config import PipelineConfig
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        cfg = PipelineConfig(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=6, stage2_top_k=4,
+            stage3_top_k=3, stage1_max_text_length=64,
+            stage2_max_seq_length=32, stage3_max_length=64,
+            compute_dtype="float32", mesh_data_parallel=1,
+            stage2_cache_doc_embeddings=True, enable_fused_search=True,
+        )
+        p = RetrievalPipeline(cfg)
+        p.add_documents(sample_docs[:4])
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected fused failure")
+
+        p._fused.search = boom
+        p._fused.search_batch = boom
+        for _ in range(p._FUSED_FAILURE_LIMIT):
+            out = p.search("BM25 lexical")  # staged fallback each time
+            assert out["results"] and out["timing"].get("fused") is None
+        # breaker tripped: fused gone, staged path serves directly
+        assert p._fused is None
+        out = p.search("BM25 lexical")
+        assert out["results"]
+
+    def test_success_resets_failure_count(self, tmp_path, sample_docs):
+        from tristage_rag_tpu.engine.config import PipelineConfig
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        cfg = PipelineConfig(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=6, stage2_top_k=4,
+            stage3_top_k=3, stage1_max_text_length=64,
+            stage2_max_seq_length=32, stage3_max_length=64,
+            compute_dtype="float32", mesh_data_parallel=1,
+            stage2_cache_doc_embeddings=True, enable_fused_search=True,
+        )
+        p = RetrievalPipeline(cfg)
+        p.add_documents(sample_docs[:4])
+        p._fused_failures = p._FUSED_FAILURE_LIMIT - 1
+        out = p.search("BM25 lexical")
+        assert out["timing"].get("fused") is True
+        assert p._fused_failures == 0
+
+
 class TestFusedFallback:
     def test_no_cache_means_staged(self, tiny_config, sample_docs):
         import dataclasses

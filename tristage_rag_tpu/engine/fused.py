@@ -305,7 +305,7 @@ class FusedSearcher:
             "index_state": (corpus, count, bias, scale),
             "bm": (jnp.asarray(bm_ids), jnp.asarray(bm_scores)),
             "caches": (
-                self.stage2._cache._buf, self.stage2._cache._mask,
+                *self.stage2._cache.state(),
                 *self.doc_tokens.state(),
             ),
             "statics": dict(
@@ -320,20 +320,21 @@ class FusedSearcher:
     def search(self, query: str, top_k: Optional[int] = None) -> dict[str, Any]:
         t0 = time.time()
         p = self._prepare([query])
-        payload = self._fn(
+        # ONE device->host transfer for everything the host needs —
+        # fetched BEFORE the clock stops (dispatch is async; the relay
+        # even acks before completion, so timing must include the fetch)
+        payload = np.asarray(self._fn(
             *p["params"], *p["tb1"], *p["tb2"],
             p["q3_rows"][0], p["q3_lens"][0],
             *p["index_state"],
             p["bm"][0][0], p["bm"][1][0],
             *p["caches"],
             **p["statics"],
-        )
-        # ONE device->host transfer for everything the host needs
+        ))
         total_time = time.time() - t0
         k1, k2 = p["statics"]["k1"], p["statics"]["k2"]
         return self._format(
-            query, top_k, *self._unpack(np.asarray(payload), k1, k2),
-            total_time,
+            query, top_k, *self._unpack(payload, k1, k2), total_time
         )
 
     @staticmethod

@@ -49,6 +49,7 @@ class RetrievalPipeline:
         self.stage2: Optional[ColBERTScorer] = None
         self.stage3: Optional[CrossEncoderReranker] = None
         self._fused = None  # FusedSearcher (engine/fused.py), built lazily
+        self._fused_failures = 0  # consecutive; breaker at _FUSED_FAILURE_LIMIT
         self.performance_stats: dict[str, Any] = {
             "total_queries": 0,
             "avg_stage1_time": 0.0,
@@ -138,6 +139,7 @@ class RetrievalPipeline:
         if self._fused is not None and self._fused.ready():
             try:
                 out = self._fused.search(query, top_k)
+                self._fused_failures = 0
                 if self.config.enable_timing:
                     self._update_performance_stats(query, out["timing"])
                 out["performance_stats"] = dict(self.performance_stats)
@@ -146,6 +148,7 @@ class RetrievalPipeline:
                 logger.exception(
                     "fused search failed; falling back to the staged path"
                 )
+                self._note_fused_failure()
         timing: dict[str, Optional[float]] = {
             "stage1_time": None,
             "stage2_time": None,
@@ -206,6 +209,7 @@ class RetrievalPipeline:
         if self._fused is not None and self._fused.ready():
             try:
                 out = self._fused.search_batch(queries, top_k)
+                self._fused_failures = 0
                 for q, resp in zip(queries, out):
                     if self.config.enable_timing:
                         self._update_performance_stats(q, resp["timing"])
@@ -215,6 +219,7 @@ class RetrievalPipeline:
                 logger.exception(
                     "fused batch search failed; falling back to staged path"
                 )
+                self._note_fused_failure()
         n = len(queries)
 
         t = time.time()
@@ -258,6 +263,21 @@ class RetrievalPipeline:
                 }
             )
         return out
+
+    _FUSED_FAILURE_LIMIT = 3
+
+    def _note_fused_failure(self) -> None:
+        """Circuit breaker: a deterministically failing fused program
+        must not pay a failed dispatch + traceback on EVERY query —
+        after a few consecutive failures the staged path takes over for
+        the rest of the session."""
+        self._fused_failures += 1
+        if self._fused_failures >= self._FUSED_FAILURE_LIMIT:
+            logger.error(
+                "fused search disabled after %d consecutive failures; "
+                "serving via the staged path", self._fused_failures,
+            )
+            self._fused = None
 
     def _update_performance_stats(self, query: str, timing: dict) -> None:
         s = self.performance_stats
@@ -374,10 +394,12 @@ class RetrievalPipeline:
         return out
 
     def warmup(self) -> bool:
-        """Trigger the search-path compiles (fused program or staged
-        stages) with one throwaway query so the first real request
-        doesn't pay XLA compilation latency. No-op on an empty index.
-        Returns True if a warmup search ran."""
+        """Trigger the search-path compiles (fused single-query AND
+        small-batch programs, or the staged stages) with throwaway
+        queries so the first real requests don't pay XLA compilation
+        latency. Larger batch buckets still compile on first use — the
+        bucket set is open-ended. No-op on an empty index. Returns True
+        if a warmup search ran."""
         if self.stage1 is None:
             self.initialize_stages()
         if self.stage1.index is None or not self.stage1.documents:
@@ -385,7 +407,10 @@ class RetrievalPipeline:
         timing_was = self.config.enable_timing
         self.config.enable_timing = False  # keep stats clean
         try:
-            self.search(self.stage1.documents[0][:64] or "warmup", top_k=1)
+            q = self.stage1.documents[0][:64] or "warmup"
+            self.search(q, top_k=1)
+            # bucket-2 batch: the common micro-batch coalesce size
+            self.batch_search([q, q], top_k=1)
         finally:
             self.config.enable_timing = timing_was
         return True

@@ -21,17 +21,11 @@ from tristage_rag_tpu.eval.metrics import evaluate_retrieval
 logger = logging.getLogger(__name__)
 
 
-def _doc_text(entry: dict[str, str]) -> str:
-    title = entry.get("title", "")
-    text = entry.get("text", "")
-    return f"{title} {text}".strip() if title else text
-
-
-def _result_score(r: dict[str, Any]) -> float:
-    for key in ("stage3_score", "stage2_score", "stage1_score", "score"):
-        if key in r and r[key] is not None:
-            return float(r[key])
-    return 0.0
+from tristage_rag_tpu.eval.common import (  # noqa: E402
+    doc_text as _doc_text,
+    map_back as _map_back,
+    result_score as _result_score,
+)
 
 
 def index_task_corpus(
@@ -103,17 +97,6 @@ def run_evaluation(
         n, summary["qps"],
     )
     return summary
-
-
-def _map_back(
-    ranked: list[dict[str, Any]], ext_ids: list[str]
-) -> dict[str, float]:
-    scored: dict[str, float] = {}
-    for r in ranked:
-        idx = r["doc_id"]
-        if 0 <= idx < len(ext_ids):
-            scored[ext_ids[idx]] = _result_score(r)
-    return scored
 
 
 def _search_stages(

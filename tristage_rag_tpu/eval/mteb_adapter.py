@@ -33,6 +33,7 @@ import numpy as np
 
 from tristage_rag_tpu.engine.embedding_service import EmbeddingService
 from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+from tristage_rag_tpu.eval.common import doc_text, map_back, result_score
 from tristage_rag_tpu.version import __version__
 
 logger = logging.getLogger(__name__)
@@ -113,16 +114,25 @@ class TriStageMTEBModel:
         without a prompt name is worse than skipping the side effect.
         """
         sentences = list(sentences)
-        hints = f"{prompt_name or ''} {task_name or ''}".lower()
+        # Route on prompt_name alone whenever it is given: task NAMES
+        # routinely contain corpus/doc substrings ('NFCorpus',
+        # 'SciDocsRR') and must not flip the routing — MTEB passes the
+        # role through prompt_name. task_name is only a fallback signal
+        # when no prompt_name exists.
+        prompt = (prompt_name or "").lower()
+        role_src = prompt if prompt else (task_name or "").lower()
         is_query = (
-            any(h in hints for h in _QUERY_HINTS) and "corpus" not in hints
+            any(h in role_src for h in _QUERY_HINTS)
+            and "corpus" not in prompt
         )
         emb = self._service().encode(
             sentences, kind="query" if is_query else "document",
             strict=False,  # empty corpus entries are data, not errors
         )
+        # The indexing side effect fires only on an EXPLICIT corpus-ish
+        # prompt_name — never on task-name substrings.
         is_corpus = any(
-            h in hints for h in ("corpus", "passage", "document", "doc")
+            h in prompt for h in ("corpus", "passage", "document", "doc")
         )
         if is_corpus and sentences:
             self._index_texts(sentences)
@@ -165,13 +175,7 @@ class TriStageMTEBModel:
                 out[str(i)] = {"text": str(entry)}
         return out
 
-    @staticmethod
-    def _entry_text(entry: Any) -> str:
-        if isinstance(entry, dict):
-            title = entry.get("title", "")
-            text = entry.get("text", "")
-            return f"{title} {text}".strip() if title else text
-        return str(entry)
+    _entry_text = staticmethod(doc_text)
 
     def _ensure_indexed(self, corpus: dict[str, Any]) -> None:
         key = hashlib.sha256(
@@ -205,12 +209,7 @@ class TriStageMTEBModel:
                 [queries[q] for q in ids_chunk], top_k
             )
             for qid, resp in zip(ids_chunk, responses):
-                scored: dict[str, float] = {}
-                for r in resp["results"]:
-                    idx = r["doc_id"]
-                    if 0 <= idx < len(self._ext_ids):
-                        scored[self._ext_ids[idx]] = self._score(r)
-                out[qid] = scored
+                out[qid] = map_back(resp["results"], self._ext_ids)
         return out
 
     def search_cross_encoder(
@@ -229,12 +228,7 @@ class TriStageMTEBModel:
             queries = {str(i): str(q) for i, q in enumerate(queries)}
         return self.search(corpus, queries, top_k=top_k)
 
-    @staticmethod
-    def _score(r: dict[str, Any]) -> float:
-        for key in ("stage3_score", "stage2_score", "stage1_score", "score"):
-            if key in r and r[key] is not None:
-                return float(r[key])
-        return 0.0
+    _score = staticmethod(result_score)
 
     def predict(self, pairs: Sequence[tuple[str, str]], **kwargs) -> np.ndarray:
         """(query, doc)-pairs scoring via the full funnel."""

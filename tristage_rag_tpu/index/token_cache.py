@@ -113,6 +113,11 @@ class DeviceTokenCache:
         safe = jnp.asarray(np.clip(ids, 0, max(self.capacity - 1, 0)))
         return _gather(self._buf, self._mask, safe, valid)
 
+    def state(self) -> tuple[jax.Array, jax.Array]:
+        """(embedding buffer [cap, L, D], mask buffer [cap, L]) device
+        arrays — for composing into fused programs (engine/fused.py)."""
+        return self._buf, self._mask
+
     def covers(self, doc_ids) -> bool:
         return all(int(i) in self._present for i in doc_ids)
 
