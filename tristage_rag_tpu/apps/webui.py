@@ -436,6 +436,12 @@ def serve(app: RetrievalApp, host: str = "127.0.0.1", port: int = 5000) -> None:
     from wsgiref.simple_server import make_server
 
     ui = WebUI(app)
+    try:
+        # pay the XLA compiles before accepting requests (the CLI stays
+        # lazy; a server should come up warm)
+        app.pipeline.warmup()
+    except Exception:
+        logger.exception("warmup failed; serving cold")
     with make_server(host, port, ui) as httpd:
         logger.info("web UI listening on http://%s:%d", host, port)
         print(f"web UI: http://{host}:{port}")
