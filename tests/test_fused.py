@@ -318,6 +318,44 @@ class TestFusedLoadOverWarmCaches:
         assert [r["doc_id"] for r in out["results"]] == expect
 
 
+class TestFusedConfigMatrix:
+    @pytest.mark.parametrize("overrides", [
+        {"stage2_scoring_method": "colbert"},
+        {"stage3_activation": "softmax"},
+        {"stage3_normalize_scores": False},
+        {"stage1_enable_bm25": False},
+    ])
+    def test_parity_across_config_variants(self, overrides, sample_docs):
+        """The fused program honors every scoring/activation/fusion
+        config the staged path does."""
+        from tristage_rag_tpu.engine.config import PipelineConfig
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        kw = dict(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=10, stage1_bm25_top_k=10,
+            stage2_top_k=6, stage3_top_k=4, stage2_max_seq_length=32,
+            stage3_max_length=64, stage1_max_text_length=64,
+            compute_dtype="float32", mesh_data_parallel=1,
+            stage2_cache_doc_embeddings=True,
+        )
+        kw.update(overrides)
+        fused = RetrievalPipeline(PipelineConfig(enable_fused_search=True, **kw))
+        staged = RetrievalPipeline(PipelineConfig(enable_fused_search=False, **kw))
+        fused.add_documents(sample_docs)
+        staged.add_documents(sample_docs)
+        for q in ("BM25 lexical scoring", "late interaction tokens"):
+            of, os_ = fused.search(q), staged.search(q)
+            assert of["timing"].get("fused") is True, overrides
+            assert [r["doc_id"] for r in of["results"]] == [
+                r["doc_id"] for r in os_["results"]
+            ], overrides
+            for rf, rs in zip(of["results"], os_["results"]):
+                assert rf["stage3_score"] == pytest.approx(
+                    rs["stage3_score"], rel=1e-4, abs=1e-5
+                ), overrides
+
+
 class TestFusedCircuitBreaker:
     def test_repeated_failures_disable_fused_path(self, tmp_path, sample_docs):
         from tristage_rag_tpu.engine.config import PipelineConfig
