@@ -281,3 +281,53 @@ class TestGemma3Parity:
             emb = pooled @ w2.T @ w3.T
             emb = torch.nn.functional.normalize(emb, dim=-1).numpy()
         np.testing.assert_allclose(ours, emb, atol=1e-4)
+
+
+class TestSTDenseBiasParity:
+    def test_biased_dense_module_loads_and_matches(self, tmp_path):
+        """sentence-transformers Dense defaults to bias=True; the loader
+        must carry the bias (code-review r2: it was silently dropped,
+        offsetting every embedding)."""
+        import numpy as np
+
+        pytest.importorskip("sentence_transformers")
+        torch = pytest.importorskip("torch")
+        from sentence_transformers import SentenceTransformer
+        from sentence_transformers import models as st_models
+        from transformers import BertConfig, BertModel, BertTokenizerFast
+
+        words = ["alpha", "beta", "gamma", "delta"]
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words
+        vpath = tmp_path / "vocab.txt"
+        vpath.write_text("\n".join(vocab))
+        tok = BertTokenizerFast(vocab_file=str(vpath), do_lower_case=True)
+        torch.manual_seed(0)
+        base = tmp_path / "base"
+        BertModel(BertConfig(
+            vocab_size=len(vocab), hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=64, type_vocab_size=2,
+        )).eval().save_pretrained(base, safe_serialization=True)
+        tok.save_pretrained(base)
+        model = SentenceTransformer(modules=[
+            st_models.Transformer(str(base), max_seq_length=32),
+            st_models.Pooling(32, pooling_mode="mean"),
+            st_models.Dense(32, 16, bias=True,
+                            activation_function=torch.nn.Identity()),
+            st_models.Normalize(),
+        ], device="cpu")
+        ckpt = tmp_path / "st-biased"
+        model.save(str(ckpt))
+
+        from tristage_rag_tpu.engine.factory import build_runtime
+
+        runtime, tokenizer = build_runtime(
+            "bi", "st-biased", str(tmp_path), compute_dtype="float32"
+        )
+        assert runtime.weights_loaded
+        assert runtime.head_cfg.projection_bias == (True,)
+        assert "bias" in runtime.params["proj_0"]
+        texts = ["alpha beta gamma", "delta alpha"]
+        ours = runtime.encode_texts(texts, tokenizer, max_length=32)
+        theirs = model.encode(texts, convert_to_numpy=True)
+        np.testing.assert_allclose(ours, theirs, atol=2e-4)

@@ -93,6 +93,13 @@ class TestNativeWordPiece:
         "",
         "the the the 123",
         "punct...only,!",
+        # non-ASCII: the native splitter is byte-oriented, so these must
+        # route to the Python path (code-review r2 finding — em dashes /
+        # NBSP previously glued words only on the native path)
+        "quick—fox—hello unaffable",
+        "hello fox",
+        "résumé fox",  # NFD-normalizes to ASCII 'resume'
+        "中文 fox hello",
     ])
     def test_ids_match_python(self, text):
         from tristage_rag_tpu.models.tokenizer import WordPieceTokenizer

@@ -115,3 +115,41 @@ class TestBankMode:
         )
         idx = np.asarray(idx)
         assert ((idx >= -1) & (idx < 40)).all()
+
+
+class TestExactnessGuard:
+    def test_refuses_unguaranteeable_k(self):
+        """k large relative to block count must raise, not silently
+        drop results (code-review r2 finding: per_block_k caps at 128)."""
+        import jax.numpy as jnp
+        import numpy as np
+        import pytest
+
+        from tristage_rag_tpu.ops.pallas_topk import fused_matmul_topk
+
+        docs = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2048, 32)),
+            dtype=jnp.float32,
+        )
+        q = docs[:4]
+        with pytest.raises(ValueError, match="cannot guarantee"):
+            fused_matmul_topk(q, docs, jnp.int32(2048), k=500, interpret=True)
+
+    def test_dense_index_falls_back_to_exact(self):
+        """DenseIndex with search_impl=pallas on a small corpus + big k
+        must return the exact results via the XLA path."""
+        import numpy as np
+
+        from tristage_rag_tpu.index.dense import DenseIndex
+
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((600, 16)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        pal = DenseIndex(dim=16, search_impl="pallas")
+        ref = DenseIndex(dim=16, search_impl="exact")
+        pal.add(emb)
+        ref.add(emb)
+        s_p, i_p = pal.search(emb[:4], k=500)
+        s_r, i_r = ref.search(emb[:4], k=500)
+        np.testing.assert_array_equal(i_p, i_r)
+        np.testing.assert_allclose(s_p, s_r, atol=1e-5)

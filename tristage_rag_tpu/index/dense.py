@@ -347,9 +347,18 @@ class DenseIndex:
             # tombstone count and filter host-side (deletions are rare
             # relative to capacity).
             extra = min(len(self._deleted), self.capacity - k_eff)
-            s, i = fused_matmul_topk(
-                q, self._buf, jnp.int32(self.count), k=k_eff + extra
-            )
+            try:
+                s, i = fused_matmul_topk(
+                    q, self._buf, jnp.int32(self.count), k=k_eff + extra
+                )
+            except ValueError:
+                # corpus too small for this k's per-block margin — the
+                # kernel refuses rather than silently dropping results
+                s, i = masked_topk(
+                    q, self._buf, jnp.int32(self.count), k=k_eff, bias=bias,
+                    scale=self._scales,
+                )
+                extra = 0
             if self._deleted:
                 s, i = np.asarray(s), np.asarray(i)
                 out_s = np.full((s.shape[0], k_eff), -np.inf, np.float32)

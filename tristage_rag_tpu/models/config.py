@@ -59,6 +59,18 @@ class EncoderConfig:
     query_scale: Optional[float] = None
     activation: str = "gelu"  # "gelu" | "geglu" | "swiglu" | "relu"
     use_bias: bool = True
+    # Per-part overrides (ModernBERT configures attention_bias,
+    # mlp_bias, and norm_bias independently); None -> use_bias.
+    attention_bias: Optional[bool] = None
+    mlp_bias: Optional[bool] = None
+
+    @property
+    def attn_bias(self) -> bool:
+        return self.use_bias if self.attention_bias is None else self.attention_bias
+
+    @property
+    def mlp_bias_flag(self) -> bool:
+        return self.use_bias if self.mlp_bias is None else self.mlp_bias
     attn_logit_softcap: float = 0.0
     embedding_scale: bool = False  # multiply embeddings by sqrt(hidden)
     type_vocab_size: int = 0  # >0 -> BERT token-type embeddings
@@ -98,6 +110,9 @@ class PoolingConfig:
 
     pooling: str = "mean"  # "mean" | "cls" | "max" | "lasttoken"
     projection_dims: tuple[int, ...] = ()
+    # per-layer bias flags (ST Dense defaults to bias=True; PyLate
+    # projections typically bias=False); empty = all bias-free
+    projection_bias: tuple[bool, ...] = ()
     normalize: bool = True
 
 
@@ -118,6 +133,7 @@ class ColBERTConfig:
     query_max_len: int = 32
     doc_max_len: int = 192
     project: bool = True
+    project_bias: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,8 +62,10 @@ class BiEncoder(nn.Module):
         )
         x = pool(hidden, attn_mask, self.head.pooling)
         dt = compute_dtype(self.cfg)
+        bias_flags = self.head.projection_bias
         for i, dim in enumerate(self.head.projection_dims):
-            x = nn.Dense(dim, use_bias=False, dtype=dt, name=f"proj_{i}")(
+            use_bias = bias_flags[i] if i < len(bias_flags) else False
+            x = nn.Dense(dim, use_bias=use_bias, dtype=dt, name=f"proj_{i}")(
                 x.astype(dt)
             ).astype(jnp.float32)
         if self.head.normalize:
@@ -83,8 +85,8 @@ class ColBERTEncoder(nn.Module):
         dt = compute_dtype(self.cfg)
         if self.head.project:
             tok = nn.Dense(
-                self.head.output_dim, use_bias=False, dtype=dt,
-                name="colbert_proj",
+                self.head.output_dim, use_bias=self.head.project_bias,
+                dtype=dt, name="colbert_proj",
             )(hidden).astype(jnp.float32)
         else:
             # reference-faithful raw-hidden-state MaxSim

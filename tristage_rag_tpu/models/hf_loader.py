@@ -79,7 +79,11 @@ def encoder_config_from_hf(hf: dict[str, Any]) -> EncoderConfig:
             position_type="rope",
             pre_norm=True,
             activation="geglu",
-            use_bias=hf.get("attention_bias", False) or hf.get("mlp_bias", False),
+            # norm_bias drives LayerNorm bias; attention/mlp linear
+            # biases are independent flags in ModernBERT configs
+            use_bias=hf.get("norm_bias", False),
+            attention_bias=hf.get("attention_bias", False),
+            mlp_bias=hf.get("mlp_bias", False),
             sliding_window=hf.get("local_attention", 128),
             global_attn_every=hf.get("global_attn_every_n_layers", 3),
             rope_theta=hf.get("global_rope_theta", 160000.0),
@@ -152,6 +156,14 @@ def _attn_out(w: np.ndarray, heads: int, hd: int, b: np.ndarray | None) -> dict:
     p = {"kernel": w.T.reshape(heads, hd, -1).copy()}
     if b is not None:
         p["bias"] = b
+    return p
+
+
+def _norm_params(weight, bias=None) -> dict:
+    """LayerNorm params from already-resolved tensors (bias optional)."""
+    p = {"scale": weight}
+    if bias is not None:
+        p["bias"] = bias
     return p
 
 
@@ -295,16 +307,14 @@ def map_modernbert(state: dict, cfg: EncoderConfig) -> dict:
                 "up_proj": _linear(w_gate, b_gate),
                 "down_proj": _linear(g(p + "mlp.Wo.weight"), m(p + "mlp.Wo.bias")),
             },
-            "mlp_norm": _ln(
-                {k.replace("model.", "").replace("modernbert.", ""): v
-                 for k, v in state.items()},
-                p + "mlp_norm",
+            "mlp_norm": _norm_params(
+                g(p + "mlp_norm.weight"), m(p + "mlp_norm.bias")
             ),
         }
         if i > 0 or not cfg.skip_first_attn_norm:
-            clean = {k.replace("model.", "").replace("modernbert.", ""): v
-                     for k, v in state.items()}
-            layer["attn_norm"] = _ln(clean, p + "attn_norm")
+            layer["attn_norm"] = _norm_params(
+                g(p + "attn_norm.weight"), m(p + "attn_norm.bias")
+            )
         params[f"layer_{i}"] = layer
     return params
 
@@ -385,7 +395,10 @@ def _st_dense_modules(path: Path) -> list[tuple[int, np.ndarray]]:
         w = _maybe(st, "linear.weight", "weight")
         if w is None:
             continue
-        out.append((w.shape[0], w.T.copy()))
+        # ST Dense defaults to bias=True — dropping a present bias
+        # would silently offset every embedding
+        b = _maybe(st, "linear.bias", "bias")
+        out.append((w.shape[0], w.T.copy(), b))
     return out
 
 
@@ -441,11 +454,15 @@ def load_checkpoint(
         dense = _st_dense_modules(path)
         head = PoolingConfig(
             pooling=_st_pooling(path),
-            projection_dims=tuple(d for d, _ in dense),
+            projection_dims=tuple(d for d, _, _ in dense),
+            projection_bias=tuple(b is not None for _, _, b in dense),
             normalize=True,
         )
-        for i, (_, kernel) in enumerate(dense):
-            params[f"proj_{i}"] = {"kernel": kernel}
+        for i, (_, kernel, bias) in enumerate(dense):
+            params[f"proj_{i}"] = (
+                {"kernel": kernel, "bias": bias}
+                if bias is not None else {"kernel": kernel}
+            )
     elif kind == "colbert":
         if not fallback_head.project:
             # reference-faithful mode: score raw hidden states, skip the
@@ -454,9 +471,15 @@ def load_checkpoint(
         else:
             dense = _st_dense_modules(path)
             if dense:
-                out_dim, kernel = dense[0]
-                head = dataclasses.replace(fallback_head, output_dim=out_dim)
-                params["colbert_proj"] = {"kernel": kernel}
+                out_dim, kernel, bias = dense[0]
+                head = dataclasses.replace(
+                    fallback_head, output_dim=out_dim,
+                    project_bias=bias is not None,
+                )
+                params["colbert_proj"] = (
+                    {"kernel": kernel, "bias": bias}
+                    if bias is not None else {"kernel": kernel}
+                )
             else:
                 raise ValueError(
                     "ColBERT checkpoint missing Dense projection module"

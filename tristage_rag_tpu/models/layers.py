@@ -111,7 +111,7 @@ class Attention(nn.Module):
         dt = compute_dtype(cfg)
         h, kvh, hd = cfg.num_heads, cfg.kv_heads, cfg.dims_per_head
         dense = lambda feats, name: nn.DenseGeneral(
-            features=feats, use_bias=cfg.use_bias, dtype=dt, name=name
+            features=feats, use_bias=cfg.attn_bias, dtype=dt, name=name
         )
         b, l, _ = x.shape
         q = dense((h, hd), "q_proj")(x)
@@ -141,7 +141,7 @@ class Attention(nn.Module):
         return nn.DenseGeneral(
             features=cfg.hidden_size,
             axis=(-2, -1),
-            use_bias=cfg.use_bias,
+            use_bias=cfg.attn_bias,
             dtype=dt,
             name="o_proj",
         )(out)
@@ -155,7 +155,7 @@ class Mlp(nn.Module):
         cfg = self.cfg
         dt = compute_dtype(cfg)
         dense = lambda feats, name: nn.Dense(
-            features=feats, use_bias=cfg.use_bias, dtype=dt, name=name
+            features=feats, use_bias=cfg.mlp_bias_flag, dtype=dt, name=name
         )
         if cfg.activation in ("geglu", "geglu_tanh", "swiglu"):
             gate = dense(cfg.mlp_dim, "gate_proj")(x)

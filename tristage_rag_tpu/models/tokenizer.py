@@ -235,8 +235,16 @@ class WordPieceTokenizer(BaseTokenizer):
         )
 
     def tokenize_to_ids(self, text: str) -> list[int]:
+        # The C++ splitter is byte-oriented: non-ASCII text (em dashes,
+        # NBSP, CJK) would split differently from the Python
+        # `\w+|[^\w\s]` semantics and byte-count the max-word guard.
+        # Gate the native fast path to pure-ASCII input so the two
+        # implementations are id-identical by construction — indexes
+        # built with and without the toolchain must agree.
         if self._native is not None:
-            return self._native.encode(self._normalize(text))
+            norm = self._normalize(text)
+            if norm.isascii():
+                return self._native.encode(norm)
         out: list[int] = []
         for w in self._basic_tokens(text):
             out.extend(self._wordpiece(w))

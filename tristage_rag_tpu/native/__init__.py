@@ -34,8 +34,11 @@ def _build(lib_path: Path) -> bool:
     newest_src = max(os.path.getmtime(s) for s in srcs)
     if lib_path.exists() and os.path.getmtime(lib_path) >= newest_src:
         return True
+    # No -march=native: the artifact must run on any host that checks
+    # out the repo (a host-specific .so would SIGILL on older CPUs
+    # before the pure-Python fallback could ever engage).
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
         *srcs, "-o", str(lib_path),
     ]
     try:

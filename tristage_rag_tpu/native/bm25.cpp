@@ -54,6 +54,7 @@ void bm25_add_doc(void* handle, const int64_t* term_ids,
   idx->total_len += static_cast<double>(doc_len);
   for (int64_t i = 0; i < n_terms; ++i) {
     int64_t t = term_ids[i];
+    if (t < 0) continue;  // mirror the scoring-side id guard
     if (t >= static_cast<int64_t>(idx->postings.size()))
       idx->postings.resize(t + 1);
     idx->postings[t].docs.push_back(doc);

@@ -26,16 +26,17 @@ class NativeWordPiece:
         self._handle = self._lib.wp_create(blob, len(blob), unk_id)
         if not self._handle:
             raise RuntimeError("wp_create failed")
-        self._buf = (ctypes.c_int32 * 4096)()
 
     def encode(self, text: str) -> list[int]:
+        # Per-call buffer: ctypes releases the GIL during wp_encode, so
+        # a shared buffer would corrupt concurrent encodes.
         tb = text.encode("utf-8")
-        n = self._lib.wp_encode(self._handle, tb, len(tb), self._buf, 4096)
+        buf = (ctypes.c_int32 * 4096)()
+        n = self._lib.wp_encode(self._handle, tb, len(tb), buf, 4096)
         if n > 4096:  # rare: resize and retry
             buf = (ctypes.c_int32 * int(n))()
             n = self._lib.wp_encode(self._handle, tb, len(tb), buf, n)
-            return list(buf[: int(n)])
-        return list(self._buf[: int(n)])
+        return list(buf[: int(n)])
 
     def __del__(self):
         lib = getattr(self, "_lib", None)

@@ -180,7 +180,22 @@ def fused_matmul_topk(
     nblocks = n // block_size
     if per_block_k <= 0:
         # Safety margin ~6x the mean occupancy, floor 8 (see module doc).
-        per_block_k = max(8, min(128, _round_up(6 * k // max(nblocks, 1) + 1, 8)))
+        needed = _round_up(6 * k // max(nblocks, 1) + 1, 8)
+        per_block_k = max(8, min(128, needed))
+        # Exactness holds when either (a) a block can keep ALL k of the
+        # global top-k (deterministic), or (b) the 128 cap still leaves
+        # a fat Poisson margin over the k/nblocks mean occupancy. When
+        # neither holds, results would silently go missing — refuse so
+        # callers (DenseIndex) fall back to the XLA exact path.
+        lam = k / max(nblocks, 1)
+        deterministic = per_block_k >= min(k, block_size)
+        statistically_safe = per_block_k >= 2 * lam + 24
+        if not (deterministic or statistically_safe):
+            raise ValueError(
+                f"fused top-k cannot guarantee exactness: k={k} over "
+                f"{nblocks} blocks means ~{lam:.0f} top-k hits per block "
+                f"vs a {per_block_k}-slot table; use masked_topk"
+            )
     per_block_k = min(per_block_k, block_size)
     if mode == "bank" and block_size % per_block_k != 0:
         per_block_k = max(

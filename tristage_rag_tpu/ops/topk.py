@@ -122,12 +122,3 @@ def masked_approx_topk(
     in_range = top_scores > NEG_INF / 2
     top_idx = jnp.where(in_range, top_idx, -1)
     return top_scores, top_idx
-
-
-def topk_fn(k: int, use_pallas: bool = False):
-    """Return a (queries, corpus, count) -> (scores, idx) callable."""
-    if use_pallas:
-        from tristage_rag_tpu.ops.pallas_topk import fused_matmul_topk
-
-        return functools.partial(fused_matmul_topk, k=k)
-    return functools.partial(masked_topk, k=k)
