@@ -373,3 +373,45 @@ def test_profile_search_captures_trace(tmp_path):
     import os
 
     assert any(os.scandir(tmp_path / "trace"))
+
+
+class TestDeleteSurvivesRebuild:
+    def test_deleted_docs_do_not_resurrect_from_doc_store(self, tmp_path):
+        """If the index files are lost, startup() rebuilds from the raw
+        doc store and must re-apply deletion tombstones
+        (code-review r2 finding)."""
+        import shutil
+
+        from tristage_rag_tpu.apps.cli import RetrievalApp
+        from tristage_rag_tpu.engine.config import PipelineConfig
+
+        cfg = PipelineConfig(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=4, stage2_top_k=3,
+            stage3_top_k=2, stage1_max_text_length=32,
+            stage2_max_seq_length=32, stage3_max_length=48,
+            compute_dtype="float32", mesh_data_parallel=1,
+            index_dir=str(tmp_path / "idx"),
+        )
+        app = RetrievalApp(cfg, data_dir=str(tmp_path / "data"))
+        app.startup()
+        app.add_documents(["keep this one", "delete this one xx9"])
+        assert app.delete_documents([1]) == 1
+        assert app.docs.stats()["deleted_documents"] == 1
+        # simulate index loss -> rebuild from the doc store
+        shutil.rmtree(tmp_path / "idx")
+        app2 = RetrievalApp(cfg, data_dir=str(tmp_path / "data"))
+        app2.startup()
+        out = app2.search("delete xx9")
+        assert all(r["doc_id"] != 1 for r in out["results"])
+
+
+class TestWebUIHighlightEntities:
+    def test_query_words_do_not_match_entity_bodies(self):
+        from tristage_rag_tpu.apps.webui import highlight
+
+        out = highlight("A & B", "amp")
+        assert "&amp;" in out and "<mark>amp</mark>" not in out
+        out2 = highlight("use <tags> & amp here", "amp")
+        assert "<mark>amp</mark>" in out2  # the real word still marks
+        assert "&amp;" in out2 and "&lt;tags&gt;" in out2

@@ -246,3 +246,59 @@ class TestMicroBatcher:
             return out
 
         assert asyncio.run(go()) == [1, 2, 3]
+
+
+class TestBatchErrorIsolation:
+    def test_bad_request_does_not_poison_the_batch(self):
+        """A failing request coalesced into a micro-batch must error
+        alone; its batchmates still get results (code-review r2)."""
+        from tristage_rag_tpu.engine.config import PipelineConfig
+
+        cfg = PipelineConfig(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=4, stage2_top_k=3,
+            stage3_top_k=2, stage1_max_text_length=32,
+            stage2_max_seq_length=32, stage3_max_length=48,
+            compute_dtype="float32", mesh_data_parallel=1,
+        )
+        srv = RetrievalMCPServer(RetrievalPipeline(cfg))
+        srv.pipeline.add_documents(["doc one aa", "doc two bb"])
+
+        async def go():
+            # an int query raises inside the pipeline; the str query
+            # shares the same coalescing window
+            good = srv._call_tool("search", {"query": "doc aa", "top_k": 1})
+            bad = srv._call_tool("search", {"query": 123, "top_k": 1})
+            return await asyncio.gather(good, bad, return_exceptions=True)
+
+        good, bad = asyncio.run(go())
+        assert not isinstance(good, Exception)
+        assert json.loads(good["content"][0]["text"])["results"]
+        assert isinstance(bad, Exception)  # -32602 validation
+
+    def test_mixed_failures_within_grouped_dispatch(self, server):
+        # craft a request batch where the pipeline itself fails for one
+        # item: monkeypatch search to fail on a sentinel query
+        server.pipeline.add_documents(["grouped dispatch doc qq"])
+        orig_search = server.pipeline.search
+        orig_batch = server.pipeline.batch_search
+
+        def flaky(q, k=None):
+            if q == "__boom__":
+                raise RuntimeError("injected")
+            return orig_search(q, k)
+
+        def broken_batch(qs, k=None):
+            raise RuntimeError("whole group failed")
+
+        server.pipeline.search = flaky
+        server.pipeline.batch_search = broken_batch
+        try:
+            # grouped dispatch fails -> per-request retry isolates the
+            # one genuinely bad query
+            out = server._batched_search([("x", 1), ("__boom__", 1)])
+        finally:
+            server.pipeline.search = orig_search
+            server.pipeline.batch_search = orig_batch
+        assert not isinstance(out[0], Exception)
+        assert isinstance(out[1], Exception)

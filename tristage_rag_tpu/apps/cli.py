@@ -37,12 +37,17 @@ class RetrievalApp:
         self._index_loaded = False
 
     def startup(self) -> None:
-        """Load persisted index, else re-index the stored documents."""
+        """Load persisted index, else re-index the stored documents
+        (re-applying deletion tombstones so deleted docs don't
+        resurrect from the raw store)."""
         if self.pipeline.load_index():
             self._index_loaded = True
             logger.info("loaded persisted index")
         elif self.docs.documents:
             self.pipeline.add_documents(self.docs.documents, self.docs.metadata)
+            deleted = self.docs.deleted_indices
+            if deleted:
+                self.pipeline.delete_documents(deleted)
             self.pipeline.save_index()
 
     def add_documents(
@@ -82,8 +87,15 @@ class RetrievalApp:
         return out
 
     def delete_documents(self, doc_ids) -> int:
-        """Tombstone documents by pipeline doc_id and persist."""
+        """Tombstone documents by pipeline doc_id — in the index AND
+        the raw doc store, so a rebuild-from-store can't resurrect
+        them."""
         out = self.pipeline.delete_documents(doc_ids)
+        if self.pipeline.stage1 is not None:
+            self.docs.mark_deleted(
+                set(int(i) for i in doc_ids)
+                & self.pipeline.stage1.deleted_ids
+            )
         self.pipeline.save_index()
         return out["documents_deleted"]
 

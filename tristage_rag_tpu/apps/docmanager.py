@@ -31,6 +31,7 @@ class DocumentManager:
         self.metadata: list[dict[str, Any]] = []
         self._seen: set[str] = set()
         self.source_counts: dict[str, int] = {}
+        self._manifest_cache: Optional[set[str]] = None
         self._load()
 
     def _load(self) -> None:
@@ -87,36 +88,66 @@ class DocumentManager:
         self.metadata = []
         self._seen = set()
         self.source_counts = {}
+        self._manifest_cache = None
         for f in (self.docs_file, self.manifest_file):
             if f.exists():
                 f.unlink()
 
     def stats(self) -> dict[str, Any]:
+        deleted = len(self.deleted_indices)
         return {
-            "total_documents": len(self.documents),
+            "total_documents": len(self.documents) - deleted,
+            "deleted_documents": deleted,
             "sources": dict(self.source_counts),
         }
 
+    # ---- deletion tombstones ---------------------------------------------
+
+    def mark_deleted(self, indices) -> int:
+        """Flag documents deleted WITHOUT removing them: positions must
+        stay aligned with pipeline doc ids, and a rebuild-from-store
+        (RetrievalApp.startup when index files are missing) re-applies
+        these tombstones instead of resurrecting deleted docs."""
+        n = 0
+        for i in indices:
+            i = int(i)
+            if 0 <= i < len(self.metadata) and not self.metadata[i].get("deleted"):
+                self.metadata[i]["deleted"] = True
+                n += 1
+        if n:
+            self.save()
+        return n
+
+    @property
+    def deleted_indices(self) -> list[int]:
+        return [i for i, m in enumerate(self.metadata) if m.get("deleted")]
+
     # ---- embed manifest (webui/app.py:71-109) ---------------------------
 
-    def _load_manifest(self) -> dict[str, Any]:
-        if self.manifest_file.exists():
-            try:
-                return json.loads(self.manifest_file.read_text())
-            except Exception:
-                pass
-        return {"hashes": []}
+    def _manifest_hashes(self) -> set[str]:
+        """In-memory manifest cache — is_embedded runs per chunk on the
+        ingest hot path; re-reading the JSON file each time made ingest
+        I/O quadratic."""
+        if getattr(self, "_manifest_cache", None) is None:
+            hashes: set[str] = set()
+            if self.manifest_file.exists():
+                try:
+                    hashes = set(
+                        json.loads(self.manifest_file.read_text())["hashes"]
+                    )
+                except Exception:
+                    pass
+            self._manifest_cache = hashes
+        return self._manifest_cache
 
     def is_embedded(self, text: str) -> bool:
-        return text_hash(text) in set(self._load_manifest()["hashes"])
+        return text_hash(text) in self._manifest_hashes()
 
     def mark_embedded(self, texts: list[str]) -> None:
-        manifest = self._load_manifest()
-        hashes = set(manifest["hashes"])
+        hashes = self._manifest_hashes()
         hashes.update(text_hash(t) for t in texts)
-        manifest["hashes"] = sorted(hashes)
         self.data_dir.mkdir(parents=True, exist_ok=True)
-        self.manifest_file.write_text(json.dumps(manifest))
+        self.manifest_file.write_text(json.dumps({"hashes": sorted(hashes)}))
 
     def embedded_count(self) -> int:
-        return len(self._load_manifest()["hashes"])
+        return len(self._manifest_hashes())

@@ -53,16 +53,24 @@ def _page(title: str, body: str, pills: str = "") -> str:
 
 
 def highlight(text: str, query: str) -> str:
-    """Escape text and <mark> query words (webui/app.py:205-223)."""
-    escaped = html.escape(text)
+    """<mark> query words, escaping around the matches
+    (webui/app.py:205-223). Matching runs on the RAW text — matching
+    after html.escape would let query words like 'amp'/'quot' hit
+    inside entity bodies and corrupt the markup."""
     words = {w for w in re.findall(r"\w+", query.lower()) if len(w) > 1}
     if not words:
-        return escaped
+        return html.escape(text)
     pattern = re.compile(
         r"\b(" + "|".join(re.escape(w) for w in sorted(words, key=len, reverse=True)) + r")\b",
         re.IGNORECASE,
     )
-    return pattern.sub(lambda m: f"<mark>{m.group(0)}</mark>", escaped)
+    out, last = [], 0
+    for m in pattern.finditer(text):
+        out.append(html.escape(text[last : m.start()]))
+        out.append(f"<mark>{html.escape(m.group(0))}</mark>")
+        last = m.end()
+    out.append(html.escape(text[last:]))
+    return "".join(out)
 
 
 class WebUI:
@@ -169,7 +177,15 @@ class WebUI:
             out["__files__"] = files
         return out
 
-    def _session(self, environ) -> tuple[str, list[dict[str, str]], Optional[tuple]]:
+    _MAX_CHAT_SESSIONS = 500
+
+    def _session(
+        self, environ, create: bool = False
+    ) -> tuple[str, list[dict[str, str]], Optional[tuple]]:
+        """``create=False`` never stores anything — cookie-less probes
+        (health checks, crawlers) must not grow ``_chats`` unboundedly.
+        Only a posted chat message (create=True) persists a session,
+        and the oldest sessions are evicted past a cap."""
         cookies = environ.get("HTTP_COOKIE", "")
         m = re.search(r"tsid=([a-f0-9]{32})", cookies)
         header = None
@@ -178,7 +194,13 @@ class WebUI:
         else:
             sid = secrets.token_hex(16)
             header = ("Set-Cookie", f"tsid={sid}; Path=/; HttpOnly")
-        return sid, self._chats.setdefault(sid, []), header
+        if create:
+            history = self._chats.setdefault(sid, [])
+            while len(self._chats) > self._MAX_CHAT_SESSIONS:
+                self._chats.pop(next(iter(self._chats)))
+        else:
+            history = self._chats.get(sid, [])
+        return sid, history, header
 
     def _pills(self) -> str:
         stats = self.app.docs.stats()
@@ -209,7 +231,7 @@ class WebUI:
                              _page("Chat", body, self._pills()), headers=headers)
 
     def chat_post(self, environ, start_response, query):
-        sid, history, cookie = self._session(environ)
+        sid, history, cookie = self._session(environ, create=True)
         msg = self._form(environ).get("message", "").strip()
         if msg:
             history.append({"role": "user", "text": msg})
@@ -287,7 +309,13 @@ class WebUI:
         if not q:
             return self._json(start_response, {"error": "missing q"},
                               "400 Bad Request")
-        top_k = int((query.get("top_k") or ["20"])[0])
+        try:
+            top_k = int((query.get("top_k") or ["20"])[0])
+        except ValueError:
+            return self._json(
+                start_response, {"error": "top_k must be an integer"},
+                "400 Bad Request",
+            )
         out = self.app.search(q, top_k)
         return self._json(
             start_response,
@@ -351,9 +379,20 @@ Overlap <input type="text" name="overlap" value="{self.overlap}" style="width:6r
             pass
         added = 0
         for fname, payload in form.get("__files__", []):
+            # route through extract_text like /add: PDFs/DOCX are binary
+            # and must not be utf-8-decoded into mojibake
             try:
-                text = payload.decode("utf-8", errors="replace")
-                added += self._ingest_text(text, fname)
+                import os
+                import tempfile
+
+                suffix = "." + fname.rsplit(".", 1)[-1] if "." in fname else ".txt"
+                with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
+                    f.write(payload)
+                    tmp = f.name
+                try:
+                    added += self._ingest_text(extract_text(tmp), fname)
+                finally:
+                    os.unlink(tmp)
             except Exception as e:
                 logger.warning("embed failed for %s: %s", fname, e)
         # server-side directory ingest (reference's repo_all action,

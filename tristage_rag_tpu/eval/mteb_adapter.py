@@ -178,9 +178,16 @@ class TriStageMTEBModel:
     _entry_text = staticmethod(doc_text)
 
     def _ensure_indexed(self, corpus: dict[str, Any]) -> None:
-        key = hashlib.sha256(
-            ("\x00".join(sorted(corpus.keys()))).encode()
-        ).hexdigest()
+        # Hash ids AND content: predict() builds positional ids, so two
+        # different corpora can share the exact same key set — a
+        # key-only hash would silently reuse the stale index.
+        h = hashlib.sha256()
+        for cid in sorted(corpus.keys()):
+            h.update(cid.encode())
+            h.update(b"\x00")
+            h.update(self._entry_text(corpus[cid]).encode())
+            h.update(b"\x01")
+        key = h.hexdigest()
         if key == self._indexed_hash:
             return
         ext_ids = list(corpus.keys())

@@ -99,7 +99,7 @@ class BM25Index:
 
     # Back-compat alias mirroring the reference API (fit == rebuild-from).
     def fit(self, documents: list[str]) -> None:
-        self.__init__(self.k1, self.b)
+        self.__init__(self.k1, self.b, use_native=self._native is not None)
         self.add(documents)
 
     def _matrix(self) -> sparse.csc_matrix:

@@ -138,6 +138,22 @@ class StdioJsonRpcServer:
                     }
                 )
                 continue
+            if not isinstance(msg, dict):
+                # valid JSON but not a request object (e.g. a batch
+                # array, which this server doesn't support) — answer
+                # with INVALID_REQUEST instead of crashing the dispatch
+                # task and leaving the client waiting forever
+                await self._send(
+                    {
+                        "jsonrpc": "2.0",
+                        "id": None,
+                        "error": {
+                            "code": INVALID_REQUEST,
+                            "message": "request must be a JSON object",
+                        },
+                    }
+                )
+                continue
             task = loop.create_task(self._dispatch(msg))
             pending.add(task)
             task.add_done_callback(pending.discard)

@@ -178,21 +178,38 @@ class RetrievalMCPServer:
 
     def _batched_search(
         self, requests: list[tuple[str, Optional[int]]]
-    ) -> list[dict[str, Any]]:
+    ) -> list[Any]:
         """Serve one coalesced micro-batch. Requests sharing a top_k
         (the common case) go through batch_search together — on the
-        fused path that is ONE device dispatch for the whole batch."""
+        fused path that is ONE device dispatch for the whole batch.
+
+        Never raises: one bad request must not poison the other
+        requests coalesced into the same window, so failures degrade
+        group -> per-request, and a slot that still fails carries its
+        OWN exception (re-raised for that caller alone)."""
+        def _one(q, k):
+            try:
+                return self.pipeline.search(q, k)
+            except Exception as e:  # noqa: BLE001 — isolated per request
+                return e
+
         if len(requests) == 1:
             q, k = requests[0]
-            return [self.pipeline.search(q, k)]
+            return [_one(q, k)]
         by_k: dict[Optional[int], list[int]] = {}
         for i, (_, k) in enumerate(requests):
             by_k.setdefault(k, []).append(i)
-        out: list[Optional[dict[str, Any]]] = [None] * len(requests)
+        out: list[Any] = [None] * len(requests)
         for k, idxs in by_k.items():
-            responses = self.pipeline.batch_search(
-                [requests[i][0] for i in idxs], k
-            )
+            try:
+                responses = self.pipeline.batch_search(
+                    [requests[i][0] for i in idxs], k
+                )
+            except Exception:
+                logger.exception(
+                    "grouped batch_search failed; retrying per request"
+                )
+                responses = [_one(requests[i][0], k) for i in idxs]
             for i, resp in zip(idxs, responses):
                 out[i] = resp
         return out
@@ -261,6 +278,8 @@ class RetrievalMCPServer:
             if not isinstance(query, str) or not query:
                 raise JsonRpcError(-32602, "search requires a 'query' string")
             result = await self.batcher.submit((query, args.get("top_k", 20)))
+            if isinstance(result, Exception):
+                raise result  # this request's own failure, not its batch's
             return _text(
                 {
                     "query": result["query"],
@@ -280,12 +299,19 @@ class RetrievalMCPServer:
             return _text(out)
         if name == "batch_search":
             queries = args.get("queries")
-            if not isinstance(queries, list):
-                raise JsonRpcError(-32602, "batch_search requires 'queries' list")
+            if not isinstance(queries, list) or not all(
+                isinstance(q, str) for q in queries
+            ):
+                raise JsonRpcError(
+                    -32602, "batch_search requires a list of query strings"
+                )
             top_k = args.get("top_k", 20)
             results = await asyncio.gather(
                 *(self.batcher.submit((q, top_k)) for q in queries)
             )
+            for r in results:
+                if isinstance(r, Exception):
+                    raise r
             return _text(
                 [
                     {"query": r["query"], "results": r["results"], "timing": r["timing"]}
