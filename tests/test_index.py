@@ -180,3 +180,59 @@ class TestBM25TieOrder:
                 expect = np.argsort(-scores, kind="stable")[:k]
                 got = [i for i, _ in idx.search(q, k)]
                 np.testing.assert_array_equal(got, expect)
+
+
+class TestStage1LoadIndexConsistency:
+    def _cfg(self, tmp_path):
+        from tristage_rag_tpu.engine.config import PipelineConfig
+
+        return PipelineConfig(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=6, stage1_bm25_top_k=6,
+            stage1_max_text_length=32, compute_dtype="float32",
+            mesh_data_parallel=1, index_dir=str(tmp_path / "idx"),
+        )
+
+    def test_missing_dense_file_fails_without_mutating(self, tmp_path):
+        """docs.json without its dense npz must fail the load and keep
+        in-memory state intact (code-review r2 finding)."""
+        import json as _json
+
+        from tristage_rag_tpu.engine.stage1 import Stage1Retriever
+
+        d = tmp_path / "idx"
+        d.mkdir(parents=True)
+        (d / "stage1_docs.json").write_text(
+            _json.dumps({"documents": ["stale"], "metadata": [{}]})
+        )
+        s1 = Stage1Retriever(self._cfg(tmp_path))
+        s1.add_documents(["live document one", "live document two"])
+        assert s1.load_index() is False
+        assert s1.documents == ["live document one", "live document two"]
+        hits = s1.search("live document", 2)
+        assert hits and all("live" in r["document"] for r in hits)
+
+    def test_bm25_rebuilt_when_sidecar_missing(self, tmp_path):
+        """Loading an index saved with BM25 disabled into a BM25-enabled
+        retriever must rebuild BM25 over the loaded docs so later adds
+        keep id alignment (code-review r2 finding)."""
+        import dataclasses
+
+        from tristage_rag_tpu.engine.stage1 import Stage1Retriever
+
+        cfg_off = dataclasses.replace(
+            self._cfg(tmp_path), stage1_enable_bm25=False
+        )
+        s_off = Stage1Retriever(cfg_off)
+        s_off.add_documents([f"original doc number {i} oo{i}" for i in range(4)])
+        s_off.save_index()
+
+        s_on = Stage1Retriever(self._cfg(tmp_path))
+        assert s_on.load_index() is True
+        assert s_on.bm25 is not None and s_on.bm25.corpus_size == 4
+        s_on.add_documents(["a freshly added doc about pelicans pp7"])
+        hits = s_on.search("pelicans pp7", 5)
+        # the new doc surfaces under its CONTINUED id with its own text
+        # (a reset BM25 would have mapped the lexical hit to doc 0)
+        match = [r for r in hits if r["doc_id"] == 4]
+        assert match and match[0]["document"].endswith("pp7")

@@ -173,3 +173,30 @@ def test_runtime_determinism():
     a = rt1.encode_texts(["determinism"], tok, max_length=16)
     b = rt2.encode_texts(["determinism"], tok, max_length=16)
     np.testing.assert_array_equal(a, b)
+
+
+def test_pair_truncation_matches_transformers():
+    """Empirical tie-break parity with BertTokenizerFast longest_first
+    (equal lengths pop from the FIRST sequence)."""
+    pytest.importorskip("transformers")
+    import tempfile
+    from pathlib import Path
+
+    from transformers import BertTokenizerFast
+
+    from tristage_rag_tpu.models.tokenizer import WordPieceTokenizer
+
+    words = [f"w{i}" for i in range(300)]
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words
+    vp = Path(tempfile.mkdtemp()) / "vocab.txt"
+    vp.write_text("\n".join(vocab))
+    hf = BertTokenizerFast(vocab_file=str(vp), do_lower_case=True)
+    ours = WordPieceTokenizer({t: i for i, t in enumerate(vocab)})
+    ours._native = None
+    for ql, dl in ((130, 130), (200, 100), (100, 200), (256, 10), (128, 129)):
+        q = " ".join(words[:ql])
+        d = " ".join(words[:dl][::-1])
+        hf_ids = hf(q, d, truncation="longest_first", max_length=256)["input_ids"]
+        mine = ours.encode_pairs([(q, d)], 256)
+        my_ids = mine.input_ids[0][: int(mine.attn_mask[0].sum())].tolist()
+        assert my_ids == hf_ids, (ql, dl)

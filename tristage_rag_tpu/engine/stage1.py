@@ -281,20 +281,30 @@ class Stage1Retriever:
     def load_index(self, index_dir: Optional[str] = None) -> bool:
         d = Path(index_dir or self.config.index_dir)
         docs_file = d / "stage1_docs.json"
-        if not docs_file.exists():
+        dense_file = (d / "stage1_dense").with_suffix(".npz")
+        # Validate BEFORE mutating: a doc store without its dense index
+        # must not overwrite in-memory state and report success — the
+        # stale index's row ids would map onto the new documents list.
+        if not docs_file.exists() or not dense_file.exists():
             return False
         payload = json.loads(docs_file.read_text())
         self.documents = payload["documents"]
         self.doc_metadata = payload["metadata"]
-        dense_file = (d / "stage1_dense").with_suffix(".npz")
-        if dense_file.exists():
-            self.index = DenseIndex.load(d / "stage1_dense", mesh=self.mesh)
-            # restore the host-side filter that keeps tombstoned docs
-            # out of BM25 results too
-            self.deleted_ids = self.index.deleted_ids
-        bm25_file = (d / "stage1_bm25").with_suffix(".json")
-        if self.config.stage1_enable_bm25 and bm25_file.exists():
-            self.bm25 = BM25Index.load(d / "stage1_bm25")
+        self.index = DenseIndex.load(d / "stage1_dense", mesh=self.mesh)
+        # restore the host-side filter that keeps tombstoned docs
+        # out of BM25 results too
+        self.deleted_ids = self.index.deleted_ids
+        if self.config.stage1_enable_bm25:
+            bm25_file = (d / "stage1_bm25").with_suffix(".json")
+            if bm25_file.exists():
+                self.bm25 = BM25Index.load(d / "stage1_bm25")
+            else:
+                # e.g. the index was saved with BM25 disabled: rebuild
+                # from the loaded docs so BM25 internal ids stay aligned
+                # with dense/doc-store ids (an empty BM25 would restart
+                # ids at 0 on the next add_documents)
+                self.bm25 = BM25Index()
+                self.bm25.add(self.documents)
         return True
 
     def get_stats(self) -> dict[str, Any]:

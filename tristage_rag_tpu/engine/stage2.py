@@ -93,7 +93,12 @@ class ColBERTScorer:
         """([bucket, Ld, D], [bucket, Ld]) token embeddings + masks,
         padded to ``bucket`` candidates. Device arrays when the device
         cache serves the request; numpy otherwise."""
-        if self._cache is None:
+        if self._cache is None or any(
+            c["doc_id"] >= self._cache.max_docs for c in candidates
+        ):
+            # cap check BEFORE encoding: if any candidate can't fit the
+            # cache, add() would refuse the whole batch and the encode
+            # work would be thrown away, doubling stage-2 cost
             d_emb, d_mask = self.encode_documents(
                 [c["document"] for c in candidates]
             )
@@ -168,6 +173,11 @@ class ColBERTScorer:
                 d_emb,
                 d_mask,
                 method=self.config.stage2_scoring_method,
+                # normalize stays ON even though the encoder emits
+                # unit-norm tokens: the device cache stores bf16, whose
+                # rounding perturbs norms by ~1e-3 — re-normalizing at
+                # score time restores exact cosine semantics (the
+                # reference's F.normalize-at-scoring behavior)
             )
         )[:n]
 
@@ -213,7 +223,9 @@ class ColBERTScorer:
                     if c["doc_id"] not in union:
                         union[c["doc_id"]] = len(union_docs)
                         union_docs.append(c["document"])
-            use_device_cache = self._cache is not None
+            use_device_cache = self._cache is not None and all(
+                i < self._cache.max_docs for i in union
+            )
             if use_device_cache:
                 self.precompute(list(union.keys()), union_docs)
                 use_device_cache = self._cache.covers(union.keys())

@@ -156,8 +156,6 @@ class EncoderRuntime:
             )
             return np.zeros((0, e_dim), dtype=np.float32)
         if device_out:
-            import jax.numpy as jnp
-
             return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         return np.concatenate(outs, axis=0)
 

@@ -103,7 +103,10 @@ class BaseTokenizer:
             q_ids = self.tokenize_to_ids(q)
             d_ids = self.tokenize_to_ids(d)
             budget = max_length - 3
-            # Longest-first truncation (HF default for pairs).
+            # Longest-first truncation (HF default for pairs). Tie-break
+            # parity verified EMPIRICALLY against BertTokenizerFast
+            # (truncation="longest_first"): equal lengths pop from the
+            # FIRST sequence, i.e. q pops when len(q) >= len(d).
             while len(q_ids) + len(d_ids) > budget:
                 if len(q_ids) >= len(d_ids) and q_ids:
                     q_ids.pop()
@@ -196,13 +199,10 @@ class WordPieceTokenizer(BaseTokenizer):
             self._native = None
 
     def _basic_tokens(self, text: str) -> list[str]:
-        if self.lowercase:
-            text = text.lower()
-            text = "".join(
-                c for c in unicodedata.normalize("NFD", text)
-                if unicodedata.category(c) != "Mn"
-            )
-        return _WORD_RE.findall(text)
+        # Single normalization definition — the native-gated path uses
+        # _normalize too; duplicating the logic risked the two paths
+        # drifting apart.
+        return _WORD_RE.findall(self._normalize(text))
 
     def _wordpiece(self, word: str) -> list[int]:
         if len(word) > self.max_chars:
@@ -258,9 +258,18 @@ class HFTokenizer(BaseTokenizer):
         from transformers import AutoTokenizer  # host-side only
 
         self._tok = AutoTokenizer.from_pretrained(str(path))
-        self.pad_id = self._tok.pad_token_id or 0
-        self.cls_id = self._tok.cls_token_id or self._tok.bos_token_id or 0
-        self.sep_id = self._tok.sep_token_id or self._tok.eos_token_id or 0
+
+        def _first(*ids, default=0):
+            # id 0 is a legitimate special token in several vocabs —
+            # `or`-chains would skip it
+            for i in ids:
+                if i is not None:
+                    return i
+            return default
+
+        self.pad_id = _first(self._tok.pad_token_id)
+        self.cls_id = _first(self._tok.cls_token_id, self._tok.bos_token_id)
+        self.sep_id = _first(self._tok.sep_token_id, self._tok.eos_token_id)
         self.vocab_size = self._tok.vocab_size
 
     def tokenize_to_ids(self, text: str) -> list[int]:
