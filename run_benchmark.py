@@ -87,6 +87,29 @@ def main() -> int:
         except ImportError:
             print("mteb not installed; falling back to native harness", file=sys.stderr)
             args.mteb = False
+    if args.mteb:
+        # run through the REAL MTEB evaluator (reference parity:
+        # run_benchmark.py:188-201); fall back to the native harness on
+        # any failure so the run still produces numbers
+        from tristage_rag_tpu.eval.mteb_adapter import run_mteb
+
+        try:
+            _, main_scores = run_mteb(
+                pipeline, args.data_dir, args.variant, top_k=args.top_k
+            )
+            print("\n=== MTEB v2 results ===")
+            for name, score in main_scores.items():
+                print(f"  {name}: ndcg_at_10 = {score:.4f}")
+            if args.output:
+                Path(args.output).write_text(json.dumps(
+                    {"mteb": main_scores,
+                     "weights_loaded": not random_weights},
+                    indent=2,
+                ))
+            return 0
+        except Exception as e:
+            print(f"MTEB run failed ({e}); falling back to native harness",
+                  file=sys.stderr)
 
     summary = run_evaluation(
         pipeline, task,

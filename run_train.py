@@ -58,6 +58,11 @@ def main() -> int:
 
     devices = jax.devices()
     dp = args.dp or max(len(devices) // args.tp, 1)
+    if args.batch_size % dp != 0:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must be divisible by dp={dp} "
+            f"(pass --dp explicitly or adjust the batch)"
+        )
     mesh = None
     if dp * args.tp > 1:
         mesh = Mesh(
@@ -109,7 +114,12 @@ def main() -> int:
         print(f"resumed from step {int(state['step'])}")
 
     t0 = time.time()
-    step = int(state["step"])
+    # Track the step HOST-SIDE: fetching int(state["step"]) every
+    # iteration forces a device sync (a full tunnel round trip on dev
+    # TPUs) and blocks dispatch pipelining. train_step increments by
+    # exactly 1, so the host counter stays in lockstep; only log/ckpt
+    # steps touch device values.
+    start_step = step = int(state["step"])
     stream = iter(loader)
     while step < args.steps:
         b = next(stream)
@@ -118,18 +128,19 @@ def main() -> int:
             jnp.asarray(b.q_ids), jnp.asarray(b.q_mask),
             jnp.asarray(b.d_ids), jnp.asarray(b.d_mask),
         )
-        step = int(state["step"])
+        step += 1
         if step % args.log_every == 0 or step == args.steps:
+            done = step - start_step  # this process's own work
             print(
                 f"step {step:>6}/{args.steps}  loss={float(metrics['loss']):.4f}  "
                 f"acc={float(metrics['accuracy']):.3f}  "
-                f"({step / max(time.time() - t0, 1e-9):.1f} steps/s)"
+                f"({done / max(time.time() - t0, 1e-9):.1f} steps/s)"
             )
         if step % args.ckpt_every == 0 or step == args.steps:
             ckpt.save(step, state)
     ckpt.close()
-    print(f"done: {args.steps} steps in {time.time() - t0:.1f}s; "
-          f"checkpoints in {args.ckpt_dir}")
+    print(f"done: {step - start_step} steps in {time.time() - t0:.1f}s "
+          f"(through step {step}/{args.steps}); checkpoints in {args.ckpt_dir}")
     return 0
 
 

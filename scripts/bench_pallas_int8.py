@@ -24,31 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed_loop(step_fn, q, docs, iters: int, extra=()):
-    @jax.jit
-    def loop(q, docs, it):
-        def body(_, q):
-            v, i = step_fn(q, docs)
-            upd = jnp.sum(v, axis=1) + jnp.sum(i, axis=1).astype(jnp.float32)
-            return q + upd[:, None].astype(q.dtype) * jnp.asarray(
-                1e-8, dtype=q.dtype
-            )
+def timed_loop(step_fn, q, docs, iters: int):
+    from tristage_rag_tpu.utils.benchtime import chained_loop_time
 
-        q = jax.lax.fori_loop(0, it, body, q)
-        return jnp.sum(q)
-
-    float(loop(q, docs, 2))
-    float(loop(q, docs, 2 + iters))
-
-    def best_of(it, reps=3):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(loop(q, docs, it))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    return (best_of(2 + iters) - best_of(2)) / iters
+    return chained_loop_time(step_fn, q, docs, iters)
 
 
 def recall_vs_exact(step_fn, q, docs, k, exact_ids):

@@ -434,3 +434,50 @@ class TestMTEBAdapter:
             _raise_on_mteb(__import__),
         )
         assert register_model(model) is False
+
+
+class TestRunMteb:
+    def test_run_mteb_glue_with_fake_mteb(self, tiny_config, monkeypatch):
+        """run_mteb drives the model through a (fake) MTEB evaluator and
+        extracts main scores from v2 result shapes — the --mteb flag
+        must not be a no-op (code-review r2 finding)."""
+        import sys
+        import types
+
+        calls = {}
+
+        class FakeMTEB:
+            def __init__(self, tasks):
+                calls["tasks"] = tasks
+
+            def run(self, model, output_folder=None):
+                corpus = {"d0": {"text": "alpha qq"}, "d1": {"text": "beta"}}
+                calls["res"] = model.search(corpus, {"q0": "alpha qq"}, top_k=2)
+                return [{
+                    "task_name": "LIMITSmall",
+                    "scores": {"test": [{"ndcg_at_10": 0.77}]},
+                }]
+
+        fake = types.ModuleType("mteb")
+        fake.MTEB = FakeMTEB
+        abst = types.ModuleType("mteb.abstasks")
+        atr = types.ModuleType("mteb.abstasks.AbsTaskRetrieval")
+
+        class AbsTaskRetrieval:
+            def __init__(self, **kw):
+                pass
+
+        atr.AbsTaskRetrieval = AbsTaskRetrieval
+        fake.abstasks = abst
+        monkeypatch.setitem(sys.modules, "mteb", fake)
+        monkeypatch.setitem(sys.modules, "mteb.abstasks", abst)
+        monkeypatch.setitem(
+            sys.modules, "mteb.abstasks.AbsTaskRetrieval", atr
+        )
+
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+        from tristage_rag_tpu.eval.mteb_adapter import run_mteb
+
+        _, scores = run_mteb(RetrievalPipeline(tiny_config), "/tmp/nodata")
+        assert scores == {"LIMITSmall": 0.77}
+        assert calls["res"]["q0"]  # the evaluator really drove search()

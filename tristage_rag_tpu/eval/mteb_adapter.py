@@ -287,6 +287,56 @@ def register_model(model: Optional[TriStageMTEBModel] = None) -> bool:
         return False
 
 
+def run_mteb(
+    pipeline: RetrievalPipeline,
+    data_dir: str,
+    variant: str = "limit-small",
+    top_k: int = 20,
+    output_folder: Optional[str] = None,
+):
+    """Run the LIMIT task through the REAL mteb evaluator (requires the
+    mteb package) — the reference's `MTEB(tasks).run(model)` entry
+    point (run_benchmark.py:188-201). Returns (results, main_scores)
+    where main_scores is a best-effort {task_name: ndcg_at_10} map
+    extracted from MTEB v2's list-or-dict result shapes
+    (benchmark/run_mteb_evaluation.py:337-386)."""
+    import mteb
+
+    task_cls = make_mteb_tasks(data_dir)
+    task_cls._variant = variant
+    model = TriStageMTEBModel(pipeline, top_k=top_k)
+    register_model(model)
+    evaluation = mteb.MTEB(tasks=[task_cls()])
+    results = evaluation.run(model, output_folder=output_folder)
+
+    def _extract(res) -> Optional[float]:
+        scores = getattr(res, "scores", None) or (
+            res.get("scores") if isinstance(res, dict) else None
+        )
+        if isinstance(scores, dict):
+            for split_scores in scores.values():
+                rows = (
+                    split_scores if isinstance(split_scores, list)
+                    else [split_scores]
+                )
+                for row in rows:
+                    if isinstance(row, dict):
+                        for key in ("ndcg_at_10", "main_score"):
+                            if key in row:
+                                return float(row[key])
+        return None
+
+    main_scores = {}
+    for res in results or []:
+        name = getattr(res, "task_name", None) or (
+            res.get("task_name") if isinstance(res, dict) else "task"
+        )
+        score = _extract(res)
+        if score is not None:
+            main_scores[str(name)] = score
+    return results, main_scores
+
+
 def make_mteb_tasks(data_dir: str):
     """LIMIT tasks as MTEB AbsTaskRetrieval subclasses (requires mteb)."""
     import mteb
