@@ -118,6 +118,49 @@ class TestBankMode:
 
 
 class TestExactnessGuard:
+    def test_bank_mode_exempt_from_exactness_guard(self):
+        """Bank mode is approximate by contract: a (k, nblocks) shape
+        the exact guard refuses must still run in bank mode (round-2
+        regression: the guard fired before mode was consulted, blocking
+        the headline k=500/1M-doc bank benchmark entirely)."""
+        rng = np.random.default_rng(3)
+        docs = rng.standard_normal((2048, 64)).astype(np.float32)
+        docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+        q = docs[:4]
+        k = 500
+        with pytest.raises(ValueError, match="cannot guarantee"):
+            fused_matmul_topk(
+                jnp.asarray(q), jnp.asarray(docs), jnp.int32(2048), k=k,
+                interpret=True,
+            )
+        v1, i1 = masked_topk(
+            jnp.asarray(q), jnp.asarray(docs), jnp.int32(2048), k=k
+        )
+        v2, i2 = fused_matmul_topk(
+            jnp.asarray(q), jnp.asarray(docs), jnp.int32(2048), k=k,
+            mode="bank", interpret=True,
+        )
+        i1, i2 = np.asarray(i1), np.asarray(i2)
+        # 2 blocks x 128 banks = 256 top-1 banks cannot cover k=500:
+        # recall degrades but the top-1 is always its bank's max.
+        assert (i1[:, 0] == i2[:, 0]).all()
+        recall = np.mean(
+            [len(set(i1[r]) & set(i2[r][i2[r] >= 0])) / k for r in range(4)]
+        )
+        assert recall >= 0.3, recall
+
+    def test_auto_t_poisson_bound(self):
+        """Auto per-block-k sizes by the Poisson tail: the headline
+        config (k=500 over 1024 blocks) must pick T=16 (tail ~1e-17),
+        not raise (round-2 regression: the 2*lam+24 heuristic rejected
+        the shape round 1 had measured as exact)."""
+        from tristage_rag_tpu.ops.pallas_topk import _poisson_tail
+
+        lam = 500 / 1024
+        assert 1024 * _poisson_tail(lam, 8) > 1e-9  # T=8 too risky
+        assert 1024 * _poisson_tail(lam, 16) < 1e-9  # T=16 safe
+
+
     def test_refuses_unguaranteeable_k(self):
         """k large relative to block count must raise, not silently
         drop results (code-review r2 finding: per_block_k caps at 128)."""

@@ -24,14 +24,13 @@ stays at VMEM scale).
 
 Exactness: global top-k is exact iff no query has > T of its global
 top-k in a single block. With random doc order, #top-k in a block is
-Binomial(k, BLK/N); for the shipped T this failure probability is
-astronomically small (e.g. N=1M, K=500, BLK=1024, T=16: Poisson
-tail P[X>16 | lambda=0.5] ~ 1e-18 per block). A deterministic guard
-still applies: per (query, block) we report ``overflow`` = whether the
-T-th kept score still beat the current global threshold — callers can
-re-run the rare offending block exactly. The reference accepts far
-worse: its FAISS IVF path (stage1_retriever.py:264-273) probes 10 of
-100 clusters with no recall guarantee at all.
+Binomial(k, BLK/N); auto-T is chosen so the whole-query Poisson tail
+probability nblocks * P[X > T | lambda=k/nblocks] is < 1e-9 (e.g.
+N=1M, K=500, BLK=1024 -> T=16, tail ~1e-17), and the call refuses
+(so DenseIndex falls back to XLA exact) when no T <= 128 meets the
+bound. The reference accepts far worse: its FAISS IVF path
+(stage1_retriever.py:264-273) probes 10 of 100 clusters with no
+recall guarantee at all.
 """
 
 from __future__ import annotations
@@ -50,6 +49,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _poisson_tail(lam: float, t: int) -> float:
+    """P[X > t] for X ~ Poisson(lam), exact partial-sum (lam is small)."""
+    import math
+
+    term = math.exp(-lam)
+    cdf = term
+    for i in range(1, t + 1):
+        term *= lam / i
+        cdf += term
+    return max(0.0, 1.0 - cdf)
+
+
 def _bank_topk_kernel(
     count_ref,  # SMEM [1] int32
     q_ref,  # VMEM [B, D]
@@ -60,37 +71,48 @@ def _bank_topk_kernel(
     block_size: int,
     per_block_k: int,
 ):
-    """Bank-reduce selection: the block's scores are viewed as T banks
-    of BLK/T contiguous docs and each bank yields its top-1 in a single
-    max pass (+ one argmax pass). This is the shape of XLA's
-    ``approx_max_k`` PartialReduce, but fused with the matmul — the
-    [B, N] score matrix never exists. Recall matches approx_max_k-style
-    guarantees (a bank holding >=2 global winners loses one)."""
+    """Bank-reduce selection: the block is viewed as T banks of BLK/T
+    contiguous docs and each bank yields its top-1 in a single max pass
+    (+ one argmax pass). This is the shape of XLA's ``approx_max_k``
+    PartialReduce, but fused with the matmul — the [B, N] score matrix
+    never exists. Recall matches approx_max_k-style guarantees (a bank
+    holding >=2 global winners loses one).
+
+    Mosaic cannot shape-cast the lane dimension ([B, BLK] ->
+    [B, T, W] fails infer-vector-layout), so instead of one big dot +
+    reshape, each bank is its own [B, D] x [D, W] dot over a static
+    slice of the doc block — a statically unrolled T-iteration loop.
+    At the default W=128 each dot is a full MXU tile, and each bank's
+    scores reduce to registers immediately."""
     i = pl.program_id(0)
     base = i * block_size
-    s = jax.lax.dot_general(
-        q_ref[:],
-        docs_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    b, blk = s.shape
+    b = q_ref.shape[0]
     t = per_block_k
-    width = blk // t
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, blk), 1)
-    valid = (col + base) < count_ref[0]
+    width = block_size // t
     neg = jnp.float32(-1e30)
-    s = jnp.where(valid, s, neg)
-    s3 = s.reshape(b, t, width)
-    m = jnp.max(s3, axis=2)  # [B, T]
-    col3 = jax.lax.broadcasted_iota(jnp.int32, (b, t, width), 2)
-    a = jnp.min(
-        jnp.where(s3 == m[:, :, None], col3, jnp.int32(width)), axis=2
-    )  # [B, T] offset within bank
-    bank_base = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1) * width
-    gid = jnp.where(m > -5e29, base + bank_base + a, -1)
-    vals_ref[0] = m
-    idx_ref[0] = gid
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
+    vals = jnp.full((b, t), neg, dtype=jnp.float32)
+    idx = jnp.full((b, t), -1, dtype=jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+    for bank in range(t):  # static unroll: t is a Python int
+        s = jax.lax.dot_general(
+            q_ref[:],
+            docs_ref[bank * width:(bank + 1) * width, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, W]
+        valid = (col + (base + bank * width)) < count_ref[0]
+        s = jnp.where(valid, s, neg)
+        m = jnp.max(s, axis=1)  # [B]
+        a = jnp.min(
+            jnp.where(s == m[:, None], col, jnp.int32(width)), axis=1
+        )  # [B] offset within bank
+        gid = jnp.where(m > -5e29, base + bank * width + a, -1)
+        at_bank = tcol == bank
+        vals = jnp.where(at_bank, m[:, None], vals)
+        idx = jnp.where(at_bank, gid[:, None], idx)
+    vals_ref[0] = vals
+    idx_ref[0] = idx
 
 
 def _block_topk_kernel(
@@ -179,23 +201,35 @@ def fused_matmul_topk(
         raise ValueError(f"corpus rows {n} not a multiple of {block_size}")
     nblocks = n // block_size
     if per_block_k <= 0:
-        # Safety margin ~6x the mean occupancy, floor 8 (see module doc).
-        needed = _round_up(6 * k // max(nblocks, 1) + 1, 8)
-        per_block_k = max(8, min(128, needed))
-        # Exactness holds when either (a) a block can keep ALL k of the
-        # global top-k (deterministic), or (b) the 128 cap still leaves
-        # a fat Poisson margin over the k/nblocks mean occupancy. When
-        # neither holds, results would silently go missing — refuse so
-        # callers (DenseIndex) fall back to the XLA exact path.
+        # Auto T. Exactness holds when either (a) a block can keep ALL
+        # k of the global top-k (deterministic), or (b) the Poisson
+        # tail of per-block top-k occupancy past T is negligible: with
+        # random doc order #winners per block ~ Poisson(k/nblocks), so
+        # pick the smallest multiple-of-8 T whose PER-QUERY failure
+        # probability nblocks * P[X > T] is < 1e-9. If even T=128
+        # can't meet that, results would silently go missing — refuse
+        # so callers (DenseIndex) fall back to the XLA exact path.
+        # Bank mode is APPROXIMATE by contract (approx_max_k-grade):
+        # expected recall ~1 - k/(2*nblocks*T) from per-bank collision
+        # loss, so the T=8 floor already gives >=0.96 at k=500 over
+        # 1024 blocks — the exactness guard does not apply to it.
         lam = k / max(nblocks, 1)
-        deterministic = per_block_k >= min(k, block_size)
-        statistically_safe = per_block_k >= 2 * lam + 24
-        if not (deterministic or statistically_safe):
-            raise ValueError(
-                f"fused top-k cannot guarantee exactness: k={k} over "
-                f"{nblocks} blocks means ~{lam:.0f} top-k hits per block "
-                f"vs a {per_block_k}-slot table; use masked_topk"
-            )
+        per_block_k = 0
+        for cand in range(8, 129, 8):
+            if cand >= min(k, block_size) or (
+                nblocks * _poisson_tail(lam, cand) < 1e-9
+            ):
+                per_block_k = cand
+                break
+        if not per_block_k:
+            if mode == "bank":
+                per_block_k = 128
+            else:
+                raise ValueError(
+                    f"fused top-k cannot guarantee exactness: k={k} over "
+                    f"{nblocks} blocks means ~{lam:.0f} top-k hits per "
+                    f"block vs a <=128-slot table; use masked_topk"
+                )
     per_block_k = min(per_block_k, block_size)
     if mode == "bank" and block_size % per_block_k != 0:
         per_block_k = max(
