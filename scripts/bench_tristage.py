@@ -79,6 +79,9 @@ def main():
     ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--tiny", action="store_true", help="tiny archs (CPU dev)")
     ap.add_argument("--staged-also", action="store_true")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="also measure batch_search throughput at this "
+                         "batch size (full funnel, one dispatch)")
     args = ap.parse_args()
 
     from tristage_rag_tpu.engine.config import PipelineConfig
@@ -124,6 +127,33 @@ def main():
         probe = p._fused.device_time_probe(queries[0], iters=32)
         print(f"# device_time_probe: {json.dumps(probe)}", flush=True)
         fused["device_ms"] = probe["per_query_ms"]
+
+    if args.batch:
+        # Full-funnel serving throughput: N queries through ONE
+        # batched fused dispatch (lax.map over the fused program).
+        # Wall-clock includes the host fetch of every result, so the
+        # acking relay cannot make it under-report.
+        bqs = [
+            f"{queries[i % len(queries)]} variant {i}"
+            for i in range(args.batch)
+        ]
+        p.batch_search(bqs)  # warm the batch-shape compile
+        reps = max(3, min(10, args.reps))
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            outs = p.batch_search(bqs)
+            times.append(time.perf_counter() - t0)
+            assert len(outs) == args.batch and all(
+                o["results"] for o in outs
+            ), "batched search returned empty results"
+        best = min(times)
+        print(json.dumps({
+            "metric": "tristage_batched_qps", "batch": args.batch,
+            "seconds_per_batch": round(best, 4),
+            "value": round(args.batch / best, 1), "unit": "qps",
+            "fused": all(o["timing"].get("fused") for o in outs),
+        }), flush=True)
 
     if args.staged_also:
         p2 = RetrievalPipeline(PipelineConfig(enable_fused_search=False, **base))

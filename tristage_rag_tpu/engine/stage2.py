@@ -140,8 +140,20 @@ class ColBERTScorer:
         ]
         if not fresh:
             return 0
-        emb, mask = self.encode_documents([d for _, d in fresh])
-        return self._cache.add([i for i, _ in fresh], emb, mask)
+        # Device-to-device fill: each forward's output scatters straight
+        # into the HBM cache (no per-batch host fetch + re-upload — on
+        # tunneled TPUs that round-trip costs more than the forward).
+        ids = [i for i, _ in fresh]
+        docs = [d for _, d in fresh]
+        bs = self.config.stage2_batch_size
+        stored = 0
+        batches = self.runtime.token_embedding_batches(
+            docs, self.tokenizer,
+            max_length=self.config.stage2_max_seq_length, batch_size=bs,
+        )
+        for j, (emb, mask) in zip(range(0, len(docs), bs), batches):
+            stored += self._cache.add(ids[j : j + bs], emb, mask)
+        return stored
 
     def rescore_candidates(
         self, query: str, candidates: list[dict[str, Any]]

@@ -192,6 +192,29 @@ class EncoderRuntime:
             )
         return np.concatenate(embs, 0), np.concatenate(masks, 0)
 
+    def token_embedding_batches(
+        self,
+        texts: Sequence[str],
+        tokenizer: BaseTokenizer,
+        max_length: int,
+        batch_size: int = 16,
+    ):
+        """ColBERT batches as (device [n, L, D] embeddings, host [n, L]
+        mask) WITHOUT fetching embeddings to host.
+
+        The indexing-time cache fill (stage2.precompute) scatters each
+        batch straight into the device token cache; fetching through
+        ``encode_token_embeddings`` costs a full host round-trip per
+        batch (~30 ms on tunneled dev TPUs) plus a re-upload. Because
+        nothing here blocks, host tokenization of batch j+1 overlaps
+        the device forward of batch j."""
+        assert self.kind == "colbert"
+        for i in range(0, len(texts), batch_size):
+            tb = tokenizer.encode_batch(
+                texts[i : i + batch_size], max_length, buckets=(max_length,)
+            )
+            yield self.forward(tb), tb.attn_mask
+
     def score_pairs(
         self,
         pairs: Sequence[tuple[str, str]],
