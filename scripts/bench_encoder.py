@@ -25,20 +25,30 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="embeddinggemma-300m")
+    ap.add_argument("--kind", default="bi", choices=["bi", "colbert"])
     ap.add_argument("--shapes", default="32x512,32x256,128x256,256x256")
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
-    from tristage_rag_tpu.models.config import PoolingConfig
-    from tristage_rag_tpu.models.heads import BiEncoder
-    from tristage_rag_tpu.models.registry import POOLING_CONFIGS, encoder_config
+    from tristage_rag_tpu.models.config import ColBERTConfig, PoolingConfig
+    from tristage_rag_tpu.models.heads import BiEncoder, ColBERTEncoder
+    from tristage_rag_tpu.models.registry import (
+        COLBERT_CONFIGS,
+        POOLING_CONFIGS,
+        encoder_config,
+    )
     from tristage_rag_tpu.utils.benchtime import chained_loop_time
 
     cfg = encoder_config(args.model)
-    head = POOLING_CONFIGS.get(
-        args.model, PoolingConfig(pooling="mean", projection_dims=())
-    )
-    module = BiEncoder(cfg, head)
+    if args.kind == "colbert":
+        module = ColBERTEncoder(
+            cfg, COLBERT_CONFIGS.get(args.model, ColBERTConfig())
+        )
+    else:
+        head = POOLING_CONFIGS.get(
+            args.model, PoolingConfig(pooling="mean", projection_dims=())
+        )
+        module = BiEncoder(cfg, head)
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 8), dtype=jnp.int32)
     params = module.init(rng, dummy, jnp.ones_like(dummy))["params"]
@@ -55,7 +65,7 @@ def main():
         def step(ids_f32, _docs):
             ids_i = ids_f32.astype(jnp.int32) % cfg.vocab_size
             emb = module.apply({"params": params}, ids_i, mask)
-            upd = jnp.sum(emb, axis=1, keepdims=True)  # [b, 1]
+            upd = jnp.sum(emb.reshape(b, -1), axis=1, keepdims=True)  # [b, 1]
             return (upd, ids_f32[:, :1].astype(jnp.int32))
 
         per = chained_loop_time(
