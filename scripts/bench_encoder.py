@@ -15,6 +15,11 @@ Prints one JSON line per shape: ms/batch, docs/s, tokens/s.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 

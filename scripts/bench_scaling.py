@@ -20,6 +20,11 @@ Prints a table plus one JSON line per mesh size.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 

@@ -324,6 +324,7 @@ class TestFusedConfigMatrix:
         {"stage3_activation": "softmax"},
         {"stage3_normalize_scores": False},
         {"stage1_enable_bm25": False},
+        {"stage2_cache_int8": True},
     ])
     def test_parity_across_config_variants(self, overrides, sample_docs):
         """The fused program honors every scoring/activation/fusion

@@ -64,6 +64,62 @@ class TestDeviceTokenCache:
         assert (np.asarray(gm) == 0).all()
 
 
+class TestQuantizedTokenCache:
+    def _unit_norm_data(self, n, l=8, d=16, seed=0):
+        rng = np.random.default_rng(seed)
+        emb = rng.standard_normal((n, l, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+        mask = (rng.random((n, l)) > 0.3).astype(np.int32)
+        mask[:, 0] = 1
+        return emb, mask
+
+    def test_roundtrip_error_bounded(self):
+        cache = DeviceTokenCache(seq_len=8, dim=16, quantize=True)
+        emb, mask = self._unit_norm_data(5)
+        assert cache.add([0, 1, 2, 3, 4], emb, mask) == 5
+        ge, gm = cache.gather([3, 1])
+        # symmetric per-token int8: |err| <= scale/2 = max|x| / 254
+        err = np.abs(np.asarray(ge) - emb[[3, 1]])
+        bound = np.max(np.abs(emb[[3, 1]]), axis=-1, keepdims=True) / 254
+        assert (err <= bound + 1e-7).all()
+        np.testing.assert_array_equal(np.asarray(gm), mask[[3, 1]])
+
+    def test_halves_embedding_bytes(self):
+        q = DeviceTokenCache(seq_len=8, dim=16, quantize=True)
+        f = DeviceTokenCache(seq_len=8, dim=16)  # bf16 default
+        emb, mask = self._unit_norm_data(2)
+        q.add([0, 1], emb, mask)
+        f.add([0, 1], emb, mask)
+        assert q.state()[0].dtype == np.int8
+        assert q.state()[0].nbytes * 2 == f.state()[0].nbytes
+
+    def test_growth_preserves_quantized_rows(self):
+        cache = DeviceTokenCache(seq_len=4, dim=8, quantize=True)
+        e1, m1 = self._unit_norm_data(10, l=4, d=8, seed=1)
+        cache.add(list(range(10)), e1, m1)
+        before = np.asarray(cache.gather([7])[0])
+        e2, m2 = self._unit_norm_data(1, l=4, d=8, seed=2)
+        cache.add([1000], e2, m2)
+        after = np.asarray(cache.gather([7])[0])
+        np.testing.assert_array_equal(before, after)
+
+    def test_maxsim_ranking_preserved(self):
+        """Quantization keeps MaxSim rankings on well-separated docs."""
+        from tristage_rag_tpu.ops.maxsim import maxsim_scores
+
+        q_emb, q_mask = self._unit_norm_data(1, l=6, d=32, seed=3)
+        d_emb, d_mask = self._unit_norm_data(16, l=8, d=32, seed=4)
+        cache = DeviceTokenCache(seq_len=8, dim=32, quantize=True)
+        cache.add(list(range(16)), d_emb, d_mask)
+        ge, gm = cache.gather(list(range(16)))
+        exact = np.asarray(maxsim_scores(q_emb[0], q_mask[0], d_emb, d_mask))
+        quant = np.asarray(
+            maxsim_scores(q_emb[0], q_mask[0], np.asarray(ge), np.asarray(gm))
+        )
+        np.testing.assert_allclose(quant, exact, atol=5e-3)
+        assert list(np.argsort(-exact)[:3]) == list(np.argsort(-quant)[:3])
+
+
 class TestStage2DeviceCacheIntegration:
     def test_cached_scores_match_uncached(self, tiny_config):
         import dataclasses

@@ -41,6 +41,7 @@ import numpy as np
 
 from tristage_rag_tpu.engine.config import PipelineConfig
 from tristage_rag_tpu.index.doc_tokens import DocTokenCache
+from tristage_rag_tpu.index.token_cache import dequantize_gather
 from tristage_rag_tpu.models.heads import apply_score_activation
 from tristage_rag_tpu.ops.device_fusion import (
     rrf_fuse_device,
@@ -109,7 +110,9 @@ class FusedSearcher:
             q3_row, q3_len,                     # [Rq] i32, scalar i32
             corpus, count, bias, scale,         # dense index state
             bm_ids, bm_scores,                  # [kb] i32 / f32 (padded -1/0)
-            s2_buf, s2_mask_buf,                # ColBERT token cache
+            s2_cache,                           # ColBERT token cache state
+                                                # (emb, mask) or int8
+                                                # (emb, scale, mask)
             d3_buf, d3_len,                     # stage-3 doc token cache
             k1, k2, impl, use_bm25,
         ):
@@ -144,8 +147,13 @@ class FusedSearcher:
             # ---- stage 2: gather cached token embeddings + MaxSim
             q2 = s2_module.apply({"params": s2_params}, s2_ids, s2_mask)[0]
             valid1 = f_i >= 0
-            safe1 = jnp.clip(f_i, 0, s2_buf.shape[0] - 1)
-            c_emb = jnp.take(s2_buf, safe1, axis=0).astype(jnp.float32)
+            safe1 = jnp.clip(f_i, 0, s2_cache[0].shape[0] - 1)
+            if len(s2_cache) == 3:  # int8 cache: gather + fused dequant
+                s2_q, s2_scale, s2_mask_buf = s2_cache
+                c_emb = dequantize_gather(s2_q, s2_scale, safe1)
+            else:
+                s2_buf, s2_mask_buf = s2_cache
+                c_emb = jnp.take(s2_buf, safe1, axis=0).astype(jnp.float32)
             c_mask = (
                 jnp.take(s2_mask_buf, safe1, axis=0).astype(jnp.int32)
                 * valid1[:, None].astype(jnp.int32)
@@ -208,7 +216,7 @@ class FusedSearcher:
             b_q3_row, b_q3_len,                 # [B, Rq], [B]
             corpus, count, bias, scale,
             b_bm_ids, b_bm_scores,              # [B, kb]
-            s2_buf, s2_mask_buf, d3_buf, d3_len,
+            s2_cache, d3_buf, d3_len,
             *, k1, k2, impl, use_bm25,
         ):
             # ONE dispatch for the whole query batch: lax.map runs the
@@ -226,7 +234,7 @@ class FusedSearcher:
                     q3r, q3l,
                     corpus, count, bias, scale,
                     bmi, bms,
-                    s2_buf, s2_mask_buf, d3_buf, d3_len,
+                    s2_cache, d3_buf, d3_len,
                     k1, k2, impl, use_bm25,
                 )
 
@@ -305,7 +313,7 @@ class FusedSearcher:
             "index_state": (corpus, count, bias, scale),
             "bm": (jnp.asarray(bm_ids), jnp.asarray(bm_scores)),
             "caches": (
-                *self.stage2._cache.state(),
+                tuple(self.stage2._cache.state()),
                 *self.doc_tokens.state(),
             ),
             "statics": dict(

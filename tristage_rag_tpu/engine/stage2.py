@@ -65,6 +65,7 @@ class ColBERTScorer:
                 seq_len=config.stage2_max_seq_length,
                 dim=self.token_dim,
                 max_docs=config.stage2_cache_max_docs,
+                quantize=config.stage2_cache_int8,
             )
 
     def encode_query(self, query: str) -> tuple[np.ndarray, np.ndarray]:

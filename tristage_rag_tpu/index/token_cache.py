@@ -11,6 +11,14 @@ candidate id list.
 Memory: seq_len × dim × 2 bytes per doc (49 KB at 192×128 bf16);
 ``max_docs`` caps the buffer (default 100k docs ≈ 4.9 GB). Beyond the
 cap the stage falls back to its host cache / re-encode path.
+
+``quantize="int8"`` stores symmetric per-token int8 with an f32 scale
+row ([cap, L], +0.75 KB/doc at L=192) — halving HBM per doc (24.9 KB
+at 192×128), so the same budget caches ~2× the corpus. ColBERT token
+embeddings are unit-norm, so per-token max-abs scaling keeps the
+quantization error ~0.4% of the score scale (same error class as the
+int8 DenseIndex mode, index/dense.py); MaxSim rankings on unit-norm
+embeddings are tested to stay within top-k overlap tolerance.
 """
 
 from __future__ import annotations
@@ -40,6 +48,41 @@ def _gather(buf, mask_buf, ids, valid):
     return emb, mask
 
 
+def quantize_tokens(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[n, L, D] f32 → (int8 codes, [n, L] f32 per-token scales)."""
+    rows = rows.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(rows), axis=-1)            # [n, L]
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(rows / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_q(buf, scale_buf, mask_buf, rows, row_mask, ids):
+    q, scale = quantize_tokens(rows)
+    buf = buf.at[ids].set(q)
+    scale_buf = scale_buf.at[ids].set(scale)
+    mask_buf = mask_buf.at[ids].set(row_mask.astype(mask_buf.dtype))
+    return buf, scale_buf, mask_buf
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _gather_q(buf, scale_buf, mask_buf, ids, valid):
+    emb = dequantize_gather(buf, scale_buf, ids)
+    mask = jnp.take(mask_buf, ids, axis=0).astype(jnp.int32)
+    mask = mask * valid[:, None].astype(jnp.int32)
+    return emb, mask
+
+
+def dequantize_gather(buf, scale_buf, ids) -> jax.Array:
+    """Gather + dequantize rows ``ids`` — shared with the fused searcher
+    (engine/fused.py) so the staged and fused paths score identical
+    embeddings. XLA fuses the int8→f32 convert into the gather read."""
+    q = jnp.take(buf, ids, axis=0).astype(jnp.float32)        # [n, L, D]
+    scale = jnp.take(scale_buf, ids, axis=0)                  # [n, L]
+    return q * scale[..., None]
+
+
 class DeviceTokenCache:
     def __init__(
         self,
@@ -47,13 +90,16 @@ class DeviceTokenCache:
         dim: int,
         dtype: str = "bfloat16",
         max_docs: int = 100_000,
+        quantize: bool = False,
     ):
         self.seq_len = seq_len
         self.dim = dim
-        self.dtype = jnp.dtype(dtype)
+        self.quantized = bool(quantize)
+        self.dtype = jnp.dtype("int8" if quantize else dtype)
         self.max_docs = max_docs
         self.capacity = 0
         self._buf: Optional[jax.Array] = None
+        self._scale: Optional[jax.Array] = None
         self._mask: Optional[jax.Array] = None
         self._present: set[int] = set()
 
@@ -76,10 +122,16 @@ class DeviceTokenCache:
         cap = min(cap, self.max_docs)
         new_buf = jnp.zeros((cap, self.seq_len, self.dim), dtype=self.dtype)
         new_mask = jnp.zeros((cap, self.seq_len), dtype=jnp.int8)
+        new_scale = (
+            jnp.zeros((cap, self.seq_len), dtype=jnp.float32)
+            if self.quantized else None
+        )
         if self._buf is not None and self.capacity:
             new_buf = new_buf.at[: self.capacity].set(self._buf)
             new_mask = new_mask.at[: self.capacity].set(self._mask)
-        self._buf, self._mask = new_buf, new_mask
+            if self.quantized:
+                new_scale = new_scale.at[: self.capacity].set(self._scale)
+        self._buf, self._mask, self._scale = new_buf, new_mask, new_scale
         self.capacity = cap
         return True
 
@@ -98,9 +150,15 @@ class DeviceTokenCache:
             raise ValueError(
                 f"expected seq_len {self.seq_len}, got {emb.shape[1]}"
             )
-        self._buf, self._mask = _scatter(
-            self._buf, self._mask, emb, msk, jnp.asarray(ids)
-        )
+        if self.quantized:
+            self._buf, self._scale, self._mask = _scatter_q(
+                self._buf, self._scale, self._mask, emb, msk,
+                jnp.asarray(ids),
+            )
+        else:
+            self._buf, self._mask = _scatter(
+                self._buf, self._mask, emb, msk, jnp.asarray(ids)
+            )
         self._present.update(int(i) for i in ids)
         return int(ids.size)
 
@@ -111,11 +169,16 @@ class DeviceTokenCache:
         ids = np.asarray(doc_ids, dtype=np.int32)
         valid = jnp.asarray(ids >= 0)
         safe = jnp.asarray(np.clip(ids, 0, max(self.capacity - 1, 0)))
+        if self.quantized:
+            return _gather_q(self._buf, self._scale, self._mask, safe, valid)
         return _gather(self._buf, self._mask, safe, valid)
 
-    def state(self) -> tuple[jax.Array, jax.Array]:
-        """(embedding buffer [cap, L, D], mask buffer [cap, L]) device
-        arrays — for composing into fused programs (engine/fused.py)."""
+    def state(self) -> tuple[jax.Array, ...]:
+        """Device arrays for composing into fused programs
+        (engine/fused.py): ``(emb [cap, L, D], mask [cap, L])``, or in
+        int8 mode ``(emb, scale [cap, L], mask)``."""
+        if self.quantized:
+            return self._buf, self._scale, self._mask
         return self._buf, self._mask
 
     def covers(self, doc_ids) -> bool:
