@@ -1,0 +1,147 @@
+"""Multi-chip fused serving: the shard-mapped funnel (engine/fused.py
+``_build_fn_sharded``) must be ranking-identical to both the staged
+mesh path and the single-device fused path, with all device caches
+genuinely row-sharded over the mesh.
+
+Runs on the 8-device virtual CPU mesh (tests/conftest.py)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from tristage_rag_tpu.engine.config import PipelineConfig
+from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+DOCS = [
+    f"Document {i}: topic {'alpha beta gamma delta'.split()[i % 4]} "
+    f"content body with shared words number {i}."
+    for i in range(24)
+]
+
+KW = dict(
+    stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+    stage3_model="tiny-bert", stage1_top_k=16, stage1_bm25_top_k=16,
+    stage2_top_k=8, stage3_top_k=4, stage2_max_seq_length=32,
+    stage3_max_length=64, stage1_max_text_length=64,
+    compute_dtype="float32", stage2_cache_doc_embeddings=True,
+)
+
+QUERIES = [
+    "topic alpha shared words",
+    "content body number 7",
+    "gamma delta",
+]
+
+
+def _ids(out):
+    return [r["doc_id"] for r in out["results"]]
+
+
+def _scores(out, key):
+    return [r[key] for r in out["results"]]
+
+
+@pytest.fixture(scope="module")
+def tri():
+    """(sharded-fused, staged-mesh, single-fused) over the same corpus."""
+    sharded = RetrievalPipeline(PipelineConfig(
+        enable_fused_search=True, mesh_data_parallel=0, **KW))
+    staged = RetrievalPipeline(PipelineConfig(
+        enable_fused_search=False, mesh_data_parallel=0, **KW))
+    single = RetrievalPipeline(PipelineConfig(
+        enable_fused_search=True, mesh_data_parallel=1, **KW))
+    for p in (sharded, staged, single):
+        p.add_documents(DOCS)
+    return sharded, staged, single
+
+
+class TestShardedFused:
+    def test_active_on_mesh(self, tri):
+        sharded, _, _ = tri
+        assert sharded.mesh is not None and sharded.mesh.size == 8
+        assert sharded._fused is not None and sharded._fused.ready()
+        out = sharded.search(QUERIES[0])
+        assert out["timing"].get("fused") is True
+
+    def test_caches_row_sharded(self, tri):
+        sharded, _, _ = tri
+        s2 = sharded.stage2._cache
+        spec = s2._buf.sharding.spec
+        assert spec[0] == "data", spec
+        d3 = sharded._fused.doc_tokens
+        assert d3._buf.sharding.spec[0] == "data"
+        # per-device rows = capacity / n_shards
+        shard_shape = s2._buf.sharding.shard_shape(s2._buf.shape)
+        assert shard_shape[0] * 8 == s2._buf.shape[0]
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_matches_staged_and_single(self, tri, query):
+        sharded, staged, single = tri
+        o_sh = sharded.search(query, top_k=4)
+        o_st = staged.search(query, top_k=4)
+        o_si = single.search(query, top_k=4)
+        assert _ids(o_sh) == _ids(o_st) == _ids(o_si)
+        np.testing.assert_allclose(
+            _scores(o_sh, "stage3_score"), _scores(o_st, "stage3_score"),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            _scores(o_sh, "stage2_score"), _scores(o_si, "stage2_score"),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_batch_matches_individual(self, tri):
+        sharded, _, _ = tri
+        outs = sharded.batch_search(QUERIES, top_k=4)
+        for q, out in zip(QUERIES, outs):
+            assert _ids(out) == _ids(sharded.search(q, top_k=4))
+
+    def test_incremental_add_keeps_sharding_and_parity(self, tri):
+        sharded, staged, _ = tri
+        extra = [f"Fresh sharded doc {i} about epsilon zeta." for i in range(3)]
+        sharded.add_documents(extra)
+        staged.add_documents(extra)
+        assert sharded.stage2._cache._buf.sharding.spec[0] == "data"
+        assert sharded._fused.doc_tokens._buf.sharding.spec[0] == "data"
+        o_sh = sharded.search("epsilon zeta fresh", top_k=4)
+        o_st = staged.search("epsilon zeta fresh", top_k=4)
+        assert o_sh["timing"].get("fused") is True
+        assert _ids(o_sh) == _ids(o_st)
+
+    def test_delete_respected(self, tri):
+        sharded, staged, _ = tri
+        q = QUERIES[0]
+        victim = _ids(sharded.search(q, top_k=4))[0]
+        sharded.delete_documents([victim])
+        staged.delete_documents([victim])
+        o_sh = sharded.search(q, top_k=4)
+        assert victim not in _ids(o_sh)
+        assert _ids(o_sh) == _ids(staged.search(q, top_k=4))
+
+
+class TestShardedFusedVariants:
+    @pytest.mark.parametrize("overrides", [
+        {"stage2_cache_int8": True},
+        {"stage2_top_k": 6},          # k2 not divisible by 8 devices
+        {"stage1_enable_bm25": False},
+        {"stage2_scoring_method": "colbert"},
+    ])
+    def test_parity_with_staged_mesh(self, overrides):
+        kw = dict(KW)
+        kw.update(overrides)
+        sharded = RetrievalPipeline(PipelineConfig(
+            enable_fused_search=True, mesh_data_parallel=0, **kw))
+        staged = RetrievalPipeline(PipelineConfig(
+            enable_fused_search=False, mesh_data_parallel=0, **kw))
+        sharded.add_documents(DOCS)
+        staged.add_documents(DOCS)
+        for q in QUERIES[:2]:
+            o_sh = sharded.search(q, top_k=4)
+            o_st = staged.search(q, top_k=4)
+            assert o_sh["timing"].get("fused") is True, overrides
+            assert _ids(o_sh) == _ids(o_st), overrides
+            np.testing.assert_allclose(
+                _scores(o_sh, "stage3_score"), _scores(o_st, "stage3_score"),
+                rtol=1e-4, atol=1e-5,
+            )

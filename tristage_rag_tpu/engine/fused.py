@@ -38,6 +38,7 @@ from typing import Any, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from tristage_rag_tpu.engine.config import PipelineConfig
 from tristage_rag_tpu.index.doc_tokens import DocTokenCache
@@ -51,6 +52,71 @@ from tristage_rag_tpu.ops.maxsim import maxsim_scores
 from tristage_rag_tpu.ops.topk import masked_approx_topk, masked_topk
 
 logger = logging.getLogger(__name__)
+
+
+def _fuse_stage1(cfg, d_s, d_i, bm_ids, bm_scores, k1, use_bm25):
+    """Device-side BM25 fusion shared by the single-device and sharded
+    cores. Inputs/outputs are per-query 1-D arrays."""
+    if not use_bm25:
+        return d_s, d_i
+    if cfg.stage1_fusion_method == "rrf":
+        return rrf_fuse_device(
+            d_i, bm_ids, k=k1, rrf_k=float(cfg.stage1_rrf_k)
+        )
+    return weighted_fuse_device(
+        d_i, d_s, bm_ids, bm_scores, k=k1,
+        dense_weight=cfg.stage1_dense_weight,
+        sparse_weight=cfg.stage1_bm25_weight,
+    )
+
+
+def _splice_pairs(q3_row, q3_len, d_rows, d_lens):
+    """[CLS] q [SEP] | d [SEP] splicing on device: returns
+    (pair_ids, pair_mask, pair_types), each [n_pairs, Rq + Ld3]."""
+    rq = q3_row.shape[0]
+    lp = rq + d_rows.shape[1]
+    pos = jnp.arange(lp, dtype=jnp.int32)
+    q_part = q3_row[jnp.clip(pos, 0, rq - 1)]       # [lp]
+    doc_idx = jnp.clip(pos[None, :] - q3_len, 0, d_rows.shape[1] - 1)
+    doc_part = jnp.take_along_axis(
+        d_rows, jnp.broadcast_to(doc_idx, (d_rows.shape[0], lp)), axis=1
+    )
+    in_q = pos[None, :] < q3_len
+    total = (q3_len + d_lens)[:, None]
+    pair_mask = (pos[None, :] < total).astype(jnp.int32)
+    pair_ids = jnp.where(in_q, q_part[None, :], doc_part) * pair_mask
+    pair_types = ((~in_q) & (pos[None, :] < total)).astype(jnp.int32)
+    return pair_ids, pair_mask, pair_types
+
+
+def _pack_payload(f_i, ids2, f_s, top2_s, s1_of_2, s3_scores):
+    """One array out: ids bitcast into the float payload (each
+    device->host fetch pays a full round trip)."""
+    ids_as_f32 = jax.lax.bitcast_convert_type(
+        jnp.concatenate([f_i, ids2]), jnp.float32
+    )
+    return jnp.concatenate([
+        ids_as_f32,
+        f_s.astype(jnp.float32),
+        top2_s.astype(jnp.float32),
+        s1_of_2.astype(jnp.float32),
+        s3_scores.astype(jnp.float32),
+    ])
+
+
+def _gather_candidate_tokens(s2_cache, safe_ids, valid):
+    """Stage-2 token gather from a (possibly int8) cache state tuple."""
+    if len(s2_cache) == 3:  # int8 cache: gather + fused dequant
+        s2_q, s2_scale, s2_mask_buf = s2_cache
+        c_emb = dequantize_gather(s2_q, s2_scale, safe_ids)
+    else:
+        s2_buf, s2_mask_buf = s2_cache
+        c_emb = jnp.take(s2_buf, safe_ids, axis=0).astype(jnp.float32)
+    c_mask = (
+        jnp.take(s2_mask_buf, safe_ids, axis=0).astype(jnp.int32)
+        * valid[:, None].astype(jnp.int32)
+    )
+    return c_emb, c_mask
 
 
 class FusedSearcher:
@@ -67,12 +133,20 @@ class FusedSearcher:
         self.stage1 = stage1
         self.stage2 = stage2
         self.stage3 = stage3
+        self.mesh = stage1.mesh
+        self.data_axis = getattr(stage1.index, "data_axis", "data")
         self.q_reserve = config.stage3_query_reserve
         self.doc_tokens = DocTokenCache(
             seq_len=max(config.stage3_max_length - self.q_reserve, 8),
             sep_id=stage3.tokenizer.sep_id,
+            mesh=self.mesh,
+            data_axis=self.data_axis,
         )
-        self._fn = self._build_fn()
+        self._ones_scale = None  # lazily sized to the index capacity
+        if self.mesh is not None:
+            self._fn = self._build_fn_sharded()
+        else:
+            self._fn = self._build_fn()
 
     # ---- indexing-time precompute -----------------------------------------
 
@@ -85,10 +159,13 @@ class FusedSearcher:
         s1 = self.stage1
         if s1.index is None or s1.index.count == 0:
             return False
-        if s1.mesh is not None:
-            return False
         cache = self.stage2._cache
         if cache is None or cache.size < s1.index.count:
+            return False
+        if self.mesh is not None and cache.mesh is not self.mesh:
+            # a cache built before the mesh existed is not row-sharded;
+            # the shard-mapped program's specs would silently reshard
+            # the whole buffer per dispatch
             return False
         if not self.doc_tokens.covers_count(s1.index.count):
             return False
@@ -130,34 +207,15 @@ class FusedSearcher:
             d_s, d_i = d_s[0], d_i[0].astype(jnp.int32)
 
             # ---- fusion with the host BM25 list, on device
-            if use_bm25:
-                if cfg.stage1_fusion_method == "rrf":
-                    f_s, f_i = rrf_fuse_device(
-                        d_i, bm_ids, k=k1, rrf_k=float(cfg.stage1_rrf_k)
-                    )
-                else:
-                    f_s, f_i = weighted_fuse_device(
-                        d_i, d_s, bm_ids, bm_scores, k=k1,
-                        dense_weight=cfg.stage1_dense_weight,
-                        sparse_weight=cfg.stage1_bm25_weight,
-                    )
-            else:
-                f_s, f_i = d_s, d_i
+            f_s, f_i = _fuse_stage1(
+                cfg, d_s, d_i, bm_ids, bm_scores, k1, use_bm25
+            )
 
             # ---- stage 2: gather cached token embeddings + MaxSim
             q2 = s2_module.apply({"params": s2_params}, s2_ids, s2_mask)[0]
             valid1 = f_i >= 0
             safe1 = jnp.clip(f_i, 0, s2_cache[0].shape[0] - 1)
-            if len(s2_cache) == 3:  # int8 cache: gather + fused dequant
-                s2_q, s2_scale, s2_mask_buf = s2_cache
-                c_emb = dequantize_gather(s2_q, s2_scale, safe1)
-            else:
-                s2_buf, s2_mask_buf = s2_cache
-                c_emb = jnp.take(s2_buf, safe1, axis=0).astype(jnp.float32)
-            c_mask = (
-                jnp.take(s2_mask_buf, safe1, axis=0).astype(jnp.int32)
-                * valid1[:, None].astype(jnp.int32)
-            )
+            c_emb, c_mask = _gather_candidate_tokens(s2_cache, safe1, valid1)
             s2_scores = maxsim_scores(
                 q2, s2_mask[0], c_emb, c_mask,
                 method=cfg.stage2_scoring_method,
@@ -172,39 +230,15 @@ class FusedSearcher:
             safe2 = jnp.clip(ids2, 0, d3_buf.shape[0] - 1)
             d_rows = jnp.take(d3_buf, safe2, axis=0)        # [k2, Ld3]
             d_lens = jnp.take(d3_len, safe2) * valid2.astype(jnp.int32)
-            rq = q3_row.shape[0]
-            lp = rq + d_rows.shape[1]
-            pos = jnp.arange(lp, dtype=jnp.int32)
-            q_part = q3_row[jnp.clip(pos, 0, rq - 1)]       # [lp]
-            doc_idx = jnp.clip(pos[None, :] - q3_len, 0, d_rows.shape[1] - 1)
-            doc_part = jnp.take_along_axis(
-                d_rows, jnp.broadcast_to(doc_idx, (d_rows.shape[0], lp)), axis=1
+            pair_ids, pair_mask, pair_types = _splice_pairs(
+                q3_row, q3_len, d_rows, d_lens
             )
-            in_q = pos[None, :] < q3_len
-            total = (q3_len + d_lens)[:, None]
-            pair_mask = (pos[None, :] < total).astype(jnp.int32)
-            pair_ids = jnp.where(in_q, q_part[None, :], doc_part) * pair_mask
-            pair_types = ((~in_q) & (pos[None, :] < total)).astype(jnp.int32)
             logits = s3_module.apply(
                 {"params": s3_params}, pair_ids, pair_mask, pair_types
             )
             s3_scores = apply_score_activation(logits, cfg.stage3_activation)
             s3_scores = jnp.where(valid2, s3_scores, -jnp.inf)
-            # Pack EVERYTHING into one array: each device->host fetch
-            # pays a full round trip (~30 ms on tunneled dev TPUs), so
-            # ids travel bitcast inside the float payload and the host
-            # reinterprets them.
-            ids_as_f32 = jax.lax.bitcast_convert_type(
-                jnp.concatenate([f_i, ids2]), jnp.float32
-            )
-            payload = jnp.concatenate([
-                ids_as_f32,
-                f_s.astype(jnp.float32),
-                top2_s.astype(jnp.float32),
-                s1_of_2.astype(jnp.float32),
-                s3_scores.astype(jnp.float32),
-            ])
-            return payload
+            return _pack_payload(f_i, ids2, f_s, top2_s, s1_of_2, s3_scores)
 
         def fn(*args, k1, k2, impl, use_bm25):
             return core(*args, k1, k2, impl, use_bm25)
@@ -242,6 +276,214 @@ class FusedSearcher:
                 b_s1_ids, b_s1_mask, b_s1_types, b_s2_ids, b_s2_mask,
                 b_q3_row, b_q3_len, b_bm_ids, b_bm_scores,
             ))
+
+        self._fn_batch = jax.jit(
+            fn_batch, static_argnames=("k1", "k2", "impl", "use_bm25")
+        )
+        return jax.jit(fn, static_argnames=("k1", "k2", "impl", "use_bm25"))
+
+    def _build_fn_sharded(self):
+        """The multi-chip fused funnel: ONE shard-mapped XLA program.
+
+        Document-axis layout over the mesh (SURVEY.md §2.6): the dense
+        corpus, the stage-2 token cache, and the stage-3 token cache are
+        all row-sharded, so a slice serves n_devices x the corpus of one
+        chip at the same per-chip HBM. Per query:
+
+        * stage 1 — each device scans its corpus shard (masked top-k)
+          and the k-sized partials all-gather + merge over ICI (the
+          same pattern as index/dense.py::_sharded_topk);
+        * stage 2 — each device MaxSim-scores the candidates whose
+          cached tokens it owns (non-owned candidates score exactly 0
+          by the empty-mask contract of ops/maxsim.py), and a [k1]
+          psum assembles full scores — token embeddings never cross
+          ICI, only scores do;
+        * stage 3 — pair token rows assemble by psum of owner-masked
+          gathers ([k2, Ld3] i32, ~100 KB), then the cross-encoder runs
+          data-parallel over the pair axis (each device scores
+          k2/n_devices pairs) and logits all-gather.
+
+        Everything else (BM25 fusion, splicing, payload packing) is
+        identical to the single-device core via the shared helpers.
+        """
+        cfg = self.config
+        mesh = self.mesh
+        axis = self.data_axis
+        ndev = mesh.shape[axis]
+        s1_module = self.stage1.runtime.module
+        s2_module = self.stage2.runtime.module
+        s3_module = self.stage3.runtime.module
+        s2_state_len = len(self.stage2._cache.state())
+        searcher = self  # index/caches are built lazily, read at trace
+
+        def make_local(k1, k2, impl, use_bm25):
+            recall_target = searcher.stage1.index.recall_target
+            def local_core(
+                s1_params, s2_params, s3_params,
+                s1_ids, s1_mask, s1_types,
+                s2_ids, s2_mask,
+                q3_row, q3_len,
+                corpus, count, bias, scale,
+                bm_ids, bm_scores,
+                s2_cache, d3_buf, d3_len,
+            ):
+                # ---- stage 1: local shard scan + all-gather merge
+                q_emb = s1_module.apply(
+                    {"params": s1_params}, s1_ids, s1_mask, s1_types
+                )
+                shard_rows = corpus.shape[0]
+                base = jax.lax.axis_index(axis) * shard_rows
+                local_count = jnp.clip(count - base, 0, shard_rows)
+                k_loc = min(k1, shard_rows)
+                if impl == "approx":
+                    s_loc, i_loc = masked_approx_topk(
+                        q_emb, corpus, local_count, k=k_loc, bias=bias,
+                        scale=scale, recall_target=recall_target,
+                    )
+                else:
+                    s_loc, i_loc = masked_topk(
+                        q_emb, corpus, local_count, k=k_loc, bias=bias,
+                        scale=scale,
+                    )
+                i_loc = jnp.where(i_loc >= 0, i_loc + base, -1)
+                s_all = jax.lax.all_gather(s_loc[0], axis)  # [ndev, k']
+                i_all = jax.lax.all_gather(i_loc[0], axis)
+                d_s, pos = jax.lax.top_k(s_all.reshape(-1), k1)
+                d_i = i_all.reshape(-1)[pos].astype(jnp.int32)
+                d_i = jnp.where(jnp.isfinite(d_s) & (d_s > -1e29), d_i, -1)
+
+                f_s, f_i = _fuse_stage1(
+                    cfg, d_s, d_i, bm_ids, bm_scores, k1, use_bm25
+                )
+
+                # ---- stage 2: shard-local gather + MaxSim, psum scores
+                q2 = s2_module.apply(
+                    {"params": s2_params}, s2_ids, s2_mask
+                )[0]
+                shard2 = s2_cache[0].shape[0]
+                base2 = jax.lax.axis_index(axis) * shard2
+                own = (f_i >= base2) & (f_i < base2 + shard2)
+                loc = jnp.clip(f_i - base2, 0, shard2 - 1)
+                c_emb, c_mask = _gather_candidate_tokens(s2_cache, loc, own)
+                local_scores = maxsim_scores(
+                    q2, s2_mask[0], c_emb, c_mask,
+                    method=cfg.stage2_scoring_method,
+                )
+                s2_scores = jax.lax.psum(local_scores, axis)
+                valid1 = f_i >= 0
+                s2_scores = jnp.where(valid1, s2_scores, -jnp.inf)
+                top2_s, top2_pos = jax.lax.top_k(s2_scores, k2)
+                ids2 = jnp.where(jnp.isfinite(top2_s), f_i[top2_pos], -1)
+                s1_of_2 = f_s[top2_pos]
+
+                # ---- stage 3: psum-assemble pair rows, dp over pairs
+                k2p = ((k2 + ndev - 1) // ndev) * ndev
+                ids2p = jnp.concatenate([
+                    ids2, jnp.full((k2p - k2,), -1, dtype=jnp.int32)
+                ])
+                valid2p = ids2p >= 0
+                shard3 = d3_buf.shape[0]
+                base3 = jax.lax.axis_index(axis) * shard3
+                own3 = valid2p & (ids2p >= base3) & (ids2p < base3 + shard3)
+                loc3 = jnp.clip(ids2p - base3, 0, shard3 - 1)
+                rows_loc = (
+                    jnp.take(d3_buf, loc3, axis=0)
+                    * own3[:, None].astype(jnp.int32)
+                )
+                lens_loc = jnp.take(d3_len, loc3) * own3.astype(jnp.int32)
+                d_rows = jax.lax.psum(rows_loc, axis)      # [k2p, Ld3]
+                d_lens = jax.lax.psum(lens_loc, axis)
+                pair_ids, pair_mask, pair_types = _splice_pairs(
+                    q3_row, q3_len, d_rows, d_lens
+                )
+                per = k2p // ndev
+                start = jax.lax.axis_index(axis) * per
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, per, 0)
+                logits_loc = s3_module.apply(
+                    {"params": s3_params},
+                    sl(pair_ids), sl(pair_mask), sl(pair_types),
+                )
+                # collapse [per, num_labels] -> [per] BEFORE the gather:
+                # flattening raw logits first would hand the activation a
+                # label-less axis (softmax across pairs, not labels)
+                scores_loc = apply_score_activation(
+                    logits_loc, cfg.stage3_activation
+                )
+                s3_scores = jax.lax.all_gather(
+                    scores_loc, axis
+                ).reshape(-1)[:k2]
+                s3_scores = jnp.where(ids2 >= 0, s3_scores, -jnp.inf)
+                return _pack_payload(f_i, ids2, f_s, top2_s, s1_of_2, s3_scores)
+
+            return local_core
+
+        P_ = P  # alias for the spec table below
+        s2_specs = (
+            (P_(axis, None, None), P_(axis, None), P_(axis, None))
+            if s2_state_len == 3
+            else (P_(axis, None, None), P_(axis, None))
+        )
+        in_specs = (
+            P_(), P_(), P_(),                    # params (replicated)
+            P_(), P_(), P_(),                    # s1 query batch
+            P_(), P_(),                          # s2 query batch
+            P_(), P_(),                          # q3 row / len
+            P_(axis, None), P_(), P_(axis), P_(axis),  # index state
+            P_(), P_(),                          # bm25 lists
+            s2_specs, P_(axis, None), P_(axis),  # device caches
+        )
+
+        def shard_mapped(local, args):
+            return jax.shard_map(
+                local, mesh=mesh, in_specs=in_specs, out_specs=P_(),
+                check_vma=False,
+            )(*args)
+
+        def fn(*args, k1, k2, impl, use_bm25):
+            return shard_mapped(make_local(k1, k2, impl, use_bm25), args)
+
+        def fn_batch(
+            s1p, s2p, s3p,
+            b_s1_ids, b_s1_mask, b_s1_types,
+            b_s2_ids, b_s2_mask,
+            b_q3_row, b_q3_len,
+            corpus, count, bias, scale,
+            b_bm_ids, b_bm_scores,
+            s2_cache, d3_buf, d3_len,
+            *, k1, k2, impl, use_bm25,
+        ):
+            local = make_local(k1, k2, impl, use_bm25)
+
+            def local_batch(
+                s1p, s2p, s3p,
+                bi1, bm1, bt1, bi2, bm2, bq3r, bq3l,
+                corpus, count, bias, scale, bbmi, bbms,
+                s2_cache, d3_buf, d3_len,
+            ):
+                def body(qa):
+                    i1, m1, t1, i2, m2, q3r, q3l, bmi, bms = qa
+                    return local(
+                        s1p, s2p, s3p,
+                        i1[None], m1[None], t1[None], i2[None], m2[None],
+                        q3r, q3l,
+                        corpus, count, bias, scale, bmi, bms,
+                        s2_cache, d3_buf, d3_len,
+                    )
+
+                return jax.lax.map(body, (
+                    bi1, bm1, bt1, bi2, bm2, bq3r, bq3l, bbmi, bbms,
+                ))
+
+            return jax.shard_map(
+                local_batch, mesh=mesh, in_specs=in_specs, out_specs=P_(),
+                check_vma=False,
+            )(
+                s1p, s2p, s3p,
+                b_s1_ids, b_s1_mask, b_s1_types, b_s2_ids, b_s2_mask,
+                b_q3_row, b_q3_len,
+                corpus, count, bias, scale, b_bm_ids, b_bm_scores,
+                s2_cache, d3_buf, d3_len,
+            )
 
         self._fn_batch = jax.jit(
             fn_batch, static_argnames=("k1", "k2", "impl", "use_bm25")
@@ -296,6 +538,22 @@ class FusedSearcher:
                     bm_ids[r, rank], bm_scores[r, rank] = d, sc
 
         corpus, count, bias, scale, impl = s1.index.search_state()
+        if self.mesh is not None:
+            # shard_map in_specs are fixed pytrees: bias/scale must be
+            # arrays (sharded like the corpus rows) even when unused
+            if bias is None:
+                bias = s1.index._del_mask
+            if scale is None:
+                ones = self._ones_scale
+                if ones is None or ones.shape[0] != corpus.shape[0]:
+                    ones = jax.device_put(
+                        jnp.ones((corpus.shape[0],), dtype=jnp.float32),
+                        jax.sharding.NamedSharding(
+                            self.mesh, P(self.data_axis)
+                        ),
+                    )
+                    self._ones_scale = ones
+                scale = ones
         k1 = max(min(cfg.stage1_top_k, s1.index.capacity), 1)
         prep = {
             "params": (

@@ -82,9 +82,12 @@ class RetrievalPipeline:
         if (
             self._fused is None
             and self.config.enable_fused_search
-            and self.mesh is None
             and self.config.stage2_cache_doc_embeddings
         ):
+            # with a mesh, the fused funnel shard-maps over it (sharded
+            # index + sharded stage-2/3 caches; engine/fused.py
+            # _build_fn_sharded) — single-device and multi-chip both
+            # serve through ONE XLA program per query
             from tristage_rag_tpu.engine.fused import FusedSearcher
 
             self._fused = FusedSearcher(

@@ -66,6 +66,7 @@ class ColBERTScorer:
                 dim=self.token_dim,
                 max_docs=config.stage2_cache_max_docs,
                 quantize=config.stage2_cache_int8,
+                mesh=mesh,
             )
 
     def encode_query(self, query: str) -> tuple[np.ndarray, np.ndarray]:

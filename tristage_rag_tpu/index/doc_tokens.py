@@ -22,6 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 MIN_CAPACITY = 256
 
@@ -36,9 +37,22 @@ def _scatter(buf, len_buf, rows, lens, ids):
 class DocTokenCache:
     """[capacity, seq_len] i32 token ids + [capacity] i32 lengths."""
 
-    def __init__(self, seq_len: int, sep_id: int, max_docs: int = 2_000_000):
+    def __init__(
+        self,
+        seq_len: int,
+        sep_id: int,
+        max_docs: int = 2_000_000,
+        mesh=None,
+        data_axis: str = "data",
+    ):
         self.seq_len = seq_len
         self.sep_id = sep_id
+        # Row-sharded over the mesh's data axis (see
+        # index/token_cache.py) so the fused sharded funnel can gather
+        # stage-3 rows shard-locally and psum-assemble the pair batch.
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self._shards = 1 if mesh is None else mesh.shape[data_axis]
         self.max_docs = max_docs
         self.capacity = 0
         self._buf: Optional[jax.Array] = None
@@ -66,14 +80,22 @@ class DocTokenCache:
         while cap < needed:
             cap *= 2
         cap = min(cap, self.max_docs)
-        new_buf = jnp.zeros((cap, self.seq_len), dtype=jnp.int32)
-        new_len = jnp.zeros((cap,), dtype=jnp.int32)
+        cap = ((cap + self._shards - 1) // self._shards) * self._shards
+        new_buf = self._zeros((cap, self.seq_len), jnp.int32)
+        new_len = self._zeros((cap,), jnp.int32)
         if self._buf is not None and self.capacity:
             new_buf = new_buf.at[: self.capacity].set(self._buf)
             new_len = new_len.at[: self.capacity].set(self._len)
         self._buf, self._len = new_buf, new_len
         self.capacity = cap
         return True
+
+    def _zeros(self, shape, dtype):
+        z = jnp.zeros(shape, dtype=dtype)
+        if self.mesh is None:
+            return z
+        spec = P(self.data_axis, *([None] * (len(shape) - 1)))
+        return jax.device_put(z, NamedSharding(self.mesh, spec))
 
     def add(self, doc_ids, documents, tokenizer) -> int:
         """Tokenize ``documents`` (truncated to seq_len - 1 tokens, then

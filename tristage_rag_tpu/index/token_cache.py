@@ -29,6 +29,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 MIN_CAPACITY = 256
 
@@ -91,11 +92,20 @@ class DeviceTokenCache:
         dtype: str = "bfloat16",
         max_docs: int = 100_000,
         quantize: bool = False,
+        mesh: Optional[Mesh] = None,
+        data_axis: str = "data",
     ):
         self.seq_len = seq_len
         self.dim = dim
         self.quantized = bool(quantize)
         self.dtype = jnp.dtype("int8" if quantize else dtype)
+        # Row-sharded over the mesh's data axis: each device holds
+        # capacity/n_shards rows, so a slice caches n_shards x the docs
+        # of one chip at the same per-chip HBM (engine/fused.py's
+        # sharded funnel gathers/scores shard-locally and psums).
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self._shards = 1 if mesh is None else mesh.shape[data_axis]
         self.max_docs = max_docs
         self.capacity = 0
         self._buf: Optional[jax.Array] = None
@@ -110,6 +120,14 @@ class DeviceTokenCache:
     def size(self) -> int:
         return len(self._present)
 
+    def _zeros(self, shape, dtype):
+        """Zero buffer, row-sharded over the mesh when one is set."""
+        z = jnp.zeros(shape, dtype=dtype)
+        if self.mesh is None:
+            return z
+        spec = P(self.data_axis, *([None] * (len(shape) - 1)))
+        return jax.device_put(z, NamedSharding(self.mesh, spec))
+
     def _ensure_capacity(self, max_id: int) -> bool:
         needed = max_id + 1
         if needed > self.max_docs:
@@ -120,10 +138,11 @@ class DeviceTokenCache:
         while cap < needed:
             cap *= 2
         cap = min(cap, self.max_docs)
-        new_buf = jnp.zeros((cap, self.seq_len, self.dim), dtype=self.dtype)
-        new_mask = jnp.zeros((cap, self.seq_len), dtype=jnp.int8)
+        cap = ((cap + self._shards - 1) // self._shards) * self._shards
+        new_buf = self._zeros((cap, self.seq_len, self.dim), self.dtype)
+        new_mask = self._zeros((cap, self.seq_len), jnp.int8)
         new_scale = (
-            jnp.zeros((cap, self.seq_len), dtype=jnp.float32)
+            self._zeros((cap, self.seq_len), jnp.float32)
             if self.quantized else None
         )
         if self._buf is not None and self.capacity:
