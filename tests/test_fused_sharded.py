@@ -120,6 +120,26 @@ class TestShardedFused:
         assert _ids(o_sh) == _ids(staged.search(q, top_k=4))
 
 
+class TestShardedReload:
+    def test_fused_ready_after_reload_on_mesh(self, tmp_path):
+        kw = dict(KW)
+        kw["index_dir"] = str(tmp_path / "idx")
+        saver = RetrievalPipeline(PipelineConfig(
+            enable_fused_search=True, mesh_data_parallel=0, **kw))
+        saver.add_documents(DOCS[:12])
+        ref = _ids(saver.search(QUERIES[0], top_k=4))
+        saver.save_index()
+
+        loader = RetrievalPipeline(PipelineConfig(
+            enable_fused_search=True, mesh_data_parallel=0, **kw))
+        assert loader.load_index()
+        assert loader._fused is not None and loader._fused.ready()
+        assert loader.stage2._cache._buf.sharding.spec[0] == "data"
+        out = loader.search(QUERIES[0], top_k=4)
+        assert out["timing"].get("fused") is True
+        assert _ids(out) == ref
+
+
 class TestShardedFusedVariants:
     @pytest.mark.parametrize("overrides", [
         {"stage2_cache_int8": True},
