@@ -66,15 +66,18 @@ def main():
         mask = jnp.ones((b, l), dtype=jnp.int32)
 
         # Chain via the ids: perturb them with the output embedding sum
-        # (stays a valid token id) so iterations serialize.
-        def step(ids_f32, _docs):
+        # (stays a valid token id) so iterations serialize. Params ride
+        # the second argument slot — closing over them would bake 150M
+        # f32 constants into the HLO, and the tunnel's remote-compile
+        # endpoint rejects such bodies with HTTP 413.
+        def step(ids_f32, p):
             ids_i = ids_f32.astype(jnp.int32) % cfg.vocab_size
-            emb = module.apply({"params": params}, ids_i, mask)
+            emb = module.apply({"params": p}, ids_i, mask)
             upd = jnp.sum(emb.reshape(b, -1), axis=1, keepdims=True)  # [b, 1]
             return (upd, ids_f32[:, :1].astype(jnp.int32))
 
         per = chained_loop_time(
-            step, ids.astype(jnp.float32), jnp.zeros((1,)), iters=args.iters
+            step, ids.astype(jnp.float32), params, iters=args.iters
         )
         print(json.dumps({
             "shape": shape, "ms_per_batch": round(per * 1e3, 2),

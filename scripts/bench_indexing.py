@@ -113,6 +113,18 @@ def main():
     warm_n = max(
         p.config.stage1_batch_size, p.config.stage2_batch_size, 8
     )
+    # Reserve final capacities BEFORE the bucket warmup: capacity
+    # growth re-keys the scatter/write jits (one remote XLA compile per
+    # doubling) — measured as ~12 s of a 15 s 2k-doc stage-2 fill.
+    # Reserving first makes the warmup compile every write op at the
+    # measured run's buffer shapes.
+    final_ids = warm_n + args.docs + 72
+    if p.stage2._cache is not None:
+        p.stage2._cache.reserve(final_ids)
+    if p._fused is not None:
+        p._fused.doc_tokens.reserve(final_ids)
+    p.add_documents(make_docs(8, seed=8))  # creates the lazy index
+    p.stage1.index._grow(final_ids)
     if args.docs % p.config.stage1_batch_size or (
         args.docs % p.config.stage2_batch_size
     ):

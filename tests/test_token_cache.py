@@ -64,6 +64,34 @@ class TestDeviceTokenCache:
         assert (np.asarray(gm) == 0).all()
 
 
+class TestReserve:
+    def test_reserve_prevents_mid_fill_growth(self):
+        cache = DeviceTokenCache(seq_len=4, dim=8, dtype="float32")
+        assert cache.reserve(1023)
+        cap = cache.capacity
+        assert cap >= 1024
+        rng = np.random.default_rng(0)
+        for start in range(0, 1024, 256):
+            ids = list(range(start, start + 256))
+            emb = rng.standard_normal((256, 4, 8)).astype(np.float32)
+            mask = np.ones((256, 4), dtype=np.int32)
+            cache.add(ids, emb, mask)
+            assert cache.capacity == cap  # no growth mid-fill
+        assert cache.size == 1024
+
+    def test_reserve_respects_max_docs(self):
+        cache = DeviceTokenCache(seq_len=4, dim=8, max_docs=128)
+        assert not cache.reserve(1000)
+        assert cache.reserve(100)
+
+    def test_doc_token_cache_reserve(self):
+        from tristage_rag_tpu.index.doc_tokens import DocTokenCache
+
+        c = DocTokenCache(seq_len=8, sep_id=3)
+        assert c.reserve(999)
+        assert c.capacity >= 1000
+
+
 class TestQuantizedTokenCache:
     def _unit_norm_data(self, n, l=8, d=16, seed=0):
         rng = np.random.default_rng(seed)

@@ -148,6 +148,10 @@ class ColBERTScorer:
         ids = [i for i, _ in fresh]
         docs = [d for _, d in fresh]
         bs = self.config.stage2_batch_size
+        # One capacity reservation for the whole fill: growth inside the
+        # loop would re-key the scatter jit per doubling (remote XLA
+        # compiles mid-fill) and pay eager growth copies.
+        self._cache.reserve(max(ids))
         stored = 0
         batches = self.runtime.token_embedding_batches(
             docs, self.tokenizer,

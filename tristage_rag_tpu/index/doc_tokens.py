@@ -97,6 +97,12 @@ class DocTokenCache:
         spec = P(self.data_axis, *([None] * (len(shape) - 1)))
         return jax.device_put(z, NamedSharding(self.mesh, spec))
 
+    def reserve(self, max_id: int) -> bool:
+        """Pre-size for ids up to ``max_id`` (see
+        index/token_cache.py::reserve — avoids mid-fill growth
+        recompiles of the scatter jit)."""
+        return self._ensure_capacity(int(max_id))
+
     def add(self, doc_ids, documents, tokenizer) -> int:
         """Tokenize ``documents`` (truncated to seq_len - 1 tokens, then
         ``[SEP]`` appended) and store at rows ``doc_ids``. Returns how
