@@ -102,6 +102,47 @@ def encoder_per_device_flops(n_devices: int) -> float:
     return float(cost.get("flops", float("nan")))
 
 
+def fused_per_device_flops(n_devices: int) -> tuple[float, list[int]]:
+    """Per-device FLOPs of the shard-mapped fused tri-stage funnel
+    (engine/fused.py::_build_fn_sharded) + its top-3 doc ids.
+
+    The sharded terms (corpus scan, stage-2 MaxSim over owned
+    candidates, stage-3 cross-encoder over k2/n pairs) drop ~1/n; the
+    replicated per-query encoders are a constant floor, so the ratio
+    approaches the sharded fraction of the program, and the ids must
+    stay identical at every mesh size."""
+    from tristage_rag_tpu.engine.config import PipelineConfig
+    from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+    p = RetrievalPipeline(PipelineConfig(
+        stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+        stage3_model="tiny-bert", stage1_top_k=32, stage1_bm25_top_k=16,
+        stage2_top_k=16, stage3_top_k=4, stage2_max_seq_length=32,
+        stage3_max_length=64, stage1_max_text_length=64,
+        compute_dtype="float32", stage2_cache_doc_embeddings=True,
+        enable_fused_search=True, mesh_data_parallel=n_devices,
+    ))
+    p.add_documents([
+        f"scaling doc {i} about topic {i % 7} with shared body"
+        for i in range(96)
+    ])
+    f = p._fused
+    prep = f._prepare(["topic 3 shared body"])
+    args = (
+        *prep["params"], *prep["tb1"], *prep["tb2"],
+        prep["q3_rows"][0], prep["q3_lens"][0],
+        *prep["index_state"],
+        prep["bm"][0][0], prep["bm"][1][0], *prep["caches"],
+    )
+    lowered = f._fn.lower(*args, **prep["statics"])
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    out = p.search("topic 3 shared body", top_k=3)
+    ids = [r["doc_id"] for r in out["results"]]
+    return float(cost.get("flops", float("nan"))), ids
+
+
 def main() -> None:
     from tristage_rag_tpu.index.dense import DenseIndex
     from tristage_rag_tpu.parallel.mesh import create_mesh
@@ -144,6 +185,21 @@ def main() -> None:
         print(json.dumps({
             "mesh_devices": n, "encoder_per_device_flops": flops,
             "flops_vs_1dev": flops / enc_rows[0][1],
+        }))
+
+    print("# shard-mapped fused tri-stage funnel (engine/fused.py):")
+    fused_rows = []
+    base_ids = None
+    for n in (1, 2, 4, 8):
+        flops, ids = fused_per_device_flops(n)
+        if base_ids is None:
+            base_ids = ids
+        assert ids == base_ids, (n, ids, base_ids)
+        fused_rows.append((n, flops))
+        print(json.dumps({
+            "mesh_devices": n, "fused_per_device_flops": flops,
+            "flops_vs_1dev": flops / fused_rows[0][1],
+            "top3_parity": "identical",
         }))
 
 
