@@ -120,6 +120,26 @@ class TestShardedFused:
         assert _ids(o_sh) == _ids(staged.search(q, top_k=4))
 
 
+class TestShardedApproxParity:
+    def test_fused_matches_staged_with_approx_impl(self):
+        """With impl=approx both mesh paths run the same per-shard
+        approx_max_k (index/dense.py::_sharded_topk), so rankings stay
+        identical between fused and staged."""
+        sharded = RetrievalPipeline(PipelineConfig(
+            enable_fused_search=True, mesh_data_parallel=0, **KW))
+        staged = RetrievalPipeline(PipelineConfig(
+            enable_fused_search=False, mesh_data_parallel=0, **KW))
+        sharded.add_documents(DOCS)
+        staged.add_documents(DOCS)
+        sharded.stage1.index.search_impl = "approx"
+        staged.stage1.index.search_impl = "approx"
+        for q in QUERIES[:2]:
+            o_sh = sharded.search(q, top_k=4)
+            o_st = staged.search(q, top_k=4)
+            assert o_sh["timing"].get("fused") is True
+            assert _ids(o_sh) == _ids(o_st)
+
+
 class TestShardedReload:
     def test_fused_ready_after_reload_on_mesh(self, tmp_path):
         kw = dict(KW)

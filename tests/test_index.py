@@ -79,6 +79,32 @@ class TestDenseIndex:
         np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(i1, i2)
 
+    def test_sharded_approx_recall(self):
+        """Per-shard approx_max_k on a mesh: near-exact recall and
+        deterministic results (the sharded fused funnel relies on the
+        same per-shard semantics — engine/fused.py)."""
+        mesh = create_mesh(8)
+        rng = np.random.default_rng(5)
+        emb = rng.standard_normal((2048, 32)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q = emb[::100][:8]
+
+        exact = DenseIndex(dim=32, mesh=mesh, search_impl="exact")
+        exact.add(emb)
+        approx = DenseIndex(dim=32, mesh=mesh, search_impl="approx")
+        approx.add(emb)
+
+        _, ie = exact.search(q, k=16)
+        _, ia = approx.search(q, k=16)
+        _, ia2 = approx.search(q, k=16)
+        np.testing.assert_array_equal(ia, ia2)  # deterministic
+        overlap = np.mean([
+            len(set(ie[r]) & set(ia[r])) / 16 for r in range(len(q))
+        ])
+        assert overlap >= 0.9, overlap
+        # self-retrieval must survive approx
+        assert (ia[:, 0] == np.arange(0, 2048, 100)[:8]).all()
+
 
 def _bm25_ref_score(query, docs, doc_idx, k1=1.2, b=0.75):
     """Independent reimplementation of the reference's BM25 math

@@ -65,20 +65,34 @@ def _quantize_rows(rows: jax.Array):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "axis", "mesh"), donate_argnums=()
+    jax.jit,
+    static_argnames=("k", "axis", "mesh", "impl", "recall_target"),
+    donate_argnums=(),
 )
 def _sharded_topk(
-    queries, corpus, count, mask, scale, k: int, mesh: Mesh, axis: str
+    queries, corpus, count, mask, scale, k: int, mesh: Mesh, axis: str,
+    impl: str = "exact", recall_target: float = 0.95,
 ):
-    """Document-sharded exact top-k: local scan + all-gather merge."""
+    """Document-sharded top-k: local scan + all-gather merge.
+
+    ``impl="approx"`` runs the TPU PartialReduce (``approx_max_k``) on
+    each shard before the exact merge — the same per-shard semantics
+    the sharded fused funnel uses (engine/fused.py), so staged and
+    fused mesh searches stay ranking-identical at any corpus size."""
 
     def local(q, c, cnt, m, sc):
         shard_rows = c.shape[0]
         base = jax.lax.axis_index(axis) * shard_rows
         local_count = jnp.clip(cnt[0] - base, 0, shard_rows)
-        s, idx = masked_topk(
-            q, c, local_count, k=min(k, shard_rows), bias=m, scale=sc
-        )
+        if impl == "approx":
+            s, idx = masked_approx_topk(
+                q, c, local_count, k=min(k, shard_rows), bias=m, scale=sc,
+                recall_target=recall_target,
+            )
+        else:
+            s, idx = masked_topk(
+                q, c, local_count, k=min(k, shard_rows), bias=m, scale=sc
+            )
         idx = jnp.where(idx >= 0, idx + base, -1)
         s_all = jax.lax.all_gather(s, axis)  # [ndev, B, k']
         i_all = jax.lax.all_gather(idx, axis)
@@ -339,6 +353,8 @@ class DenseIndex:
             s, i = _sharded_topk(
                 q, self._buf, cnt, self._del_mask, self._scales, k_eff,
                 self.mesh, self.data_axis,
+                impl="approx" if impl == "approx" else "exact",
+                recall_target=self.recall_target,
             )
         elif impl == "pallas":
             from tristage_rag_tpu.ops.pallas_topk import fused_matmul_topk
