@@ -104,6 +104,7 @@ async def _bench(args) -> dict:
     search_lat: list[float] = []
     add_lat: list[float] = []
     errors = 0
+    add_errors = 0
     next_id = 0
     completed_searches = 0
     adds_sent = 0
@@ -155,7 +156,13 @@ async def _bench(args) -> dict:
         kind, t_sent = sent.pop(rid)
         lat = time.perf_counter() - t_sent
         if "error" in resp or resp.get("result", {}).get("isError"):
-            errors += 1
+            # count errors per kind: an add error must not be folded
+            # into the search total (it would end the bench one search
+            # early and skew QPS)
+            if kind == "search":
+                errors += 1
+            else:
+                add_errors += 1
         elif kind == "search":
             search_lat.append(lat)
             completed_searches += 1
@@ -190,6 +197,7 @@ async def _bench(args) -> dict:
         "searches": completed_searches,
         "adds": adds_sent,
         "errors": errors,
+        "add_errors": add_errors,
         "wall_s": round(wall, 2),
         "search_qps": round(completed_searches / wall, 1),
         "p50_ms": round(pct(search_lat, 0.5) * 1e3, 1),

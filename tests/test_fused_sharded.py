@@ -5,8 +5,6 @@ genuinely row-sharded over the mesh.
 
 Runs on the 8-device virtual CPU mesh (tests/conftest.py)."""
 
-import dataclasses
-
 import numpy as np
 import pytest
 

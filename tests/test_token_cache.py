@@ -84,6 +84,35 @@ class TestReserve:
         assert not cache.reserve(1000)
         assert cache.reserve(100)
 
+    def test_over_cap_corpus_still_reserves_cacheable_prefix(self):
+        """stage2.precompute clamps reserve to the cap: an over-cap
+        corpus must pre-size the cacheable prefix in ONE growth, not
+        refuse and regrow per batch (the recompile class reserve()
+        exists to prevent)."""
+        from tristage_rag_tpu.engine.config import PipelineConfig
+        from tristage_rag_tpu.engine.stage2 import ColBERTScorer
+
+        cfg = PipelineConfig(
+            stage2_model="tiny-modernbert", stage2_max_seq_length=16,
+            stage2_cache_doc_embeddings=True, stage2_cache_max_docs=8,
+            stage2_batch_size=4, mesh_data_parallel=1,
+            compute_dtype="float32",
+        )
+        s2 = ColBERTScorer(cfg, mesh=None)
+        docs = [f"doc {i}" for i in range(12)]  # ids 8..11 over the cap
+        stored = s2.precompute(list(range(12)), docs)
+        assert stored == 8  # cacheable prefix cached, remainder refused
+        assert s2._cache.capacity >= 8
+
+    def test_capacity_never_exceeds_rounded_max_docs(self):
+        """Shard rounding must round against the same bound the refusal
+        check uses (index/token_cache.py::grown_capacity)."""
+        from tristage_rag_tpu.index.token_cache import grown_capacity
+
+        cap = grown_capacity(0, 100, max_docs=100, shards=8)
+        assert cap == 104  # 100 rounded up to the shard multiple
+        assert grown_capacity(0, 101, max_docs=100, shards=8) is None
+
     def test_doc_token_cache_reserve(self):
         from tristage_rag_tpu.index.doc_tokens import DocTokenCache
 

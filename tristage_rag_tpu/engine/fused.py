@@ -123,9 +123,12 @@ class FusedSearcher:
     """Owns the fused jit + the stage-3 doc-token cache.
 
     Built lazily by the pipeline once all three stages exist. Requires
-    single-device placement (no mesh), the stage-2 device token cache,
-    and a non-Pallas dense-search impl; ``ready()`` gates per query and
-    the pipeline falls back to the staged path otherwise.
+    the stage-2 device token cache and a non-Pallas dense-search impl;
+    ``ready()`` gates per query and the pipeline falls back to the
+    staged path otherwise. With a mesh, the program shard-maps over it
+    (``_build_fn_sharded``: row-sharded corpus + caches, psum'd
+    stage-2 scores, dp cross-encoder over pairs); without one it is
+    the single-device jit (``_build_fn``).
     """
 
     def __init__(self, config: PipelineConfig, stage1, stage2, stage3):

@@ -150,8 +150,10 @@ class ColBERTScorer:
         bs = self.config.stage2_batch_size
         # One capacity reservation for the whole fill: growth inside the
         # loop would re-key the scatter jit per doubling (remote XLA
-        # compiles mid-fill) and pay eager growth copies.
-        self._cache.reserve(max(ids))
+        # compiles mid-fill) and pay eager growth copies. Clamp to the
+        # cache cap: for an over-cap corpus reserve(max_id) would refuse
+        # outright and the cacheable prefix would pay the doublings.
+        self._cache.reserve(min(max(ids), self._cache.max_docs - 1))
         stored = 0
         batches = self.runtime.token_embedding_batches(
             docs, self.tokenizer,

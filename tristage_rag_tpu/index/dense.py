@@ -56,12 +56,12 @@ def _write_vec(buf: jax.Array, vals: jax.Array, offset: jax.Array) -> jax.Array:
 
 @jax.jit
 def _quantize_rows(rows: jax.Array):
-    """Symmetric per-row int8 quantization: values = round(x/scale)."""
-    x = rows.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x), axis=1)
-    scale = jnp.maximum(amax, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(x / scale[:, None]), -127, 127).astype(jnp.int8)
-    return q, scale
+    """Symmetric per-row int8 quantization — the shared contract lives
+    in index/token_cache.py::symmetric_int8 (one definition for the
+    index and the token cache)."""
+    from tristage_rag_tpu.index.token_cache import symmetric_int8
+
+    return symmetric_int8(rows)
 
 
 @functools.partial(

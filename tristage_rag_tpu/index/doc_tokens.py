@@ -71,16 +71,16 @@ class DocTokenCache:
         return self._buf, self._len
 
     def _ensure_capacity(self, max_id: int) -> bool:
+        from tristage_rag_tpu.index.token_cache import grown_capacity
+
         needed = max_id + 1
-        if needed > self.max_docs:
+        cap = grown_capacity(
+            self.capacity, needed, self.max_docs, self._shards
+        )
+        if cap is None:
             return False
-        if needed <= self.capacity:
+        if cap == self.capacity:
             return True
-        cap = max(MIN_CAPACITY, self.capacity or MIN_CAPACITY)
-        while cap < needed:
-            cap *= 2
-        cap = min(cap, self.max_docs)
-        cap = ((cap + self._shards - 1) // self._shards) * self._shards
         new_buf = self._zeros((cap, self.seq_len), jnp.int32)
         new_len = self._zeros((cap,), jnp.int32)
         if self._buf is not None and self.capacity:

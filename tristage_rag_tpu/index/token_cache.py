@@ -49,18 +49,45 @@ def _gather(buf, mask_buf, ids, valid):
     return emb, mask
 
 
-def quantize_tokens(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """[n, L, D] f32 → (int8 codes, [n, L] f32 per-token scales)."""
-    rows = rows.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(rows), axis=-1)            # [n, L]
+def symmetric_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Rank-general symmetric int8 over the last axis:
+    ``(codes, scales)`` with ``codes = round(x / scale)`` and
+    ``scale = max|x| / 127`` per leading index. The ONE definition of
+    the int8 numeric contract — index/dense.py's row quantizer and the
+    token cache both call it, so their '~0.4% score error' claims
+    cannot drift apart."""
+    x = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=-1)
     scale = jnp.maximum(amax, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(rows / scale[..., None]), -127, 127)
+    q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127)
     return q.astype(jnp.int8), scale
+
+
+def grown_capacity(
+    cur_cap: int, needed: int, max_docs: int, shards: int,
+    min_capacity: int = MIN_CAPACITY,
+) -> int | None:
+    """Capacity-doubling policy shared by the device caches: returns
+    the new capacity (a multiple of ``shards``, ≤ max_docs rounded up
+    to the shard multiple), or None when ``needed`` exceeds
+    ``max_docs``. Rounding happens against the SAME bound the refusal
+    check uses, so capacity never silently exceeds the configured
+    budget by more than the shard-divisibility remainder."""
+    if needed > max_docs:
+        return None
+    if needed <= cur_cap:
+        return cur_cap
+    cap = max(min_capacity, cur_cap or min_capacity)
+    while cap < needed:
+        cap *= 2
+    allocatable = ((max_docs + shards - 1) // shards) * shards
+    cap = min(cap, allocatable)
+    return ((cap + shards - 1) // shards) * shards
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def _scatter_q(buf, scale_buf, mask_buf, rows, row_mask, ids):
-    q, scale = quantize_tokens(rows)
+    q, scale = symmetric_int8(rows)
     buf = buf.at[ids].set(q)
     scale_buf = scale_buf.at[ids].set(scale)
     mask_buf = mask_buf.at[ids].set(row_mask.astype(mask_buf.dtype))
@@ -130,15 +157,13 @@ class DeviceTokenCache:
 
     def _ensure_capacity(self, max_id: int) -> bool:
         needed = max_id + 1
-        if needed > self.max_docs:
+        cap = grown_capacity(
+            self.capacity, needed, self.max_docs, self._shards
+        )
+        if cap is None:
             return False
-        if needed <= self.capacity:
+        if cap == self.capacity:
             return True
-        cap = max(MIN_CAPACITY, self.capacity or MIN_CAPACITY)
-        while cap < needed:
-            cap *= 2
-        cap = min(cap, self.max_docs)
-        cap = ((cap + self._shards - 1) // self._shards) * self._shards
         new_buf = self._zeros((cap, self.seq_len, self.dim), self.dtype)
         new_mask = self._zeros((cap, self.seq_len), jnp.int8)
         new_scale = (
