@@ -156,6 +156,20 @@ class FusedSearcher:
     def precompute(self, doc_ids, documents) -> int:
         return self.doc_tokens.add(doc_ids, documents, self.stage3.tokenizer)
 
+    def _d3_budget(self) -> int:
+        """Static pair doc-width: the smallest bucket that fits every
+        cached doc row (never truncates, so rankings are unchanged).
+        Short-doc corpora (LIMIT-style ~15-token passages) then pay the
+        cross-encoder for lp = reserve + 32 tokens instead of the full
+        stage3_max_length — the funnel's dominant compute term. At most
+        one extra compile per bucket the corpus max-length crosses."""
+        full = self.doc_tokens.seq_len
+        ml = self.doc_tokens.max_len or full
+        for b in (32, 64, 96, 128, 160, 192):
+            if b >= ml and b <= full:
+                return b
+        return full
+
     # ---- eligibility -------------------------------------------------------
 
     def ready(self) -> bool:
@@ -194,7 +208,7 @@ class FusedSearcher:
                                                 # (emb, mask) or int8
                                                 # (emb, scale, mask)
             d3_buf, d3_len,                     # stage-3 doc token cache
-            k1, k2, impl, use_bm25,
+            k1, k2, impl, use_bm25, d3b,
         ):
             # ---- stage 1: bi-encode + masked top-k over the corpus buffer
             q_emb = s1_module.apply({"params": s1_params}, s1_ids, s1_mask, s1_types)
@@ -231,7 +245,10 @@ class FusedSearcher:
             # ---- stage 3: splice [CLS] q [SEP] | d [SEP] rows on device
             valid2 = ids2 >= 0
             safe2 = jnp.clip(ids2, 0, d3_buf.shape[0] - 1)
-            d_rows = jnp.take(d3_buf, safe2, axis=0)        # [k2, Ld3]
+            # [:d3b]: static pair-width bucket >= every cached row's
+            # length (see _d3_budget) — pure compute saving, no
+            # truncation possible
+            d_rows = jnp.take(d3_buf, safe2, axis=0)[:, :d3b]
             d_lens = jnp.take(d3_len, safe2) * valid2.astype(jnp.int32)
             pair_ids, pair_mask, pair_types = _splice_pairs(
                 q3_row, q3_len, d_rows, d_lens
@@ -243,8 +260,8 @@ class FusedSearcher:
             s3_scores = jnp.where(valid2, s3_scores, -jnp.inf)
             return _pack_payload(f_i, ids2, f_s, top2_s, s1_of_2, s3_scores)
 
-        def fn(*args, k1, k2, impl, use_bm25):
-            return core(*args, k1, k2, impl, use_bm25)
+        def fn(*args, k1, k2, impl, use_bm25, d3b):
+            return core(*args, k1, k2, impl, use_bm25, d3b)
 
         def fn_batch(
             s1_params, s2_params, s3_params,
@@ -254,7 +271,7 @@ class FusedSearcher:
             corpus, count, bias, scale,
             b_bm_ids, b_bm_scores,              # [B, kb]
             s2_cache, d3_buf, d3_len,
-            *, k1, k2, impl, use_bm25,
+            *, k1, k2, impl, use_bm25, d3b,
         ):
             # ONE dispatch for the whole query batch: lax.map runs the
             # per-query funnel sequentially on device (peak memory =
@@ -272,7 +289,7 @@ class FusedSearcher:
                     corpus, count, bias, scale,
                     bmi, bms,
                     s2_cache, d3_buf, d3_len,
-                    k1, k2, impl, use_bm25,
+                    k1, k2, impl, use_bm25, d3b,
                 )
 
             return jax.lax.map(body, (
@@ -281,9 +298,9 @@ class FusedSearcher:
             ))
 
         self._fn_batch = jax.jit(
-            fn_batch, static_argnames=("k1", "k2", "impl", "use_bm25")
+            fn_batch, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b")
         )
-        return jax.jit(fn, static_argnames=("k1", "k2", "impl", "use_bm25"))
+        return jax.jit(fn, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b"))
 
     def _build_fn_sharded(self):
         """The multi-chip fused funnel: ONE shard-mapped XLA program.
@@ -319,7 +336,7 @@ class FusedSearcher:
         s2_state_len = len(self.stage2._cache.state())
         searcher = self  # index/caches are built lazily, read at trace
 
-        def make_local(k1, k2, impl, use_bm25):
+        def make_local(k1, k2, impl, use_bm25, d3b):
             recall_target = searcher.stage1.index.recall_target
             def local_core(
                 s1_params, s2_params, s3_params,
@@ -389,8 +406,10 @@ class FusedSearcher:
                 base3 = jax.lax.axis_index(axis) * shard3
                 own3 = valid2p & (ids2p >= base3) & (ids2p < base3 + shard3)
                 loc3 = jnp.clip(ids2p - base3, 0, shard3 - 1)
+                # [:d3b]: static pair-width bucket (see _d3_budget);
+                # slicing before the psum also shrinks ICI traffic
                 rows_loc = (
-                    jnp.take(d3_buf, loc3, axis=0)
+                    jnp.take(d3_buf, loc3, axis=0)[:, :d3b]
                     * own3[:, None].astype(jnp.int32)
                 )
                 lens_loc = jnp.take(d3_len, loc3) * own3.astype(jnp.int32)
@@ -442,8 +461,10 @@ class FusedSearcher:
                 check_vma=False,
             )(*args)
 
-        def fn(*args, k1, k2, impl, use_bm25):
-            return shard_mapped(make_local(k1, k2, impl, use_bm25), args)
+        def fn(*args, k1, k2, impl, use_bm25, d3b):
+            return shard_mapped(
+                make_local(k1, k2, impl, use_bm25, d3b), args
+            )
 
         def fn_batch(
             s1p, s2p, s3p,
@@ -453,9 +474,9 @@ class FusedSearcher:
             corpus, count, bias, scale,
             b_bm_ids, b_bm_scores,
             s2_cache, d3_buf, d3_len,
-            *, k1, k2, impl, use_bm25,
+            *, k1, k2, impl, use_bm25, d3b,
         ):
-            local = make_local(k1, k2, impl, use_bm25)
+            local = make_local(k1, k2, impl, use_bm25, d3b)
 
             def local_batch(
                 s1p, s2p, s3p,
@@ -489,9 +510,9 @@ class FusedSearcher:
             )
 
         self._fn_batch = jax.jit(
-            fn_batch, static_argnames=("k1", "k2", "impl", "use_bm25")
+            fn_batch, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b")
         )
-        return jax.jit(fn, static_argnames=("k1", "k2", "impl", "use_bm25"))
+        return jax.jit(fn, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b"))
 
     # ---- the host wrapper ----------------------------------------------------
 
@@ -582,6 +603,7 @@ class FusedSearcher:
                 k2=max(min(cfg.stage2_top_k, k1), 1),
                 impl=impl,
                 use_bm25=use_bm25,
+                d3b=self._d3_budget(),
             ),
         }
         return prep

@@ -55,6 +55,11 @@ class DocTokenCache:
         self._shards = 1 if mesh is None else mesh.shape[data_axis]
         self.max_docs = max_docs
         self.capacity = 0
+        # Longest stored row (host-side): lets the fused searcher pick
+        # a pair-width bucket >= every cached doc, shrinking the
+        # cross-encoder's static pair length for short-doc corpora
+        # without ever truncating (engine/fused.py::_d3_budget).
+        self.max_len = 0
         self._buf: Optional[jax.Array] = None
         self._len: Optional[jax.Array] = None
         self._present: set[int] = set()
@@ -125,6 +130,7 @@ class DocTokenCache:
             jnp.asarray(ids),
         )
         self._present.update(int(i) for i in ids)
+        self.max_len = max(self.max_len, int(lens.max()))
         return int(ids.size)
 
     def covers_count(self, count: int) -> bool:
@@ -133,5 +139,6 @@ class DocTokenCache:
 
     def clear(self) -> None:
         self._present = set()
+        self.max_len = 0
         if self._len is not None:
             self._len = jnp.zeros_like(self._len)
