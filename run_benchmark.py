@@ -17,6 +17,23 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent))
 
 
+def _resolve_config(path):
+    """--config YAML, else the shipped configs/default.yaml (which turns
+    on the TPU-native device caches + fused search — without it the
+    benchmark measures the reference-faithful per-query re-encode
+    path), else library defaults."""
+    from pathlib import Path
+
+    from tristage_rag_tpu.engine.config import PipelineConfig
+
+    if path:
+        return PipelineConfig.from_yaml(path)
+    shipped = Path(__file__).parent / "configs" / "default.yaml"
+    if shipped.exists():
+        return PipelineConfig.from_yaml(shipped)
+    return PipelineConfig()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None, help="pipeline YAML")
@@ -49,7 +66,7 @@ def main() -> int:
     if args.download_models:
         from tristage_rag_tpu.eval.downloaders import ModelDownloader
 
-        cfg_tmp = PipelineConfig.from_yaml(args.config) if args.config else PipelineConfig()
+        cfg_tmp = _resolve_config(args.config)
         ModelDownloader(cfg_tmp.model_dir).ensure_models_available(args.low_mem)
 
     try:
@@ -58,7 +75,7 @@ def main() -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
-    config = PipelineConfig.from_yaml(args.config) if args.config else PipelineConfig()
+    config = _resolve_config(args.config)
     pipeline = RetrievalPipeline(config)
 
     # Refuse to print authoritative-looking quality numbers from
