@@ -145,6 +145,29 @@ class TestHarness:
         out = run_evaluation(p, task, top_k=4, stages="stage12")
         assert out["num_queries"] == 1
 
+    @pytest.mark.parametrize("stages", ["stage1", "stage12"])
+    def test_batched_ablation_matches_per_query(self, tiny_config, stages):
+        """The batched ablation paths (stage1.search_batch /
+        stage2.rescore_batch) must rank exactly like the per-query
+        paths they replaced in run_evaluation."""
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+        from tristage_rag_tpu.eval.harness import (
+            _search_stages,
+            _search_stages_batch,
+        )
+
+        p = RetrievalPipeline(tiny_config)
+        p.add_documents(
+            [f"document body number {i} with shared words" for i in range(10)]
+        )
+        queries = ["document number 3", "shared words body", "number 7"]
+        batched = _search_stages_batch(p, queries, 5, stages)
+        for q, b in zip(queries, batched):
+            single = _search_stages(p, q, 5, stages)
+            assert [r["doc_id"] for r in b] == [
+                r["doc_id"] for r in single
+            ], (stages, q)
+
 
 class TestRandomWeightGuard:
     def test_random_init_flagged(self, tiny_config):

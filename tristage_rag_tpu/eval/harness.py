@@ -53,7 +53,7 @@ def run_evaluation(
     ext_ids = index_task_corpus(pipeline, task)
     results: dict[str, dict[str, float]] = {}
     qids = list(task.queries)
-    use_batch = stages == "full" and len(qids) > 1
+    use_batch = len(qids) > 1
     chunk = 32  # bounded lax.map length per dispatch on the fused path
     if warmup and qids:
         # Bucket-covering warmup OUTSIDE the clock: the first dispatch
@@ -62,7 +62,9 @@ def run_evaluation(
         # the first chunk's queries (same rule as scripts/bench_*.py).
         q0 = task.queries[qids[0]]
         if use_batch:
-            pipeline.batch_search([q0] * min(chunk, len(qids)), top_k)
+            _search_stages_batch(
+                pipeline, [q0] * min(chunk, len(qids)), top_k, stages
+            )
         else:
             _search_stages(pipeline, q0, top_k, stages)
     t0 = time.time()
@@ -71,13 +73,14 @@ def run_evaluation(
         for lo in range(0, len(qids), chunk):
             ids_chunk = qids[lo : lo + chunk]
             tq = time.time()
-            ranked_chunk = pipeline.batch_search(
-                [task.queries[q] for q in ids_chunk], top_k
+            ranked_chunk = _search_stages_batch(
+                pipeline, [task.queries[q] for q in ids_chunk], top_k,
+                stages,
             )
             per = (time.time() - tq) / len(ids_chunk)
-            for qid, resp in zip(ids_chunk, ranked_chunk):
+            for qid, ranked in zip(ids_chunk, ranked_chunk):
                 per_query_times.append(per)
-                results[qid] = _map_back(resp["results"], ext_ids)
+                results[qid] = _map_back(ranked, ext_ids)
     else:
         for qid in qids:
             tq = time.time()
@@ -108,6 +111,31 @@ def run_evaluation(
         n, summary["qps"],
     )
     return summary
+
+
+def _search_stages_batch(
+    pipeline: RetrievalPipeline,
+    queries: list[str],
+    top_k: int,
+    stages: str,
+) -> list[list[dict[str, Any]]]:
+    """Batched ablation paths: stage-1 runs ONE encoder forward + ONE
+    device top-k for the whole chunk (stage1.search_batch); stage-1+2
+    additionally rescores through stage2.rescore_batch (one forward for
+    all query token embeddings, union-deduped candidate encode); the
+    full funnel rides pipeline.batch_search (one fused dispatch)."""
+    pipeline.initialize_stages()
+    if stages == "stage1":
+        return pipeline.stage1.search_batch(queries, top_k)
+    if stages == "stage12":
+        s1_lists = pipeline.stage1.search_batch(
+            queries, pipeline.config.stage1_top_k
+        )
+        rescored = pipeline.stage2.rescore_batch(queries, s1_lists)
+        return [r[:top_k] for r in rescored]
+    return [
+        resp["results"] for resp in pipeline.batch_search(queries, top_k)
+    ]
 
 
 def _search_stages(
