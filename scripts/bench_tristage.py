@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 
-def make_docs(n: int, seed: int = 0) -> list[str]:
+def make_docs(n: int, seed: int = 0, short: bool = False) -> list[str]:
     rng = np.random.default_rng(seed)
     vocab = [
         "retrieval", "tensor", "memory", "kernel", "fusion", "query",
@@ -36,7 +36,8 @@ def make_docs(n: int, seed: int = 0) -> list[str]:
     ]
     docs = []
     for i in range(n):
-        words = rng.choice(vocab, size=rng.integers(20, 60))
+        lo, hi = (6, 14) if short else (20, 60)
+        words = rng.choice(vocab, size=rng.integers(lo, hi))
         docs.append(f"doc {i}: " + " ".join(words))
     return docs
 
@@ -84,6 +85,9 @@ def main():
     ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--tiny", action="store_true", help="tiny archs (CPU dev)")
     ap.add_argument("--staged-also", action="store_true")
+    ap.add_argument("--short-docs", action="store_true",
+                    help="LIMIT-style ~10-token passages: exercises the "
+                         "stage-3 pair-width bucket (engine/fused.py)")
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure batch_search throughput at this "
                          "batch size (full funnel, one dispatch)")
@@ -110,7 +114,7 @@ def main():
         mesh_data_parallel=1,
         **models,
     )
-    docs = make_docs(args.docs)
+    docs = make_docs(args.docs, short=args.short_docs)
     queries = [
         "semantic retrieval ranking kernel",
         "memory bandwidth systolic matrix",

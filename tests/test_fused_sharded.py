@@ -118,6 +118,54 @@ class TestShardedFused:
         assert _ids(o_sh) == _ids(staged.search(q, top_k=4))
 
 
+class TestShardedServing:
+    def test_mcp_server_over_mesh_pipeline(self):
+        """The serving layer is mesh-agnostic: a JSON-RPC search against
+        a mesh pipeline rides the shard-mapped fused funnel."""
+        import asyncio
+        import json
+
+        from tristage_rag_tpu.serve.mcp_server import RetrievalMCPServer
+
+        p = RetrievalPipeline(PipelineConfig(
+            enable_fused_search=True, mesh_data_parallel=0, **KW))
+        p.add_documents(DOCS)
+        server = RetrievalMCPServer(p)
+
+        class W:
+            def __init__(self):
+                self.chunks = []
+
+            def write(self, data):
+                self.chunks.append(data)
+
+            async def drain(self):
+                pass
+
+        async def go():
+            reader = asyncio.StreamReader()
+            writer = W()
+            reader.feed_data((json.dumps({
+                "jsonrpc": "2.0", "id": 1, "method": "tools/call",
+                "params": {"name": "search",
+                           "arguments": {"query": QUERIES[0], "top_k": 3}},
+            }) + "\n").encode())
+            reader.feed_eof()
+            await server.run(reader, writer)
+            return [
+                json.loads(l) for l in
+                b"".join(writer.chunks).decode().splitlines() if l.strip()
+            ]
+
+        responses = asyncio.run(go())
+        ok = [r for r in responses if r.get("id") == 1]
+        assert ok and "result" in ok[0]
+        payload = json.loads(ok[0]["result"]["content"][0]["text"])
+        got = [r["doc_id"] for r in payload["results"]]
+        assert got == _ids(p.search(QUERIES[0], top_k=3))
+        assert p.search(QUERIES[0])["timing"].get("fused") is True
+
+
 class TestShardedApproxParity:
     def test_fused_matches_staged_with_approx_impl(self):
         """With impl=approx both mesh paths run the same per-shard
