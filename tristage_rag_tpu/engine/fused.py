@@ -197,10 +197,9 @@ class FusedSearcher:
         s2_module = self.stage2.runtime.module
         s3_module = self.stage3.runtime.module
 
-        def core(
-            s1_params, s2_params, s3_params,
-            s1_ids, s1_mask, s1_types,          # [1, L1]
-            s2_ids, s2_mask,                    # [1, L2q]
+        def tail(
+            s3_params,
+            q_emb, q2, q2_mask,                 # [1, E], [L2q, D], [L2q]
             q3_row, q3_len,                     # [Rq] i32, scalar i32
             corpus, count, bias, scale,         # dense index state
             bm_ids, bm_scores,                  # [kb] i32 / f32 (padded -1/0)
@@ -210,8 +209,10 @@ class FusedSearcher:
             d3_buf, d3_len,                     # stage-3 doc token cache
             k1, k2, impl, use_bm25, d3b,
         ):
-            # ---- stage 1: bi-encode + masked top-k over the corpus buffer
-            q_emb = s1_module.apply({"params": s1_params}, s1_ids, s1_mask, s1_types)
+            """Everything after the query encoders — split out so the
+            batched path can encode ALL queries in one forward per
+            model (MXU-efficient) and lax.map only this tail."""
+            # ---- stage 1: masked top-k over the corpus buffer
             if impl == "approx":
                 d_s, d_i = masked_approx_topk(
                     q_emb, corpus, count, k=k1, bias=bias, scale=scale,
@@ -229,12 +230,11 @@ class FusedSearcher:
             )
 
             # ---- stage 2: gather cached token embeddings + MaxSim
-            q2 = s2_module.apply({"params": s2_params}, s2_ids, s2_mask)[0]
             valid1 = f_i >= 0
             safe1 = jnp.clip(f_i, 0, s2_cache[0].shape[0] - 1)
             c_emb, c_mask = _gather_candidate_tokens(s2_cache, safe1, valid1)
             s2_scores = maxsim_scores(
-                q2, s2_mask[0], c_emb, c_mask,
+                q2, q2_mask, c_emb, c_mask,
                 method=cfg.stage2_scoring_method,
             )
             s2_scores = jnp.where(valid1, s2_scores, -jnp.inf)
@@ -260,8 +260,26 @@ class FusedSearcher:
             s3_scores = jnp.where(valid2, s3_scores, -jnp.inf)
             return _pack_payload(f_i, ids2, f_s, top2_s, s1_of_2, s3_scores)
 
-        def fn(*args, k1, k2, impl, use_bm25, d3b):
-            return core(*args, k1, k2, impl, use_bm25, d3b)
+        def fn(
+            s1_params, s2_params, s3_params,
+            s1_ids, s1_mask, s1_types,          # [1, L1]
+            s2_ids, s2_mask,                    # [1, L2q]
+            q3_row, q3_len,
+            corpus, count, bias, scale,
+            bm_ids, bm_scores,
+            s2_cache, d3_buf, d3_len,
+            *, k1, k2, impl, use_bm25, d3b,
+        ):
+            q_emb = s1_module.apply(
+                {"params": s1_params}, s1_ids, s1_mask, s1_types
+            )
+            q2 = s2_module.apply({"params": s2_params}, s2_ids, s2_mask)[0]
+            return tail(
+                s3_params, q_emb, q2, s2_mask[0], q3_row, q3_len,
+                corpus, count, bias, scale, bm_ids, bm_scores,
+                s2_cache, d3_buf, d3_len,
+                k1, k2, impl, use_bm25, d3b,
+            )
 
         def fn_batch(
             s1_params, s2_params, s3_params,
@@ -273,28 +291,32 @@ class FusedSearcher:
             s2_cache, d3_buf, d3_len,
             *, k1, k2, impl, use_bm25, d3b,
         ):
-            # ONE dispatch for the whole query batch: lax.map runs the
-            # per-query funnel sequentially on device (peak memory =
-            # one query's working set), so N queries cost N device
-            # executions but only one host round trip — the reference
-            # loops batch_search on the host instead
+            # ONE dispatch for the whole query batch. The query
+            # encoders run ONCE for the whole batch (batch-1 encoder
+            # forwards are latency-bound on the MXU and dominated the
+            # per-query map); lax.map then runs only the per-query tail
+            # sequentially, keeping peak memory at one query's working
+            # set. The reference loops batch_search on the host instead
             # (src/retrieval_pipeline.py:426-448).
+            q_embs = s1_module.apply(
+                {"params": s1_params}, b_s1_ids, b_s1_mask, b_s1_types
+            )                                   # [B, E]
+            q2_all = s2_module.apply(
+                {"params": s2_params}, b_s2_ids, b_s2_mask
+            )                                   # [B, L2q, D]
+
             def body(qa):
-                i1, m1, t1, i2, m2, q3r, q3l, bmi, bms = qa
-                return core(
-                    s1_params, s2_params, s3_params,
-                    i1[None], m1[None], t1[None],
-                    i2[None], m2[None],
-                    q3r, q3l,
-                    corpus, count, bias, scale,
-                    bmi, bms,
+                qe, q2, q2m, q3r, q3l, bmi, bms = qa
+                return tail(
+                    s3_params, qe[None], q2, q2m, q3r, q3l,
+                    corpus, count, bias, scale, bmi, bms,
                     s2_cache, d3_buf, d3_len,
                     k1, k2, impl, use_bm25, d3b,
                 )
 
             return jax.lax.map(body, (
-                b_s1_ids, b_s1_mask, b_s1_types, b_s2_ids, b_s2_mask,
-                b_q3_row, b_q3_len, b_bm_ids, b_bm_scores,
+                q_embs, q2_all, b_s2_mask, b_q3_row, b_q3_len,
+                b_bm_ids, b_bm_scores,
             ))
 
         self._fn_batch = jax.jit(
@@ -338,19 +360,16 @@ class FusedSearcher:
 
         def make_local(k1, k2, impl, use_bm25, d3b):
             recall_target = searcher.stage1.index.recall_target
-            def local_core(
-                s1_params, s2_params, s3_params,
-                s1_ids, s1_mask, s1_types,
-                s2_ids, s2_mask,
+
+            def local_tail(
+                s3_params,
+                q_emb, q2, q2_mask,             # [1, E], [L2q, D], [L2q]
                 q3_row, q3_len,
                 corpus, count, bias, scale,
                 bm_ids, bm_scores,
                 s2_cache, d3_buf, d3_len,
             ):
                 # ---- stage 1: local shard scan + all-gather merge
-                q_emb = s1_module.apply(
-                    {"params": s1_params}, s1_ids, s1_mask, s1_types
-                )
                 shard_rows = corpus.shape[0]
                 base = jax.lax.axis_index(axis) * shard_rows
                 local_count = jnp.clip(count - base, 0, shard_rows)
@@ -377,16 +396,13 @@ class FusedSearcher:
                 )
 
                 # ---- stage 2: shard-local gather + MaxSim, psum scores
-                q2 = s2_module.apply(
-                    {"params": s2_params}, s2_ids, s2_mask
-                )[0]
                 shard2 = s2_cache[0].shape[0]
                 base2 = jax.lax.axis_index(axis) * shard2
                 own = (f_i >= base2) & (f_i < base2 + shard2)
                 loc = jnp.clip(f_i - base2, 0, shard2 - 1)
                 c_emb, c_mask = _gather_candidate_tokens(s2_cache, loc, own)
                 local_scores = maxsim_scores(
-                    q2, s2_mask[0], c_emb, c_mask,
+                    q2, q2_mask, c_emb, c_mask,
                     method=cfg.stage2_scoring_method,
                 )
                 s2_scores = jax.lax.psum(local_scores, axis)
@@ -437,7 +453,29 @@ class FusedSearcher:
                 s3_scores = jnp.where(ids2 >= 0, s3_scores, -jnp.inf)
                 return _pack_payload(f_i, ids2, f_s, top2_s, s1_of_2, s3_scores)
 
-            return local_core
+            return local_tail
+
+        def make_single(k1, k2, impl, use_bm25, d3b):
+            tail = make_local(k1, k2, impl, use_bm25, d3b)
+
+            def local_single(
+                s1p, s2p, s3p,
+                s1_ids, s1_mask, s1_types, s2_ids, s2_mask,
+                q3_row, q3_len,
+                corpus, count, bias, scale, bm_ids, bm_scores,
+                s2_cache, d3_buf, d3_len,
+            ):
+                q_emb = s1_module.apply(
+                    {"params": s1p}, s1_ids, s1_mask, s1_types
+                )
+                q2 = s2_module.apply({"params": s2p}, s2_ids, s2_mask)[0]
+                return tail(
+                    s3p, q_emb, q2, s2_mask[0], q3_row, q3_len,
+                    corpus, count, bias, scale, bm_ids, bm_scores,
+                    s2_cache, d3_buf, d3_len,
+                )
+
+            return local_single
 
         P_ = P  # alias for the spec table below
         s2_specs = (
@@ -463,7 +501,7 @@ class FusedSearcher:
 
         def fn(*args, k1, k2, impl, use_bm25, d3b):
             return shard_mapped(
-                make_local(k1, k2, impl, use_bm25, d3b), args
+                make_single(k1, k2, impl, use_bm25, d3b), args
             )
 
         def fn_batch(
@@ -476,7 +514,7 @@ class FusedSearcher:
             s2_cache, d3_buf, d3_len,
             *, k1, k2, impl, use_bm25, d3b,
         ):
-            local = make_local(k1, k2, impl, use_bm25, d3b)
+            tail = make_local(k1, k2, impl, use_bm25, d3b)
 
             def local_batch(
                 s1p, s2p, s3p,
@@ -484,18 +522,22 @@ class FusedSearcher:
                 corpus, count, bias, scale, bbmi, bbms,
                 s2_cache, d3_buf, d3_len,
             ):
+                # batch-encode the queries ONCE per device (replicated
+                # work, but MXU-efficient vs B latency-bound batch-1
+                # forwards), then map only the per-query tail
+                q_embs = s1_module.apply({"params": s1p}, bi1, bm1, bt1)
+                q2_all = s2_module.apply({"params": s2p}, bi2, bm2)
+
                 def body(qa):
-                    i1, m1, t1, i2, m2, q3r, q3l, bmi, bms = qa
-                    return local(
-                        s1p, s2p, s3p,
-                        i1[None], m1[None], t1[None], i2[None], m2[None],
-                        q3r, q3l,
+                    qe, q2, q2m, q3r, q3l, bmi, bms = qa
+                    return tail(
+                        s3p, qe[None], q2, q2m, q3r, q3l,
                         corpus, count, bias, scale, bmi, bms,
                         s2_cache, d3_buf, d3_len,
                     )
 
                 return jax.lax.map(body, (
-                    bi1, bm1, bt1, bi2, bm2, bq3r, bq3l, bbmi, bbms,
+                    q_embs, q2_all, bm2, bq3r, bq3l, bbmi, bbms,
                 ))
 
             return jax.shard_map(
