@@ -22,8 +22,6 @@ def _resolve_config(path):
     on the TPU-native device caches + fused search — without it the
     benchmark measures the reference-faithful per-query re-encode
     path), else library defaults."""
-    from pathlib import Path
-
     from tristage_rag_tpu.engine.config import PipelineConfig
 
     if path:
@@ -56,7 +54,6 @@ def main() -> int:
     args = ap.parse_args()
     logging.basicConfig(level=getattr(logging, args.log_level.upper(), logging.INFO))
 
-    from tristage_rag_tpu.engine.config import PipelineConfig
     from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
     from tristage_rag_tpu.eval.limit import download_limit, load_limit
     from tristage_rag_tpu.eval.harness import run_evaluation

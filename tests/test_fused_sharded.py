@@ -163,7 +163,9 @@ class TestShardedServing:
         payload = json.loads(ok[0]["result"]["content"][0]["text"])
         got = [r["doc_id"] for r in payload["results"]]
         assert got == _ids(p.search(QUERIES[0], top_k=3))
-        assert p.search(QUERIES[0])["timing"].get("fused") is True
+        # the SERVED request itself must have ridden the fused funnel —
+        # a silent staged fallback would rank identically
+        assert payload["timing"].get("fused") is True, payload["timing"]
 
 
 class TestShardedApproxParity:

@@ -60,13 +60,20 @@ def run_evaluation(
         # at a new batch bucket compiles the whole three-model program
         # (minutes on tunneled chips) and would otherwise be charged to
         # the first chunk's queries (same rule as scripts/bench_*.py).
-        q0 = task.queries[qids[0]]
+        # Cover (a) EVERY chunk size the loop will produce — the full
+        # chunk and the remainder pad to different batch buckets — and
+        # (b) the stage-1 length bucket, which encode_batch picks from
+        # the LONGEST query in a chunk: warm with the longest query so
+        # every real chunk lands on an already-compiled shape.
+        q_long = max((task.queries[q] for q in qids), key=len)
         if use_batch:
-            _search_stages_batch(
-                pipeline, [q0] * min(chunk, len(qids)), top_k, stages
-            )
+            sizes = {min(chunk, len(qids))}
+            if len(qids) % chunk:
+                sizes.add(len(qids) % chunk)
+            for b in sorted(sizes):
+                _search_stages_batch(pipeline, [q_long] * b, top_k, stages)
         else:
-            _search_stages(pipeline, q0, top_k, stages)
+            _search_stages(pipeline, q_long, top_k, stages)
     t0 = time.time()
     per_query_times: list[float] = []
     if use_batch:
