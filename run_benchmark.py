@@ -46,6 +46,9 @@ def main() -> int:
     ap.add_argument("--output", default=None, help="write summary JSON here")
     ap.add_argument("--mteb", action="store_true", help="run via MTEB v2 if installed")
     ap.add_argument("--log-level", default="INFO")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the bucket-covering warmup (latency "
+                         "numbers then include first-compile time)")
     ap.add_argument(
         "--allow-random-weights", action="store_true",
         help="run even when a stage has no checkpoint (scores will be "
@@ -128,6 +131,7 @@ def main() -> int:
     summary = run_evaluation(
         pipeline, task,
         top_k=args.top_k, max_queries=args.max_queries, stages=args.stages,
+        warmup=not args.no_warmup,
     )
     m = summary["metrics"]
     summary["weights_loaded"] = not random_weights

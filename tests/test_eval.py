@@ -126,11 +126,11 @@ class TestHarness:
         qrels = {f"q{i}": {f"d{i}": 1} for i in range(4)}
         task = RetrievalTask("toy", corpus, queries, qrels)
         p = RetrievalPipeline(tiny_config)
-        out = run_evaluation(p, task, top_k=6)
+        out = run_evaluation(p, task, top_k=6, warmup=False)
         assert out["num_queries"] == 4 and out["num_docs"] == 6
         assert 0.0 <= out["metrics"]["ndcg_at_10"] <= 1.0
         # stage-1 lexical eval must find the unique-token doc
-        out1 = run_evaluation(p, task, top_k=6, stages="stage1")
+        out1 = run_evaluation(p, task, top_k=6, stages="stage1", warmup=False)
         assert out1["metrics"]["recall_at_10"] == pytest.approx(1.0)
 
     def test_stage12(self, tiny_config):
@@ -142,7 +142,7 @@ class TestHarness:
             "toy2", corpus, {"q0": "doc body 2"}, {"q0": {"d2": 1}}
         )
         p = RetrievalPipeline(tiny_config)
-        out = run_evaluation(p, task, top_k=4, stages="stage12")
+        out = run_evaluation(p, task, top_k=4, stages="stage12", warmup=False)
         assert out["num_queries"] == 1
 
     @pytest.mark.parametrize("stages", ["stage1", "stage12"])
@@ -242,8 +242,8 @@ class TestHarnessBatchedPath:
             stage2_cache_doc_embeddings=True,
         )
         staged_cfg = dataclasses.replace(tiny_config, enable_fused_search=False)
-        out_f = run_evaluation(RetrievalPipeline(fused_cfg), task, top_k=8)
-        out_s = run_evaluation(RetrievalPipeline(staged_cfg), task, top_k=8)
+        out_f = run_evaluation(RetrievalPipeline(fused_cfg), task, top_k=8, warmup=False)
+        out_s = run_evaluation(RetrievalPipeline(staged_cfg), task, top_k=8, warmup=False)
         for k in ("ndcg_at_10", "recall_at_10", "mrr_at_10"):
             assert out_f["metrics"][k] == pytest.approx(
                 out_s["metrics"][k], abs=1e-6

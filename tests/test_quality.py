@@ -40,7 +40,7 @@ class TestLexicalQuality:
 
         task = _synthetic_task()
         p = RetrievalPipeline(tiny_config)
-        out = run_evaluation(p, task, top_k=10, stages="stage1")
+        out = run_evaluation(p, task, top_k=10, stages="stage1", warmup=False)
         # stage-1 includes BM25: subset queries must retrieve their doc
         assert out["metrics"]["recall_at_10"] >= 0.9
         assert out["metrics"]["mrr_at_10"] >= 0.8

@@ -119,6 +119,19 @@ def _gather_candidate_tokens(s2_cache, safe_ids, valid):
     return c_emb, c_mask
 
 
+def _encode_queries(
+    s1_module, s2_module, s1_params, s2_params, ids1, m1, t1, ids2, m2
+):
+    """The fused funnel's query encoders — ONE definition shared by
+    every (single-query | batched) x (single-device | sharded) wrapper,
+    so a change to query encoding cannot silently diverge between
+    paths. Returns ([B, E] bi-encoder embeddings, [B, L2q, D] ColBERT
+    token embeddings)."""
+    q_emb = s1_module.apply({"params": s1_params}, ids1, m1, t1)
+    q2 = s2_module.apply({"params": s2_params}, ids2, m2)
+    return q_emb, q2
+
+
 class FusedSearcher:
     """Owns the fused jit + the stage-3 doc-token cache.
 
@@ -270,12 +283,12 @@ class FusedSearcher:
             s2_cache, d3_buf, d3_len,
             *, k1, k2, impl, use_bm25, d3b,
         ):
-            q_emb = s1_module.apply(
-                {"params": s1_params}, s1_ids, s1_mask, s1_types
+            q_emb, q2_all = _encode_queries(
+                s1_module, s2_module, s1_params, s2_params,
+                s1_ids, s1_mask, s1_types, s2_ids, s2_mask,
             )
-            q2 = s2_module.apply({"params": s2_params}, s2_ids, s2_mask)[0]
             return tail(
-                s3_params, q_emb, q2, s2_mask[0], q3_row, q3_len,
+                s3_params, q_emb, q2_all[0], s2_mask[0], q3_row, q3_len,
                 corpus, count, bias, scale, bm_ids, bm_scores,
                 s2_cache, d3_buf, d3_len,
                 k1, k2, impl, use_bm25, d3b,
@@ -298,12 +311,10 @@ class FusedSearcher:
             # sequentially, keeping peak memory at one query's working
             # set. The reference loops batch_search on the host instead
             # (src/retrieval_pipeline.py:426-448).
-            q_embs = s1_module.apply(
-                {"params": s1_params}, b_s1_ids, b_s1_mask, b_s1_types
-            )                                   # [B, E]
-            q2_all = s2_module.apply(
-                {"params": s2_params}, b_s2_ids, b_s2_mask
-            )                                   # [B, L2q, D]
+            q_embs, q2_all = _encode_queries(
+                s1_module, s2_module, s1_params, s2_params,
+                b_s1_ids, b_s1_mask, b_s1_types, b_s2_ids, b_s2_mask,
+            )
 
             def body(qa):
                 qe, q2, q2m, q3r, q3l, bmi, bms = qa
@@ -465,12 +476,12 @@ class FusedSearcher:
                 corpus, count, bias, scale, bm_ids, bm_scores,
                 s2_cache, d3_buf, d3_len,
             ):
-                q_emb = s1_module.apply(
-                    {"params": s1p}, s1_ids, s1_mask, s1_types
+                q_emb, q2_all = _encode_queries(
+                    s1_module, s2_module, s1p, s2p,
+                    s1_ids, s1_mask, s1_types, s2_ids, s2_mask,
                 )
-                q2 = s2_module.apply({"params": s2p}, s2_ids, s2_mask)[0]
                 return tail(
-                    s3p, q_emb, q2, s2_mask[0], q3_row, q3_len,
+                    s3p, q_emb, q2_all[0], s2_mask[0], q3_row, q3_len,
                     corpus, count, bias, scale, bm_ids, bm_scores,
                     s2_cache, d3_buf, d3_len,
                 )
@@ -525,8 +536,9 @@ class FusedSearcher:
                 # batch-encode the queries ONCE per device (replicated
                 # work, but MXU-efficient vs B latency-bound batch-1
                 # forwards), then map only the per-query tail
-                q_embs = s1_module.apply({"params": s1p}, bi1, bm1, bt1)
-                q2_all = s2_module.apply({"params": s2p}, bi2, bm2)
+                q_embs, q2_all = _encode_queries(
+                    s1_module, s2_module, s1p, s2p, bi1, bm1, bt1, bi2, bm2,
+                )
 
                 def body(qa):
                     qe, q2, q2m, q3r, q3l, bmi, bms = qa

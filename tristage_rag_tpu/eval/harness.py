@@ -57,23 +57,32 @@ def run_evaluation(
     chunk = 32  # bounded lax.map length per dispatch on the fused path
     if warmup and qids:
         # Bucket-covering warmup OUTSIDE the clock: the first dispatch
-        # at a new batch bucket compiles the whole three-model program
-        # (minutes on tunneled chips) and would otherwise be charged to
-        # the first chunk's queries (same rule as scripts/bench_*.py).
-        # Cover (a) EVERY chunk size the loop will produce — the full
-        # chunk and the remainder pad to different batch buckets — and
-        # (b) the stage-1 length bucket, which encode_batch picks from
-        # the LONGEST query in a chunk: warm with the longest query so
-        # every real chunk lands on an already-compiled shape.
-        q_long = max((task.queries[q] for q in qids), key=len)
+        # at a new (batch-bucket, length-bucket) shape compiles the
+        # whole three-model program (minutes on tunneled chips) and
+        # would otherwise be charged to that chunk's queries (same rule
+        # as scripts/bench_*.py). The stage-1 length bucket is chosen
+        # per chunk from its longest TOKENIZED query, so warm once per
+        # distinct (chunk size, longest-token-count) the loop will
+        # actually produce, using that chunk's own longest query.
+        pipeline.initialize_stages()
+        tok1 = pipeline.stage1.tokenizer
+        tlen = {q: len(tok1.tokenize_to_ids(task.queries[q])) for q in qids}
         if use_batch:
-            sizes = {min(chunk, len(qids))}
-            if len(qids) % chunk:
-                sizes.add(len(qids) % chunk)
-            for b in sorted(sizes):
-                _search_stages_batch(pipeline, [q_long] * b, top_k, stages)
+            seen: set[tuple[int, int]] = set()
+            for lo in range(0, len(qids), chunk):
+                ids_chunk = qids[lo : lo + chunk]
+                q_star = max(ids_chunk, key=lambda q: tlen[q])
+                key = (len(ids_chunk), tlen[q_star])
+                if key in seen:
+                    continue
+                seen.add(key)
+                _search_stages_batch(
+                    pipeline,
+                    [task.queries[q_star]] * len(ids_chunk), top_k, stages,
+                )
         else:
-            _search_stages(pipeline, q_long, top_k, stages)
+            q_star = max(qids, key=lambda q: tlen[q])
+            _search_stages(pipeline, task.queries[q_star], top_k, stages)
     t0 = time.time()
     per_query_times: list[float] = []
     if use_batch:
