@@ -34,7 +34,9 @@ from tristage_rag_tpu.serve.jsonrpc import JsonRpcError, StdioJsonRpcServer
 logger = logging.getLogger(__name__)
 
 PROTOCOL_VERSION = "2024-11-05"
-SERVER_INFO = {"name": "tristage-rag-tpu", "version": "0.1.0"}
+from tristage_rag_tpu.version import __version__
+
+SERVER_INFO = {"name": "tristage-rag-tpu", "version": __version__}
 
 TOOLS = [
     {
