@@ -15,6 +15,7 @@ from __future__ import annotations
 import logging
 from typing import Any, Optional, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
@@ -251,10 +252,14 @@ class ColBERTScorer:
                 use_device_cache = self._cache.covers(union.keys())
             if not use_device_cache:
                 d_emb, d_mask = self.encode_documents(union_docs)
-            out = []
+            # Two passes: dispatch every query's MaxSim first (the
+            # device pipelines them), then ONE concatenated fetch — a
+            # per-query np.asarray would pay a full host round trip per
+            # query (~30 ms each on tunneled dev TPUs).
+            dispatched: list[tuple[Any, int]] = []  # (scores_dev, n)
             for q_emb, q_mask, cands in zip(q_embs, q_masks, candidates_list):
                 if not cands:
-                    out.append([])
+                    dispatched.append((None, 0))
                     continue
                 n = len(cands)
                 bucket = _cand_bucket(n)
@@ -272,12 +277,24 @@ class ColBERTScorer:
                         cm = np.concatenate(
                             [cm, np.zeros((pad, cm.shape[1]), cm.dtype)]
                         )
-                scores = np.asarray(
-                    maxsim_scores(
-                        q_emb, q_mask, ce, cm,
-                        method=self.config.stage2_scoring_method,
-                    )
+                scores_dev = maxsim_scores(
+                    q_emb, q_mask, ce, cm,
+                    method=self.config.stage2_scoring_method,
                 )[:n]
+                dispatched.append((scores_dev, n))
+            live = [s for s, n in dispatched if n]
+            flat = (
+                np.asarray(jnp.concatenate(live)) if live
+                else np.zeros((0,), dtype=np.float32)
+            )
+            out = []
+            offset = 0
+            for (scores_dev, n), cands in zip(dispatched, candidates_list):
+                if not n:
+                    out.append([])
+                    continue
+                scores = flat[offset : offset + n]
+                offset += n
                 rescored = []
                 for cand, s in zip(cands, scores.tolist()):
                     c = dict(cand)
