@@ -1,7 +1,15 @@
 """Headline benchmark: stage-1 dense retrieval QPS on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": "stage1_qps", "value": N, "unit": "qps", "vs_baseline": R}
+  {"metric": "stage1_qps", "value": N, "unit": "qps", "vs_baseline": R,
+   "recall_at_k": r, "exact_qps": E,
+   "int8_approx_qps": Q8, "int8_recall_at_k": r8}
+
+The headline `value` is pinned to the DEFAULT storage path (bf16 corpus
++ XLA approx_max_k) so vs_baseline stays apples-to-apples across
+rounds; the opt-in int8 storage mode is reported as its own fields with
+its own measured recall, and `exact_qps` is the exact XLA top_k path so
+a reader of the JSON alone can see what accuracy the headline trades.
 
 Setup mirrors BASELINE.md's north-star config: corpus of 1M (2^20)
 768-dim bf16 embeddings resident in HBM, query batch 128, exact-merge
@@ -24,9 +32,11 @@ import time
 import jax
 import jax.numpy as jnp
 
-N = 1 << 20  # 1,048,576 docs
+import os as _os
+
+N = int(_os.environ.get("BENCH_N", 1 << 20))  # 1,048,576 docs
 D = 768
-K = 500
+K = int(_os.environ.get("BENCH_K", 500))
 B = 128
 BASELINE_QPS = 10_000.0
 
@@ -57,10 +67,14 @@ def main() -> None:
 
     paths = [("xla_approx", xla_approx_step, docs)]
 
-    # int8 storage mode: per-row symmetric quantization, dequant fused
-    # into the matmul's HBM read — halves the corpus-read bytes that
-    # bound this op. Measured on v5e (2026-08-16): 1.55 ms/batch,
-    # 82,809 QPS, recall@500 = 0.981 vs exact (bf16 approx: 2.22 ms).
+    # int8 storage mode (opt-in `index_int8` config): per-row symmetric
+    # quantization, dequant fused into the matmul's HBM read — halves
+    # the corpus-read bytes that bound this op. Measured on v5e
+    # (2026-08-16): 1.55 ms/batch, 82,809 QPS, recall@500 = 0.981 vs
+    # exact (bf16 approx: 2.22 ms). Reported as its OWN metric fields,
+    # never as the headline (ADVICE r2: keep vs_baseline pinned to the
+    # shipped default path).
+    int8_ready = False
     try:
         from tristage_rag_tpu.index.dense import _quantize_rows
 
@@ -73,16 +87,17 @@ def main() -> None:
             ) * scales[None, :]
             return jax.lax.approx_max_k(s, K, recall_target=0.95)
 
-        paths.insert(0, ("int8_approx", int8_approx_step, q8docs))
+        paths.append(("int8_approx", int8_approx_step, q8docs))
+        int8_ready = True
     except Exception as e:
         print(f"# int8 path unavailable: {e}", file=sys.stderr)
-    # Optional slower paths (compile + run time): exact XLA top_k is
-    # 77x slower at this scale (644 qps measured) and the fused Pallas
-    # kernel pays a ~5 min Mosaic remote-compile on tunneled dev TPUs.
+    # Exact XLA top_k is ~77x slower at this scale, so it gets few
+    # iterations — it is here to put the recall cost of the headline in
+    # context, not to win. The fused Pallas kernel pays a ~5 min Mosaic
+    # remote-compile on tunneled dev TPUs, so it stays opt-in.
     import os
 
-    if os.environ.get("BENCH_EXACT"):
-        paths.append(("xla_exact", xla_exact_step, docs))
+    paths.append(("xla_exact", xla_exact_step, docs))
     if os.environ.get("BENCH_PALLAS"):
         from tristage_rag_tpu.ops.pallas_topk import fused_matmul_topk
 
@@ -95,24 +110,53 @@ def main() -> None:
         paths.insert(0, ("pallas_fused_exact", pallas_step, docs))
         paths.insert(0, ("pallas_fused_bank", pallas_bank_step, docs))
 
+    iters_for = {"xla_exact": 6}
     for name, fn, corpus in paths:
         try:
-            per_iter = _timed_loop(fn, q, corpus, iters=30)
+            per_iter = _timed_loop(fn, q, corpus, iters=iters_for.get(name, 30))
             candidates[name] = B / per_iter
             print(f"# {name}: {per_iter * 1e3:.3f} ms/batch "
                   f"({candidates[name]:.0f} qps)", file=sys.stderr)
         except Exception as e:  # keep the bench alive if one path breaks
             print(f"# {name} failed: {e}", file=sys.stderr)
 
-    if not candidates:
-        raise SystemExit("no benchmark path succeeded")
-    best = max(candidates.values())
-    print(json.dumps({
+    if "xla_approx" not in candidates:
+        raise SystemExit("default-path benchmark failed")
+
+    # Measured recall@K of each approx path vs exact, on this corpus +
+    # query batch (one fetch each; set membership per query, averaged).
+    recalls = {}
+    try:
+        exact_ids = jax.device_get(jax.jit(xla_exact_step)(q, docs)[1])
+        for name, step, corpus in (
+            [("xla_approx", xla_approx_step, docs)]
+            + ([("int8_approx", int8_approx_step, q8docs)] if int8_ready else [])
+        ):
+            ids = jax.device_get(jax.jit(step)(q, corpus)[1])
+            hit = sum(
+                len(set(ids[b].tolist()) & set(exact_ids[b].tolist()))
+                for b in range(B)
+            )
+            recalls[name] = hit / float(B * K)
+            print(f"# {name} recall@{K}: {recalls[name]:.4f}", file=sys.stderr)
+    except Exception as e:
+        print(f"# recall measurement failed: {e}", file=sys.stderr)
+
+    out = {
         "metric": "stage1_qps",
-        "value": round(best, 1),
+        "value": round(candidates["xla_approx"], 1),
         "unit": "qps",
-        "vs_baseline": round(best / BASELINE_QPS, 3),
-    }))
+        "vs_baseline": round(candidates["xla_approx"] / BASELINE_QPS, 3),
+    }
+    if "xla_approx" in recalls:
+        out["recall_at_k"] = round(recalls["xla_approx"], 4)
+    if "xla_exact" in candidates:
+        out["exact_qps"] = round(candidates["xla_exact"], 1)
+    if "int8_approx" in candidates:
+        out["int8_approx_qps"] = round(candidates["int8_approx"], 1)
+        if "int8_approx" in recalls:
+            out["int8_recall_at_k"] = round(recalls["int8_approx"], 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

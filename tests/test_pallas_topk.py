@@ -149,6 +149,20 @@ class TestExactnessGuard:
         )
         assert recall >= 0.3, recall
 
+    def test_bank_mode_indivisible_block_size_clear_error(self):
+        """A block_size not divisible by 8 must refuse with a clear
+        message, not raise max() on an empty sequence (ADVICE r2
+        item 4)."""
+        rng = np.random.default_rng(5)
+        docs = rng.standard_normal((300, 64)).astype(np.float32)
+        q = docs[:4]
+        with pytest.raises(ValueError, match="divisible by 8"):
+            fused_matmul_topk(
+                jnp.asarray(q), jnp.asarray(docs), jnp.int32(300), k=10,
+                mode="bank", block_size=100, per_block_k=12,
+                interpret=True,
+            )
+
     def test_auto_t_poisson_bound(self):
         """Auto per-block-k sizes by the Poisson tail: the headline
         config (k=500 over 1024 blocks) must pick T=16 (tail ~1e-17),

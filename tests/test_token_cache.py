@@ -104,6 +104,28 @@ class TestReserve:
         assert stored == 8  # cacheable prefix cached, remainder refused
         assert s2._cache.capacity >= 8
 
+    def test_over_cap_boundary_batch_keeps_cacheable_docs(self):
+        """A batch straddling the cap must still store its cacheable
+        ids: add() refuses whole batches containing an over-cap id, so
+        precompute filters BEFORE batching (ADVICE r2 item 3 — the
+        boundary batch silently dropped up to batch_size-1 docs and
+        those queries re-encoded host-side forever)."""
+        from tristage_rag_tpu.engine.config import PipelineConfig
+        from tristage_rag_tpu.engine.stage2 import ColBERTScorer
+
+        cfg = PipelineConfig(
+            stage2_model="tiny-modernbert", stage2_max_seq_length=16,
+            stage2_cache_doc_embeddings=True, stage2_cache_max_docs=10,
+            stage2_batch_size=4, mesh_data_parallel=1,
+            compute_dtype="float32",
+        )
+        s2 = ColBERTScorer(cfg, mesh=None)
+        docs = [f"doc {i}" for i in range(12)]  # batch [8..11] straddles
+        stored = s2.precompute(list(range(12)), docs)
+        assert stored == 10  # ids 8 and 9 must not be lost
+        assert 8 in s2._cache and 9 in s2._cache
+        assert 10 not in s2._cache
+
     def test_capacity_never_exceeds_rounded_max_docs(self):
         """Shard rounding must round against the same bound the refusal
         check uses (index/token_cache.py::grown_capacity)."""

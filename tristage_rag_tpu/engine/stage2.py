@@ -146,15 +146,20 @@ class ColBERTScorer:
         # Device-to-device fill: each forward's output scatters straight
         # into the HBM cache (no per-batch host fetch + re-upload — on
         # tunneled TPUs that round-trip costs more than the forward).
+        # Over-cap corpora: drop uncacheable ids BEFORE batching — add()
+        # refuses a whole batch when any id exceeds max_docs, so a mixed
+        # boundary batch would silently lose its cacheable docs (those
+        # queries would then re-encode host-side every search).
+        fresh = [(i, d) for i, d in fresh if i < self._cache.max_docs]
+        if not fresh:
+            return 0
         ids = [i for i, _ in fresh]
         docs = [d for _, d in fresh]
         bs = self.config.stage2_batch_size
         # One capacity reservation for the whole fill: growth inside the
         # loop would re-key the scatter jit per doubling (remote XLA
-        # compiles mid-fill) and pay eager growth copies. Clamp to the
-        # cache cap: for an over-cap corpus reserve(max_id) would refuse
-        # outright and the cacheable prefix would pay the doublings.
-        self._cache.reserve(min(max(ids), self._cache.max_docs - 1))
+        # compiles mid-fill) and pay eager growth copies.
+        self._cache.reserve(max(ids))
         stored = 0
         batches = self.runtime.token_embedding_batches(
             docs, self.tokenizer,

@@ -65,14 +65,37 @@ def run_evaluation(
         # distinct (chunk size, longest-token-count) the loop will
         # actually produce, using that chunk's own longest query.
         pipeline.initialize_stages()
-        tok1 = pipeline.stage1.tokenizer
-        tlen = {q: len(tok1.tokenize_to_ids(task.queries[q])) for q in qids}
+        from tristage_rag_tpu.models.runtime import batch_bucket
+        from tristage_rag_tpu.models.tokenizer import (
+            DEFAULT_BUCKETS, pick_bucket,
+        )
+
+        s1 = pipeline.stage1
+        tok1 = s1.tokenizer
+        prompt = s1.runtime.prompts.get("query", "")
+        max1 = pipeline.config.stage1_max_text_length
+        # Effective stage-1 row length the encode path will produce for
+        # this query (prompt + tokens, truncated to the special-token
+        # budget, +2 specials), then the bucket encode_batch would pick.
+        # Stage-2/3 query shapes are static (full-width tb2 / fixed
+        # q_reserve rows), so (batch-bucket, stage-1 bucket) IS the
+        # compile key — dedup on it rather than on exact token counts,
+        # which would warm per distinct length within one bucket
+        # (ADVICE r2 item 2: ~2x eval warmup wall-clock on varied
+        # query sets).
+        def _s1_bucket(q: str) -> int:
+            t = len(tok1.tokenize_to_ids(prompt + task.queries[q]))
+            return pick_bucket(
+                max(min(t, max1 - 2) + 2, 1), DEFAULT_BUCKETS, max1
+            )
+
+        bkt = {q: _s1_bucket(q) for q in qids}
         if use_batch:
             seen: set[tuple[int, int]] = set()
             for lo in range(0, len(qids), chunk):
                 ids_chunk = qids[lo : lo + chunk]
-                q_star = max(ids_chunk, key=lambda q: tlen[q])
-                key = (len(ids_chunk), tlen[q_star])
+                q_star = max(ids_chunk, key=lambda q: bkt[q])
+                key = (batch_bucket(len(ids_chunk)), bkt[q_star])
                 if key in seen:
                     continue
                 seen.add(key)
@@ -81,7 +104,7 @@ def run_evaluation(
                     [task.queries[q_star]] * len(ids_chunk), top_k, stages,
                 )
         else:
-            q_star = max(qids, key=lambda q: tlen[q])
+            q_star = max(qids, key=lambda q: bkt[q])
             _search_stages(pipeline, task.queries[q_star], top_k, stages)
     t0 = time.time()
     per_query_times: list[float] = []

@@ -232,10 +232,19 @@ def fused_matmul_topk(
                 )
     per_block_k = min(per_block_k, block_size)
     if mode == "bank" and block_size % per_block_k != 0:
-        per_block_k = max(
-            pk for pk in (8, 16, 32, 64, 128) if block_size % pk == 0
-            and pk <= per_block_k
-        )
+        fits = [
+            pk for pk in (8, 16, 32, 64, 128)
+            if block_size % pk == 0 and pk <= per_block_k
+        ]
+        if not fits:
+            # block_size not divisible by 8: no bank width divides the
+            # block, so rows can't be banked evenly. Refuse clearly
+            # rather than raising max() on an empty sequence.
+            raise ValueError(
+                f"bank mode needs block_size divisible by 8, got "
+                f"{block_size}; pass a multiple of 8 or use mode='exact'"
+            )
+        per_block_k = max(fits)
 
     # Pad B up to the f32 sublane tile.
     b_pad = _round_up(max(b, 8), 8)
