@@ -250,12 +250,71 @@ class TestHarnessBatchedPath:
             )
 
 
+def _install_fake_mteb(monkeypatch, fake):
+    """Install a fake mteb package whose doubles enforce the real
+    mteb-v2 construction contract: ``TaskMetadata`` validates its
+    required fields and ``AbsTaskRetrieval`` REFUSES to construct
+    without a populated metadata instance (the round-2 `metadata =
+    None  # set below` bug was invisible to a permissive double)."""
+    import sys
+    import types
+
+    abstasks = types.ModuleType("mteb.abstasks")
+    abstask_mod = types.ModuleType("mteb.abstasks.AbsTaskRetrieval")
+    taskmeta_mod = types.ModuleType("mteb.abstasks.TaskMetadata")
+
+    class TaskMetadata:
+        _required = (
+            "name", "description", "type", "eval_splits", "eval_langs",
+            "main_score",
+        )
+
+        def __init__(self, **kwargs):
+            for field in self._required:
+                val = kwargs.get(field)
+                if val is None or val == "" or val == []:
+                    raise TypeError(
+                        f"TaskMetadata missing required field {field!r}"
+                    )
+            if not isinstance(kwargs.get("dialect", []), list):
+                raise TypeError("dialect must be a list")
+            for k, v in kwargs.items():
+                setattr(self, k, v)
+
+    class AbsTaskRetrieval:
+        metadata = None
+
+        def __init__(self, **kwargs):
+            if not isinstance(type(self).metadata, TaskMetadata):
+                raise TypeError(
+                    "AbsTaskRetrieval subclass requires a populated "
+                    "TaskMetadata (got "
+                    f"{type(type(self).metadata).__name__})"
+                )
+            self.data_loaded = False
+
+    taskmeta_mod.TaskMetadata = TaskMetadata
+    abstask_mod.AbsTaskRetrieval = AbsTaskRetrieval
+    abstasks.AbsTaskRetrieval = abstask_mod
+    abstasks.TaskMetadata = taskmeta_mod
+    fake.abstasks = abstasks
+    monkeypatch.setitem(sys.modules, "mteb", fake)
+    monkeypatch.setitem(sys.modules, "mteb.abstasks", abstasks)
+    monkeypatch.setitem(
+        sys.modules, "mteb.abstasks.AbsTaskRetrieval", abstask_mod
+    )
+    monkeypatch.setitem(
+        sys.modules, "mteb.abstasks.TaskMetadata", taskmeta_mod
+    )
+    return TaskMetadata
+
+
 class TestMakeMTEBTasks:
     def test_task_classes_load_local_data(self, tmp_path, monkeypatch):
         """make_mteb_tasks builds AbsTaskRetrieval subclasses that load
-        LIMIT JSONL into MTEB-shape dicts — exercised with a minimal
-        fake mteb package so the path runs in CI without the dep."""
-        import sys
+        LIMIT JSONL into MTEB-shape dicts — exercised with a fake mteb
+        package (strict construction contract) so the path runs in CI
+        without the dep."""
         import types
 
         d = tmp_path / "limit-small"
@@ -271,30 +330,34 @@ class TestMakeMTEBTasks:
         )
         limit_dir = tmp_path
 
-        fake = types.ModuleType("mteb")
-        abstasks = types.ModuleType("mteb.abstasks")
-        abstask_mod = types.ModuleType("mteb.abstasks.AbsTaskRetrieval")
-
-        class AbsTaskRetrieval:
-            def __init__(self, **kwargs):
-                self.data_loaded = False
-
-        abstask_mod.AbsTaskRetrieval = AbsTaskRetrieval
-        fake.abstasks = abstasks
-        monkeypatch.setitem(sys.modules, "mteb", fake)
-        monkeypatch.setitem(sys.modules, "mteb.abstasks", abstasks)
-        monkeypatch.setitem(
-            sys.modules, "mteb.abstasks.AbsTaskRetrieval", abstask_mod
+        TaskMetadata = _install_fake_mteb(
+            monkeypatch, types.ModuleType("mteb")
         )
         from tristage_rag_tpu.eval.mteb_adapter import make_mteb_tasks
 
         cls = make_mteb_tasks(str(limit_dir))
+        assert isinstance(cls.metadata, TaskMetadata)
+        assert cls.metadata.name == "LIMITSmallRetrieval"
+        assert cls.metadata.main_score == "ndcg_at_10"
+        assert cls.metadata.eval_splits == ["test"]
         task = cls()
         task.load_data()
         assert task.data_loaded
         assert set(task.corpus["test"]) and set(task.queries["test"])
         qid = next(iter(task.relevant_docs["test"]))
         assert task.relevant_docs["test"][qid]
+
+    def test_full_variant_metadata(self, tmp_path, monkeypatch):
+        """The full-LIMIT variant gets its own task name (parity with
+        the reference's two task classes, limit_mteb_tasks.py)."""
+        import types
+
+        _install_fake_mteb(monkeypatch, types.ModuleType("mteb"))
+        from tristage_rag_tpu.eval.mteb_adapter import make_mteb_tasks
+
+        cls = make_mteb_tasks(str(tmp_path), variant="limit")
+        assert cls.metadata.name == "LIMITRetrieval"
+        assert cls._variant == "limit"
 
 
 def _raise_on_mteb(orig_import):
@@ -483,20 +546,7 @@ class TestRunMteb:
 
         fake = types.ModuleType("mteb")
         fake.MTEB = FakeMTEB
-        abst = types.ModuleType("mteb.abstasks")
-        atr = types.ModuleType("mteb.abstasks.AbsTaskRetrieval")
-
-        class AbsTaskRetrieval:
-            def __init__(self, **kw):
-                pass
-
-        atr.AbsTaskRetrieval = AbsTaskRetrieval
-        fake.abstasks = abst
-        monkeypatch.setitem(sys.modules, "mteb", fake)
-        monkeypatch.setitem(sys.modules, "mteb.abstasks", abst)
-        monkeypatch.setitem(
-            sys.modules, "mteb.abstasks.AbsTaskRetrieval", atr
-        )
+        _install_fake_mteb(monkeypatch, fake)
 
         from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
         from tristage_rag_tpu.eval.mteb_adapter import run_mteb

@@ -302,8 +302,7 @@ def run_mteb(
     (benchmark/run_mteb_evaluation.py:337-386)."""
     import mteb
 
-    task_cls = make_mteb_tasks(data_dir)
-    task_cls._variant = variant
+    task_cls = make_mteb_tasks(data_dir, variant)
     model = TriStageMTEBModel(pipeline, top_k=top_k)
     register_model(model)
     evaluation = mteb.MTEB(tasks=[task_cls()])
@@ -337,16 +336,72 @@ def run_mteb(
     return results, main_scores
 
 
-def make_mteb_tasks(data_dir: str):
-    """LIMIT tasks as MTEB AbsTaskRetrieval subclasses (requires mteb)."""
-    import mteb
+def _build_limit_metadata(variant: str):
+    """A populated ``TaskMetadata`` for a LIMIT variant, mirroring the
+    reference's task definitions (benchmark/limit_mteb_tasks.py:27-54) —
+    mteb v2's ``AbsTaskRetrieval`` requires one at construction, so a
+    class without it cannot even instantiate under the real package."""
+    from mteb.abstasks.TaskMetadata import TaskMetadata
+
+    small = variant == "limit-small"
+    fields = dict(
+        name="LIMITSmallRetrieval" if small else "LIMITRetrieval",
+        description=(
+            "LIMIT Small Retrieval task - smaller version for faster "
+            "evaluation" if small else "LIMIT Retrieval task - full "
+            "version of the LIMIT dataset"
+        ),
+        reference="https://github.com/google-deepmind/limit",
+        dataset={
+            "path": "limit",
+            "revision": "main",
+            "trust_remote_code": True,
+        },
+        type="Retrieval",
+        category="s2p",
+        eval_splits=["test"],
+        eval_langs=["eng-Latn"],
+        main_score="ndcg_at_10",
+        domains=["Web", "Written"],
+        task_subtypes=["Article retrieval"],
+        license="apache-2.0",
+        annotations_creators="human-annotated",
+        dialect=[],
+        sample_creation="found",
+        bibtex_citation="",
+    )
+    try:
+        return TaskMetadata(**fields)
+    except Exception:
+        # mteb versions differ in which fields exist (the reference
+        # pins an older mteb; v2 dropped/renamed several). Retry with
+        # only the fields this version declares, keeping the required
+        # core (name/type/eval_splits/main_score) intact.
+        allowed = getattr(TaskMetadata, "model_fields", None) or getattr(
+            TaskMetadata, "__fields__", None
+        )
+        if not allowed:
+            raise
+        return TaskMetadata(
+            **{k: v for k, v in fields.items() if k in allowed}
+        )
+
+
+def make_mteb_tasks(data_dir: str, variant: str = "limit-small"):
+    """LIMIT tasks as MTEB AbsTaskRetrieval subclasses (requires mteb).
+
+    The returned class carries a fully-populated ``TaskMetadata`` built
+    for ``variant`` — parity with benchmark/limit_mteb_tasks.py:24-54
+    (small) and its full-variant twin."""
     from mteb.abstasks.AbsTaskRetrieval import AbsTaskRetrieval
 
     from tristage_rag_tpu.eval.limit import load_limit
 
+    task_metadata = _build_limit_metadata(variant)
+
     class _LIMITBase(AbsTaskRetrieval):
-        _variant = "limit-small"
-        metadata = None  # set below
+        _variant = variant
+        metadata = task_metadata
 
         def load_data(self, **kwargs):
             task = load_limit(data_dir, self._variant)
