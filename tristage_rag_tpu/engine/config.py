@@ -27,6 +27,14 @@ class PipelineConfig:
     stage1_enable_bm25: bool = True
     stage1_bm25_top_k: int = 300
     stage1_fusion_method: str = "rrf"  # "rrf" | "weighted"
+    # ST prompt application (PARITY.md "Deliberate divergences"):
+    # "auto" prepends the checkpoint's query/document prompts (the
+    # model-card-recommended encode_query/encode_document behavior);
+    # "st-default" mimics the reference's plain model.encode(texts) —
+    # only a configured default_prompt_name prompt, usually none
+    # (src/stage1_retriever.py:237-254 never passes prompt_name);
+    # "none" disables prompts entirely.
+    stage1_prompt_mode: str = "auto"  # "auto" | "st-default" | "none"
     stage1_rrf_k: int = 60
     stage1_dense_weight: float = 0.7
     stage1_bm25_weight: float = 0.3
@@ -58,6 +66,10 @@ class PipelineConfig:
     stage3_batch_size: int = 32
     stage3_max_length: int = 256
     stage3_activation: str = "sigmoid"  # "sigmoid" | "softmax"
+    # Weight-only per-channel int8 for the cross-encoder (halves its
+    # weight HBM; dequant runs in-jit). Quality/latency measured in
+    # scripts/bench_funnel_width.py --int8-stage3.
+    stage3_weights_int8: bool = False
     stage3_normalize_scores: bool = True
     # Fused-path pair layout: queries are capped at this many tokens
     # (incl. [CLS]/[SEP]) and docs at stage3_max_length - reserve, so
@@ -84,6 +96,12 @@ class PipelineConfig:
     # stage2_cache_doc_embeddings on a single device); the pipeline
     # falls back to the staged path otherwise.
     enable_fused_search: bool = True
+    # Serving result cache: repeated (query, top_k) hits skip the whole
+    # funnel (the fused path's query encode lives inside its single XLA
+    # dispatch, so only result-level caching can help serving).
+    # Invalidated on any index mutation.
+    enable_result_cache: bool = False
+    result_cache_size: int = 1024
 
     # ---- YAML ------------------------------------------------------------
 
@@ -96,6 +114,7 @@ class PipelineConfig:
             ("enable_bm25", "stage1_enable_bm25"),
             ("bm25_top_k", "stage1_bm25_top_k"),
             ("fusion_method", "stage1_fusion_method"),
+            ("prompt_mode", "stage1_prompt_mode"),
             ("rrf_k", "stage1_rrf_k"),
             ("dense_weight", "stage1_dense_weight"),
             ("bm25_weight", "stage1_bm25_weight"),
@@ -119,6 +138,7 @@ class PipelineConfig:
             ("activation", "stage3_activation"),
             ("normalize_scores", "stage3_normalize_scores"),
             ("query_reserve", "stage3_query_reserve"),
+            ("weights_int8", "stage3_weights_int8"),
         ],
         "general": [
             ("model_dir", "model_dir"),
@@ -132,6 +152,8 @@ class PipelineConfig:
             ("mesh_data_parallel", "mesh_data_parallel"),
             ("seed", "seed"),
             ("enable_fused_search", "enable_fused_search"),
+            ("enable_result_cache", "enable_result_cache"),
+            ("result_cache_size", "result_cache_size"),
         ],
     }
 

@@ -79,21 +79,42 @@ _DEFAULT_PROMPTS = {
 }
 
 
-def _load_prompts(ckpt, model_name: str) -> dict:
+def _load_prompts(ckpt, model_name: str, mode: str = "auto") -> dict:
+    """Resolve the query/document prompt strings the runtime prepends.
+
+    ``mode`` (PipelineConfig.stage1_prompt_mode):
+    * "auto"       — the checkpoint's named query/document prompts
+      (what ST's encode_query/encode_document apply; the quality-correct
+      behavior for prompt-trained models like embeddinggemma).
+    * "st-default" — exactly what plain ``model.encode(texts)`` does in
+      sentence-transformers (and hence the reference,
+      src/stage1_retriever.py:237-254): only a configured
+      ``default_prompt_name`` prompt applies, to BOTH kinds.
+    * "none"       — no prompts.
+    """
     import json
 
+    if mode == "none":
+        return {"query": "", "document": ""}
+    prompts: dict = {}
+    default_name = None
     if ckpt is not None:
         st_cfg = Path(ckpt) / "config_sentence_transformers.json"
         if st_cfg.exists():
             try:
-                prompts = json.loads(st_cfg.read_text()).get("prompts", {})
-                if prompts:
-                    return {
-                        "query": prompts.get("query", ""),
-                        "document": prompts.get("document", ""),
-                    }
+                data = json.loads(st_cfg.read_text())
+                prompts = data.get("prompts") or {}
+                default_name = data.get("default_prompt_name")
             except Exception:
                 pass
+    if mode == "st-default":
+        p = prompts.get(default_name, "") if default_name else ""
+        return {"query": p, "document": p}
+    if prompts:
+        return {
+            "query": prompts.get("query", ""),
+            "document": prompts.get("document", ""),
+        }
     base = model_name.split("/")[-1].lower()
     return dict(_DEFAULT_PROMPTS.get(base, {"query": "", "document": ""}))
 
@@ -106,6 +127,7 @@ def build_runtime(
     mesh: Optional[Mesh] = None,
     seed: int = 0,
     head_overrides: Optional[dict] = None,
+    prompt_mode: str = "auto",
 ) -> tuple[EncoderRuntime, BaseTokenizer]:
     """Build an (EncoderRuntime, tokenizer) pair for one stage."""
     ckpt = checkpoint_dir(model_dir, model_name)
@@ -152,7 +174,7 @@ def build_runtime(
     # eval run on random init can never masquerade as a real score
     # (run_benchmark.py refuses without --allow-random-weights).
     runtime.weights_loaded = weights_loaded
-    runtime.prompts = _load_prompts(ckpt, model_name)
+    runtime.prompts = _load_prompts(ckpt, model_name, prompt_mode)
     tokenizer = load_tokenizer(str(ckpt) if ckpt else None)
     if tokenizer.vocab_size > enc_cfg.vocab_size:
         # Hash tokenizer must stay within the embedding table.

@@ -46,6 +46,7 @@ class Stage1Retriever:
             compute_dtype=config.compute_dtype,
             mesh=mesh,
             seed=config.seed,
+            prompt_mode=getattr(config, "stage1_prompt_mode", "auto"),
         )
         self.documents: list[str] = []
         self.doc_metadata: list[dict[str, Any]] = []
