@@ -15,7 +15,8 @@ Oracle alignment requirements on our side:
 * ``stage2_use_projection=False`` — the reference scores raw
   last-hidden-state MaxSim (src/stage2_rescorer.py:156-165),
 * ``compute_dtype=float32`` to match torch CPU,
-* short docs so stage-3 pair truncation never differs.
+* the main fixtures use short docs (identical truncation everywhere);
+  ``TestLongDocTruncationOracle`` covers the truncation-firing regime.
 """
 
 from __future__ import annotations
@@ -381,3 +382,108 @@ class TestFullPipelineOracle:
                 ref.search(q, 4)["results"], out["results"],
                 "stage3_score", 2e-2,
             )
+
+
+LONG_DOCS = [" ".join(d.split() * 18) for d in DOCS]
+
+
+class TestLongDocTruncationOracle:
+    """Stage-3 truncation parity where truncation actually FIRES
+    (VERDICT r2 next-5): ~150-token docs at stage3_max_length=64 force
+    longest-first pair truncation (src/stage3_reranker.py:139-160 /
+    the ST CrossEncoder tokenizer). The staged path claims
+    reference-faithful truncation and must match; the fused path's
+    static-cap divergence (PARITY.md "Deliberate divergences") is
+    measured, not asserted identical."""
+
+    @pytest.fixture(scope="class")
+    def pipelines(self, ref_modules, assets, my_config, tmp_path_factory):
+        ref = ref_modules.pipe.RetrievalPipeline(
+            config=ref_modules.pipe.PipelineConfig(
+                stage1_model="tiny-st-bi", stage2_model="tiny-colbert",
+                stage3_model="tiny-cross",
+                stage1_top_k=8, stage1_bm25_top_k=8, stage2_top_k=6,
+                stage3_top_k=4, stage1_use_fp16=False,
+                stage2_use_fp16=False, stage3_use_fp16=False,
+                stage2_max_seq_length=32, stage3_max_length=64,
+                device="cpu", cache_dir=str(assets),
+                index_dir=str(tmp_path_factory.mktemp("refidx_long")),
+            )
+        )
+        ref.add_documents(list(LONG_DOCS))
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        mine = RetrievalPipeline(my_config)  # staged path
+        mine.add_documents(list(LONG_DOCS))
+        return ref, mine
+
+    def test_truncation_fires(self, pipelines):
+        """Guard: the fixture really is in the truncation regime."""
+        _, mine = pipelines
+        tok3 = mine.stage3.tokenizer
+        d_len = len(tok3.tokenize_to_ids(LONG_DOCS[0]))
+        q_len = len(tok3.tokenize_to_ids(QUERIES[0]))
+        assert q_len + d_len + 3 > mine.config.stage3_max_length
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_staged_end_to_end_matches_reference(self, pipelines, query):
+        ref, mine = pipelines
+        _assert_result_parity(
+            ref.search(query, 4)["results"],
+            mine.search(query, 4)["results"],
+            "stage3_score", 2e-2,
+        )
+
+    def test_stage3_truncated_pair_scores_match(
+        self, ref_modules, assets, my_config, pipelines
+    ):
+        """Direct stage-3 oracle on truncated pairs (no upstream rank
+        noise): per-doc normalized scores within tolerance."""
+        cands = [
+            {"doc_id": i, "document": d, "score": 0.1, "stage1_score": 0.1,
+             "metadata": {}, "stage": "stage1"}
+            for i, d in enumerate(LONG_DOCS[:6])
+        ]
+        ref = ref_modules.s3.CrossEncoderReranker(ref_modules.s3.Stage3Config(
+            model_name="tiny-cross", device="cpu", cache_dir=str(assets),
+            use_fp16=False, max_length=64, top_k_final=4,
+            use_gpu_if_available=False,
+        ))
+        from tristage_rag_tpu.engine.stage3 import CrossEncoderReranker
+
+        mine = CrossEncoderReranker(my_config)
+        for q in QUERIES:
+            _assert_result_parity(
+                ref.rerank(q, [dict(c) for c in cands]),
+                mine.rerank(q, [dict(c) for c in cands]),
+                "stage3_score", 2e-2,
+            )
+
+    def test_fused_static_cap_divergence_bounded(self, my_config, pipelines):
+        """The fused path truncates docs to a static cap at indexing
+        (stage3_max_length - stage3_query_reserve) instead of
+        longest-first per pair — a DOCUMENTED divergence (PARITY.md).
+        Upstream stages are identical, so the stage-3 candidate pool
+        matches; only within-pool order may shift. Assert the funnel
+        stays sane and the result-set overlap is high."""
+        import dataclasses
+
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        _, staged = pipelines
+        fused = RetrievalPipeline(dataclasses.replace(
+            my_config, enable_fused_search=True,
+            stage2_cache_doc_embeddings=True,
+        ))
+        fused.add_documents(list(LONG_DOCS))
+        min_overlap = 4
+        for q in QUERIES:
+            fo = fused.search(q, 4)
+            assert fo["timing"].get("fused") is True
+            so = staged.search(q, 4)
+            ids_f = {r["doc_id"] for r in fo["results"]}
+            ids_s = {r["doc_id"] for r in so["results"]}
+            assert all(0 <= i < len(LONG_DOCS) for i in ids_f)
+            min_overlap = min(min_overlap, len(ids_f & ids_s))
+        # same stage-1/2 funnel => at least 3/4 of the final set agrees
+        assert min_overlap >= 3, min_overlap
