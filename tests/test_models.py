@@ -200,3 +200,51 @@ def test_pair_truncation_matches_transformers():
         mine = ours.encode_pairs([(q, d)], 256)
         my_ids = mine.input_ids[0][: int(mine.attn_mask[0].sum())].tolist()
         assert my_ids == hf_ids, (ql, dl)
+
+
+class TestPrefetched:
+    """Double-buffered input pipeline (models/runtime.py::prefetched,
+    VERDICT r2 next-6): tokenize-ahead thread feeding the device fill."""
+
+    def test_order_and_completeness(self):
+        from tristage_rag_tpu.models.runtime import prefetched
+
+        assert list(prefetched(iter(range(100)))) == list(range(100))
+        assert list(prefetched(iter([]))) == []
+
+    def test_producer_exception_propagates(self):
+        from tristage_rag_tpu.models.runtime import prefetched
+
+        def boom():
+            yield 1
+            raise ValueError("boom")
+
+        with pytest.raises(ValueError, match="boom"):
+            list(prefetched(boom()))
+
+    def test_early_close_does_not_leak_thread(self):
+        import threading
+        import time
+
+        from tristage_rag_tpu.models.runtime import prefetched
+
+        before = threading.active_count()
+        g = prefetched(iter(range(1000)), depth=2)
+        next(g)
+        g.close()
+        time.sleep(0.5)
+        assert threading.active_count() <= before
+
+    def test_encode_texts_unchanged_by_prefetch(self, tiny_config):
+        """Prefetching must not change results — batches arrive in
+        order with identical shapes."""
+        import numpy as np
+
+        from tristage_rag_tpu.engine.stage1 import Stage1Retriever
+
+        s1 = Stage1Retriever(tiny_config)
+        texts = [f"document number {i} about foxes" for i in range(11)]
+        e1 = s1.encode(texts)
+        e2 = s1.encode(texts)
+        assert e1.shape[0] == 11
+        np.testing.assert_array_equal(e1, e2)

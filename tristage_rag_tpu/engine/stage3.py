@@ -35,6 +35,9 @@ class CrossEncoderReranker:
             seed=config.seed + 2,
             head_overrides={"activation": config.stage3_activation},
         )
+        if getattr(config, "stage3_weights_int8", False):
+            n = self.runtime.quantize_weights_int8()
+            logger.info("stage3 weights quantized to int8 (%d kernels)", n)
 
     def predict(self, query: str, documents: Sequence[str]) -> list[float]:
         """Relevance scores for (query, doc) pairs, optionally min-max
