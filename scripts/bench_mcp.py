@@ -69,8 +69,9 @@ async def _bench(args) -> dict:
     from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
     from tristage_rag_tpu.serve.mcp_server import RetrievalMCPServer
 
+    cache_kw = dict(enable_result_cache=bool(args.result_cache))
     if args.full:
-        cfg = PipelineConfig(stage2_cache_doc_embeddings=True)
+        cfg = PipelineConfig(stage2_cache_doc_embeddings=True, **cache_kw)
     else:
         cfg = PipelineConfig(
             stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
@@ -78,6 +79,7 @@ async def _bench(args) -> dict:
             stage3_top_k=5, stage1_max_text_length=64,
             stage2_max_seq_length=32, stage3_max_length=64,
             mesh_data_parallel=1, stage2_cache_doc_embeddings=True,
+            **cache_kw,
         )
     pipeline = RetrievalPipeline(cfg)
     pipeline.add_documents(_seed_docs(args.docs))
@@ -94,11 +96,28 @@ async def _bench(args) -> dict:
             "params": {"name": name, "arguments": arguments},
         }) + "\n").encode())
 
-    queries = [
+    base_queries = [
         "dense embedding search", "token level late interaction",
         "rank fusion of lists", "bfloat16 matrix tiles",
         "inverted index lexical scoring", "rerank pairs with cross encoder",
     ]
+    if args.zipf > 0:
+        # Skewed serving workload (VERDICT r2 next-7): a pool of
+        # distinct queries drawn Zipf(s) — the regime where the result
+        # cache pays. rank-k probability ∝ 1/k^s.
+        import numpy as np
+
+        pool = [
+            f"{base_queries[i % len(base_queries)]} variant {i}"
+            for i in range(args.query_pool)
+        ]
+        w = 1.0 / np.arange(1, len(pool) + 1, dtype=np.float64) ** args.zipf
+        w /= w.sum()
+        rng = np.random.default_rng(0)
+        draw = rng.choice(len(pool), size=8192, p=w)
+        queries = [pool[i] for i in draw]
+    else:
+        queries = base_queries
 
     sent: dict[int, tuple[str, float]] = {}
     search_lat: list[float] = []
@@ -204,6 +223,9 @@ async def _bench(args) -> dict:
         "p95_ms": round(pct(search_lat, 0.95) * 1e3, 1),
         "add_p50_ms": round(pct(add_lat, 0.5) * 1e3, 1),
         "final_doc_count": pipeline.get_document_count(),
+        "zipf": args.zipf,
+        "result_cache": bool(args.result_cache),
+        "cache_stats": dict(pipeline.result_cache_stats),
     }
 
 
@@ -216,6 +238,12 @@ def main():
     ap.add_argument("--queries", type=int, default=120)
     ap.add_argument("--add-every", type=int, default=20,
                     help="issue one add_documents per N completed searches")
+    ap.add_argument("--zipf", type=float, default=0.0,
+                    help="draw queries Zipf(s) from --query-pool distinct "
+                         "queries (0 = round-robin over 6)")
+    ap.add_argument("--query-pool", type=int, default=64)
+    ap.add_argument("--result-cache", action="store_true",
+                    help="enable the pipeline result cache")
     args = ap.parse_args()
     print(json.dumps(asyncio.run(_bench(args))), flush=True)
 

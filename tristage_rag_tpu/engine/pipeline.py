@@ -59,6 +59,17 @@ class RetrievalPipeline:
             "search_history": [],
         }
         self.stage_timer = StageTimer()
+        # Serving result cache (enable_result_cache): the fused path
+        # encodes the query INSIDE its single XLA dispatch, so an
+        # embedding-level cache cannot skip any device work there
+        # (splitting the program would ADD a host round-trip) — the
+        # serving win for repeated queries is caching the RESULT.
+        # Invalidated on any index mutation. Measured under a Zipf
+        # query mix in scripts/bench_mcp.py --zipf.
+        from collections import OrderedDict
+
+        self._result_cache: "OrderedDict[tuple, dict]" = OrderedDict()
+        self.result_cache_stats = {"hits": 0, "misses": 0}
         if not lazy_init:
             self.initialize_stages()
 
@@ -103,6 +114,7 @@ class RetrievalPipeline:
     ) -> dict[str, Any]:
         if self.stage1 is None:
             self.initialize_stages()
+        self._invalidate_result_cache()
         t0 = time.time()
         start_id = len(self.stage1.documents)
         n = self.stage1.add_documents(documents, metadata)
@@ -123,6 +135,41 @@ class RetrievalPipeline:
             "indexing_time": time.time() - t0,
         }
 
+    # ---- result cache ----------------------------------------------------
+
+    def _cache_get(self, query: str, top_k: int) -> Optional[dict[str, Any]]:
+        if not self.config.enable_result_cache:
+            return None
+        import copy
+
+        hit = self._result_cache.get((query, top_k))
+        if hit is None:
+            self.result_cache_stats["misses"] += 1
+            return None
+        self._result_cache.move_to_end((query, top_k))
+        self.result_cache_stats["hits"] += 1
+        out = copy.deepcopy(hit)
+        out["timing"] = dict(out.get("timing") or {})
+        out["timing"]["cached"] = True
+        out["performance_stats"] = dict(self.performance_stats)
+        return out
+
+    def _cache_put(self, query: str, top_k: int, resp: dict[str, Any]) -> None:
+        if not self.config.enable_result_cache or not resp.get("results"):
+            return
+        import copy
+
+        entry = copy.deepcopy(
+            {k: v for k, v in resp.items() if k != "performance_stats"}
+        )
+        self._result_cache[(query, top_k)] = entry
+        while len(self._result_cache) > self.config.result_cache_size:
+            self._result_cache.popitem(last=False)
+
+    def _invalidate_result_cache(self) -> None:
+        if self._result_cache:
+            self._result_cache.clear()
+
     # ---- search ----------------------------------------------------------
 
     def _empty_response(self, query: str, timing: dict) -> dict[str, Any]:
@@ -139,6 +186,9 @@ class RetrievalPipeline:
         if self.stage1 is None or self.stage2 is None or self.stage3 is None:
             self.initialize_stages()
         top_k = top_k or self.config.stage3_top_k
+        cached = self._cache_get(query, top_k)
+        if cached is not None:
+            return cached
         if self._fused is not None and self._fused.ready():
             try:
                 out = self._fused.search(query, top_k)
@@ -146,6 +196,7 @@ class RetrievalPipeline:
                 if self.config.enable_timing:
                     self._update_performance_stats(query, out["timing"])
                 out["performance_stats"] = dict(self.performance_stats)
+                self._cache_put(query, top_k, out)
                 return out
             except Exception:
                 logger.exception(
@@ -188,7 +239,7 @@ class RetrievalPipeline:
             self._update_performance_stats(query, timing)
 
         keep = self.config.save_intermediate_results
-        return {
+        resp = {
             "query": query,
             "results": final_results,
             "stage1_results": stage1_results if keep else [],
@@ -196,6 +247,8 @@ class RetrievalPipeline:
             "timing": timing,
             "performance_stats": dict(self.performance_stats),
         }
+        self._cache_put(query, top_k, resp)
+        return resp
 
     def batch_search(
         self, queries: Sequence[str], top_k: Optional[int] = None
@@ -209,6 +262,31 @@ class RetrievalPipeline:
         if not queries:
             return []
         top_k = top_k or self.config.stage3_top_k
+        if self.config.enable_result_cache:
+            import copy
+
+            resolved: list = [self._cache_get(q, top_k) for q in queries]
+            miss_idx = [i for i, r in enumerate(resolved) if r is None]
+            if not miss_idx:
+                return resolved
+            # dedupe repeated misses within the batch: each distinct
+            # query runs once through the funnel
+            uniq: dict[str, list[int]] = {}
+            for i in miss_idx:
+                uniq.setdefault(queries[i], []).append(i)
+            miss_out = self._batch_search_uncached(list(uniq), top_k)
+            for q, resp in zip(uniq, miss_out):
+                self._cache_put(q, top_k, resp)
+                idxs = uniq[q]
+                resolved[idxs[0]] = resp
+                for j in idxs[1:]:
+                    resolved[j] = copy.deepcopy(resp)
+            return resolved
+        return self._batch_search_uncached(list(queries), top_k)
+
+    def _batch_search_uncached(
+        self, queries: Sequence[str], top_k: int
+    ) -> list[dict[str, Any]]:
         if self._fused is not None and self._fused.ready():
             try:
                 out = self._fused.search_batch(queries, top_k)
@@ -308,6 +386,8 @@ class RetrievalPipeline:
         if self.stage1 is None:
             self.initialize_stages()
         ok = self.stage1.load_index(index_dir)
+        if ok:
+            self._invalidate_result_cache()
         if ok and self.stage1.documents:
             # Repopulate the device caches the fused path depends on
             # (embeddings aren't persisted; the doc store is the source
@@ -328,6 +408,7 @@ class RetrievalPipeline:
         """Tombstone documents by id (stage-1 dense + BM25 exclusion)."""
         if self.stage1 is None:
             self.initialize_stages()
+        self._invalidate_result_cache()
         n = self.stage1.delete_documents(doc_ids)
         return {
             "documents_deleted": n,
@@ -337,6 +418,7 @@ class RetrievalPipeline:
         }
 
     def clear_index(self) -> None:
+        self._invalidate_result_cache()
         if self.stage1 is not None:
             self.stage1.clear()
         if self.stage2 is not None:
