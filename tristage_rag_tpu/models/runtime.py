@@ -87,9 +87,17 @@ def prefetched(gen, depth: int = 2):
     On the indexing fill, host tokenization of batch i+1 overlaps batch
     i's (GIL-releasing) device uploads/dispatch: the consumer blocks in
     tunnel I/O while the producer tokenizes ahead. Exceptions in the
-    producer re-raise at the consumer's next pull."""
+    producer re-raise at the consumer's next pull.
+
+    ``TRISTAGE_PREFETCH=0`` disables the thread (serial fallback) for
+    A/B measurement and as an operational kill-switch."""
+    import os
     import queue
     import threading
+
+    if os.environ.get("TRISTAGE_PREFETCH", "1") in ("0", "off"):
+        yield from gen
+        return
 
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
     END = object()
