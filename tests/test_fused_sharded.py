@@ -214,6 +214,9 @@ class TestShardedFusedVariants:
         {"stage2_top_k": 6},          # k2 not divisible by 8 devices
         {"stage1_enable_bm25": False},
         {"stage2_scoring_method": "colbert"},
+        # weight-only int8 cross-encoder: the DequantModule adapter must
+        # survive shard_map with replicated quantized params
+        {"stage3_weights_int8": True},
     ])
     def test_parity_with_staged_mesh(self, overrides):
         kw = dict(KW)
