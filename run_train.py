@@ -25,6 +25,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", required=True, help="JSONL/TSV of query/positive pairs")
     ap.add_argument("--model", default="tiny-gemma", help="registry config or checkpoint name")
+    ap.add_argument("--arch", choices=("bi", "colbert"), default="bi",
+                    help="bi = stage-1 bi-encoder InfoNCE; colbert = "
+                         "stage-2 late-interaction (MaxSim) InfoNCE")
     ap.add_argument("--model-dir", default="./models")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--batch-size", type=int, default=32)
@@ -50,7 +53,9 @@ def main() -> int:
 
     from tristage_rag_tpu.engine.factory import build_runtime
     from tristage_rag_tpu.train.checkpoint import TrainCheckpointer
-    from tristage_rag_tpu.train.contrastive import TrainConfig, Trainer
+    from tristage_rag_tpu.train.contrastive import (
+        ColBERTTrainer, TrainConfig, Trainer,
+    )
     from tristage_rag_tpu.train.data import PairDataLoader, load_pairs
 
     pairs = load_pairs(args.pairs)
@@ -71,7 +76,7 @@ def main() -> int:
         print(f"mesh: dp={dp} tp={args.tp}")
 
     runtime, tokenizer = build_runtime(
-        "bi", args.model, args.model_dir, compute_dtype="bfloat16"
+        args.arch, args.model, args.model_dir, compute_dtype="bfloat16"
         if devices[0].platform != "cpu" else "float32",
         seed=args.seed,
     )
@@ -80,7 +85,8 @@ def main() -> int:
         query_max_len=args.query_max_len, doc_max_len=args.doc_max_len,
         seed=args.seed,
     )
-    trainer = Trainer(
+    trainer_cls = ColBERTTrainer if args.arch == "colbert" else Trainer
+    trainer = trainer_cls(
         runtime.module,
         TrainConfig(
             learning_rate=args.lr, temperature=args.temperature,

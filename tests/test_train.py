@@ -76,3 +76,101 @@ def test_sharded_training_matches_single_device():
     np.testing.assert_allclose(
         float(m_single["loss"]), float(m_mesh["loss"]), rtol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# ColBERT (late-interaction) training — train/contrastive.py::ColBERTTrainer
+# ---------------------------------------------------------------------------
+
+
+def test_late_interaction_scores_match_serving_scorer():
+    """The training score matrix's row for one query must equal the
+    serving scorer (ops/maxsim.py, method='maxsim') on the same
+    query/candidates — training optimizes the metric serving uses."""
+    from tristage_rag_tpu.ops.maxsim import maxsim_scores
+    from tristage_rag_tpu.train.contrastive import late_interaction_scores
+
+    rng = np.random.default_rng(3)
+    B, C, Lq, Ld, D = 3, 5, 6, 9, 16
+    q = rng.standard_normal((B, Lq, D)).astype(np.float32)
+    d = rng.standard_normal((C, Ld, D)).astype(np.float32)
+    qm = np.ones((B, Lq), np.int32)
+    qm[1, 4:] = 0
+    dm = np.ones((C, Ld), np.int32)
+    dm[2, 5:] = 0
+    dm[4, :] = 0  # fully-padded doc
+    got = np.asarray(late_interaction_scores(
+        jnp.asarray(q), jnp.asarray(qm), jnp.asarray(d), jnp.asarray(dm)
+    ))
+    for b in range(B):
+        ref = np.asarray(maxsim_scores(
+            jnp.asarray(q[b]), jnp.asarray(qm[b]),
+            jnp.asarray(d), jnp.asarray(dm), method="maxsim",
+        ))
+        np.testing.assert_allclose(got[b], ref, rtol=1e-5, atol=1e-6)
+
+
+def test_colbert_loss_perfect_alignment():
+    from tristage_rag_tpu.train.contrastive import colbert_info_nce_loss
+
+    # orthogonal single-token docs: query i matches doc i exactly
+    e = np.eye(4, 8, dtype=np.float32)[:, None, :]  # [4, 1, 8]
+    m = np.ones((4, 1), np.int32)
+    loss, acc = colbert_info_nce_loss(
+        jnp.asarray(e), jnp.asarray(m), jnp.asarray(e), jnp.asarray(m),
+        temperature=0.05,
+    )
+    assert float(acc) == 1.0
+    assert float(loss) < 1e-3
+
+
+def test_colbert_training_reduces_loss():
+    from tristage_rag_tpu.models.config import ColBERTConfig
+    from tristage_rag_tpu.models.heads import ColBERTEncoder
+    from tristage_rag_tpu.train.contrastive import ColBERTTrainer
+
+    cfg = encoder_config("tiny-modernbert").replace(
+        dtype="float32", num_layers=1
+    )
+    module = ColBERTEncoder(cfg, ColBERTConfig(output_dim=16))
+    trainer = ColBERTTrainer(
+        module, TrainConfig(learning_rate=1e-3, warmup_steps=2, total_steps=30)
+    )
+    rng = np.random.default_rng(4)
+    q, qm, d, dm = _toy_batch(rng, vocab=cfg.vocab_size)
+    state = trainer.init_state(jax.random.PRNGKey(0), q, qm)
+    losses = []
+    for _ in range(12):
+        state, m = trainer.train_step(state, q, qm, d, dm)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state["step"]) == 12
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_colbert_sharded_training_matches_single_device():
+    from jax.sharding import Mesh
+
+    from tristage_rag_tpu.models.config import ColBERTConfig
+    from tristage_rag_tpu.models.heads import ColBERTEncoder
+    from tristage_rag_tpu.train.contrastive import ColBERTTrainer
+
+    cfg = encoder_config("tiny-modernbert").replace(
+        dtype="float32", num_layers=1
+    )
+    module = ColBERTEncoder(cfg, ColBERTConfig(output_dim=16))
+    rng = np.random.default_rng(5)
+    q, qm, d, dm = _toy_batch(rng, b=8, vocab=cfg.vocab_size)
+
+    t_single = ColBERTTrainer(module, TrainConfig())
+    s0 = t_single.init_state(jax.random.PRNGKey(0), q, qm)
+    _, m_single = t_single.train_step(s0, q, qm, d, dm)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("dp", "tp"))
+    t_mesh = ColBERTTrainer(module, TrainConfig(), mesh=mesh)
+    s1 = t_mesh.init_state(jax.random.PRNGKey(0), q, qm)
+    _, m_mesh = t_mesh.train_step(s1, q, qm, d, dm)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_mesh["loss"]), rtol=1e-4
+    )

@@ -51,6 +51,54 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     )
 
 
+def late_interaction_scores(
+    q_emb: jax.Array, q_mask: jax.Array,
+    d_emb: jax.Array, d_mask: jax.Array,
+) -> jax.Array:
+    """[B, C] late-interaction score matrix for training.
+
+    The batched all-pairs form of ops/maxsim.py::maxsim_scores
+    (mean over valid query tokens of max over valid doc tokens of
+    cosine similarity) — every query scores every in-batch document,
+    which under dp becomes the cross-shard negative coupling XLA turns
+    into ICI collectives."""
+    def _norm(x):
+        n = jnp.sqrt(jnp.sum(
+            jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True
+        ))
+        return (x.astype(jnp.float32) / jnp.maximum(n, 1e-12)).astype(x.dtype)
+
+    q_emb, d_emb = _norm(q_emb), _norm(d_emb)
+    sim = jnp.einsum(
+        "bqd,cld->bcql", q_emb, d_emb, preferred_element_type=jnp.float32
+    )
+    d_valid = d_mask.astype(bool)[None, :, None, :]  # [1, C, 1, Ld]
+    sim = jnp.where(d_valid, sim, jnp.float32(-1e30))
+    per_q = jnp.max(sim, axis=-1)  # [B, C, Lq]
+    has_doc = jnp.any(d_mask.astype(bool), axis=-1)  # [C]
+    q_valid = q_mask.astype(bool)[:, None, :]  # [B, 1, Lq]
+    per_q = jnp.where(q_valid & has_doc[None, :, None], per_q, 0.0)
+    nq = jnp.maximum(jnp.sum(q_mask.astype(jnp.float32), axis=-1), 1.0)
+    return jnp.sum(per_q, axis=-1) / nq[:, None]
+
+
+def colbert_info_nce_loss(
+    q_emb: jax.Array, q_mask: jax.Array,
+    d_emb: jax.Array, d_mask: jax.Array,
+    temperature: float,
+):
+    """In-batch-negative InfoNCE over MaxSim scores (PyLate's training
+    objective for models like GTE-ModernColBERT). One-directional —
+    MaxSim is asymmetric, so only query->doc cross-entropy applies."""
+    logits = late_interaction_scores(q_emb, q_mask, d_emb, d_mask) / temperature
+    labels = jnp.arange(logits.shape[0])
+    loss = optax.softmax_cross_entropy_with_integer_labels(
+        logits, labels
+    ).mean()
+    acc = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
+    return loss, acc
+
+
 def info_nce_loss(q_emb: jax.Array, d_emb: jax.Array, temperature: float):
     """Symmetric in-batch-negative InfoNCE.
 
@@ -197,3 +245,20 @@ class Trainer:
                 jax.device_put(x, sh) for x in (q_ids, q_mask, d_ids, d_mask)
             )
         return self.step_fn()(state, q_ids, q_mask, d_ids, d_mask)
+
+
+@dataclasses.dataclass
+class ColBERTTrainer(Trainer):
+    """Late-interaction contrastive trainer for a ColBERTEncoder: the
+    module returns [B, L, D] token embeddings and the loss is MaxSim
+    InfoNCE (late_interaction_scores). Extends the stage-1 training
+    path to the stage-2 model family — the stack PyLate trains for the
+    reference's GTE-ModernColBERT (src/stage2_rescorer.py defaults).
+    Shares the dp/tp sharding rules, optimizer, and checkpointing."""
+
+    def _loss_fn(self, params, q_ids, q_mask, d_ids, d_mask):
+        q_emb = self.module.apply({"params": params}, q_ids, q_mask)
+        d_emb = self.module.apply({"params": params}, d_ids, d_mask)
+        return colbert_info_nce_loss(
+            q_emb, q_mask, d_emb, d_mask, self.cfg.temperature
+        )
