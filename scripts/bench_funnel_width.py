@@ -41,6 +41,13 @@ def main() -> None:
                          "each width")
     args = ap.parse_args()
 
+    if args.tiny:
+        # CPU dev smoke: the axon sitecustomize forces the TPU platform
+        # at import, so flip it back post-import.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from tristage_rag_tpu.engine.config import PipelineConfig
     from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
     from tristage_rag_tpu.eval.harness import run_evaluation

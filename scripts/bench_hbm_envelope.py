@@ -100,7 +100,7 @@ def main() -> None:
     print(f"# warmup 64 docs (compiles): {time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()
-    n_done = 64
+    n_done = 0  # measured-fill docs only (warmup is outside the clock)
     for lo in range(0, args.docs, args.chunk):
         chunk = make_docs(min(args.chunk, args.docs - lo), seed=100 + lo)
         p.add_documents(chunk)

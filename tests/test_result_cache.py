@@ -98,6 +98,41 @@ class TestResultCache:
             p.search(f"query number {i} fox", top_k=3)
         assert len(p._result_cache) <= 8
 
+    def test_warmup_bypasses_cache(self, cache_pipeline):
+        """warmup()'s throwaway queries must neither seed the cache
+        (the measured window would serve them as hits) nor collapse
+        through the dedup path (the batch-shape compiles are warmup's
+        whole purpose) — code-review r3 finding."""
+        p = cache_pipeline
+        assert p.warmup()
+        assert not p._result_cache
+        assert p.result_cache_stats == {"hits": 0, "misses": 0}
+        # the first real repeat of the warmup query is a miss then hit
+        q = p.stage1.documents[0][:64]
+        p.search(q, top_k=1)
+        out = p.search(q, top_k=1)
+        assert out["timing"].get("cached") is True
+
+    def test_hit_returns_empty_intermediates(self, tiny_config):
+        """Cached entries drop stage1/stage2 intermediates (up to
+        stage1_top_k full documents per entry — a multi-GB host cache
+        under save_intermediate_results)."""
+        import dataclasses
+
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        cfg = dataclasses.replace(
+            tiny_config, enable_result_cache=True,
+            save_intermediate_results=True,
+        )
+        p = RetrievalPipeline(cfg)
+        p.add_documents([f"fox doc {i}" for i in range(6)])
+        a = p.search("fox", top_k=3)
+        assert a["stage1_results"]  # miss carries intermediates
+        b = p.search("fox", top_k=3)
+        assert b["timing"].get("cached") is True
+        assert b["stage1_results"] == [] and b["stage2_results"] == []
+
     def test_disabled_by_default(self, tiny_config):
         from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
 

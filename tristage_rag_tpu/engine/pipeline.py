@@ -70,6 +70,11 @@ class RetrievalPipeline:
 
         self._result_cache: "OrderedDict[tuple, dict]" = OrderedDict()
         self.result_cache_stats = {"hits": 0, "misses": 0}
+        # warmup() and bench warmups set this so their throwaway
+        # queries neither collapse the batch shapes they exist to
+        # compile nor seed the cache with entries that would turn the
+        # measured window into cache hits
+        self._cache_bypass = False
         if not lazy_init:
             self.initialize_stages()
 
@@ -138,7 +143,7 @@ class RetrievalPipeline:
     # ---- result cache ----------------------------------------------------
 
     def _cache_get(self, query: str, top_k: int) -> Optional[dict[str, Any]]:
-        if not self.config.enable_result_cache:
+        if not self.config.enable_result_cache or self._cache_bypass:
             return None
         import copy
 
@@ -155,13 +160,22 @@ class RetrievalPipeline:
         return out
 
     def _cache_put(self, query: str, top_k: int, resp: dict[str, Any]) -> None:
-        if not self.config.enable_result_cache or not resp.get("results"):
+        if (
+            not self.config.enable_result_cache
+            or self._cache_bypass
+            or not resp.get("results")
+        ):
             return
         import copy
 
-        entry = copy.deepcopy(
-            {k: v for k, v in resp.items() if k != "performance_stats"}
-        )
+        # Intermediates are debug data and can hold stage1_top_k full
+        # documents per entry — storing them would blow the host cache
+        # up to GBs under save_intermediate_results; hits return them
+        # empty.
+        entry = copy.deepcopy({
+            k: ([] if k in ("stage1_results", "stage2_results") else v)
+            for k, v in resp.items() if k != "performance_stats"
+        })
         self._result_cache[(query, top_k)] = entry
         while len(self._result_cache) > self.config.result_cache_size:
             self._result_cache.popitem(last=False)
@@ -491,6 +505,7 @@ class RetrievalPipeline:
             return False
         timing_was = self.config.enable_timing
         self.config.enable_timing = False  # keep stats clean
+        self._cache_bypass = True  # preserve batch shapes; don't seed
         try:
             q = self.stage1.documents[0][:64] or "warmup"
             self.search(q, top_k=1)
@@ -498,6 +513,7 @@ class RetrievalPipeline:
             self.batch_search([q, q], top_k=1)
         finally:
             self.config.enable_timing = timing_was
+            self._cache_bypass = False
         return True
 
     def get_document_count(self) -> int:

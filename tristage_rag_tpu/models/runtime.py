@@ -42,21 +42,33 @@ BATCH_BUCKETS = (1, 8, 32, 64, 128, 256, 512)
 
 
 def _quantize_kernel(w: np.ndarray) -> dict:
-    """Per-output-channel symmetric int8 for a [in, out] kernel."""
-    a = np.asarray(w, np.float32)
-    s = np.max(np.abs(a), axis=0, keepdims=True) / 127.0
-    s = np.maximum(s, 1e-12)
-    q = np.clip(np.rint(a / s), -127, 127).astype(np.int8)
-    return {"q8": q, "scale": s.astype(np.float32)}
+    """Per-output-channel symmetric int8 for a [in, out] kernel.
+
+    Delegates to index/token_cache.py::symmetric_int8 — the ONE
+    definition of the int8 numeric contract (shared with the dense
+    index and the stage-2 token cache) — applied over columns via the
+    transpose."""
+    from tristage_rag_tpu.index.token_cache import symmetric_int8
+
+    q, s = symmetric_int8(jnp.asarray(w, jnp.float32).T)
+    return {
+        "q8": np.ascontiguousarray(np.asarray(q).T),
+        "scale": np.asarray(s, np.float32)[None, :],
+    }
 
 
 def _dequant_tree(p, dtype):
     """Rebuild a dense param tree; {"q8","scale"} leaves dequantize to
     ``dtype`` (the convert+scale stays inside the jit — XLA reads int8
-    from HBM and materializes the dense kernel as a temporary)."""
+    from HBM and materializes the dense kernel as a temporary). The
+    multiply runs in f32 so a bf16 compute dtype does not round the
+    per-channel scale (8 mantissa bits would add ~0.4%/channel error
+    on top of the int8 contract)."""
     if isinstance(p, dict) or hasattr(p, "items"):
         if "q8" in p and "scale" in p and len(p) == 2:
-            return p["q8"].astype(dtype) * p["scale"].astype(dtype)
+            return (
+                p["q8"].astype(jnp.float32) * p["scale"].astype(jnp.float32)
+            ).astype(dtype)
         return {k: _dequant_tree(v, dtype) for k, v in p.items()}
     return p
 
