@@ -25,9 +25,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", required=True, help="JSONL/TSV of query/positive pairs")
     ap.add_argument("--model", default="tiny-gemma", help="registry config or checkpoint name")
-    ap.add_argument("--arch", choices=("bi", "colbert"), default="bi",
+    ap.add_argument("--arch", choices=("bi", "colbert", "cross"), default="bi",
                     help="bi = stage-1 bi-encoder InfoNCE; colbert = "
-                         "stage-2 late-interaction (MaxSim) InfoNCE")
+                         "stage-2 late-interaction (MaxSim) InfoNCE; "
+                         "cross = stage-3 cross-encoder pointwise BCE "
+                         "with shifted in-batch negatives")
     ap.add_argument("--model-dir", default="./models")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--batch-size", type=int, default=32)
@@ -43,10 +45,17 @@ def main() -> int:
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=20)
+    ap.add_argument("--platform", default=None,
+                    help="force the jax platform (e.g. 'cpu' for local "
+                         "dev — the axon sitecustomize preselects the "
+                         "TPU tunnel at interpreter start)")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh
@@ -54,9 +63,11 @@ def main() -> int:
     from tristage_rag_tpu.engine.factory import build_runtime
     from tristage_rag_tpu.train.checkpoint import TrainCheckpointer
     from tristage_rag_tpu.train.contrastive import (
-        ColBERTTrainer, TrainConfig, Trainer,
+        ColBERTTrainer, CrossEncoderTrainer, TrainConfig, Trainer,
     )
-    from tristage_rag_tpu.train.data import PairDataLoader, load_pairs
+    from tristage_rag_tpu.train.data import (
+        PairDataLoader, cross_pair_batch, load_pairs,
+    )
 
     pairs = load_pairs(args.pairs)
     print(f"loaded {len(pairs)} training pairs from {args.pairs}")
@@ -80,12 +91,34 @@ def main() -> int:
         if devices[0].platform != "cpu" else "float32",
         seed=args.seed,
     )
-    loader = PairDataLoader(
-        pairs, tokenizer, batch_size=args.batch_size,
-        query_max_len=args.query_max_len, doc_max_len=args.doc_max_len,
-        seed=args.seed,
-    )
-    trainer_cls = ColBERTTrainer if args.arch == "colbert" else Trainer
+    if args.arch == "cross":
+        # Joint pair rows (each batch = B positives + B shifted
+        # negatives) through the SAME pair encoding serving uses.
+        def _cross_stream():
+            rng_np = np.random.default_rng(args.seed)
+            while True:
+                order = rng_np.permutation(len(pairs))
+                bs = args.batch_size
+                for s in range(0, len(order) - bs + 1, bs):
+                    idx = order[s : s + bs]
+                    yield cross_pair_batch(
+                        tokenizer,
+                        [pairs[i][0] for i in idx],
+                        [pairs[i][1] for i in idx],
+                        args.doc_max_len,
+                    )
+
+        loader = _cross_stream()
+    else:
+        loader = PairDataLoader(
+            pairs, tokenizer, batch_size=args.batch_size,
+            query_max_len=args.query_max_len, doc_max_len=args.doc_max_len,
+            seed=args.seed,
+        )
+    trainer_cls = {
+        "bi": Trainer, "colbert": ColBERTTrainer,
+        "cross": CrossEncoderTrainer,
+    }[args.arch]
     trainer = trainer_cls(
         runtime.module,
         TrainConfig(
@@ -95,10 +128,16 @@ def main() -> int:
         mesh=mesh,
     )
     first = next(iter(loader))
-    state = trainer.init_state(
-        jax.random.PRNGKey(args.seed),
-        jnp.asarray(first.q_ids), jnp.asarray(first.q_mask),
-    )
+    if args.arch == "cross":
+        state = trainer.init_state(
+            jax.random.PRNGKey(args.seed),
+            jnp.asarray(first.ids), jnp.asarray(first.mask),
+        )
+    else:
+        state = trainer.init_state(
+            jax.random.PRNGKey(args.seed),
+            jnp.asarray(first.q_ids), jnp.asarray(first.q_mask),
+        )
     # warm-start from the loaded checkpoint weights if any — re-placed
     # onto the training mesh shardings (the inference runtime placed
     # them single-device/replicated).
@@ -129,11 +168,17 @@ def main() -> int:
     stream = iter(loader)
     while step < args.steps:
         b = next(stream)
-        state, metrics = trainer.train_step(
-            state,
-            jnp.asarray(b.q_ids), jnp.asarray(b.q_mask),
-            jnp.asarray(b.d_ids), jnp.asarray(b.d_mask),
-        )
+        if args.arch == "cross":
+            step_args = (
+                jnp.asarray(b.ids), jnp.asarray(b.mask),
+                jnp.asarray(b.types), jnp.asarray(b.labels),
+            )
+        else:
+            step_args = (
+                jnp.asarray(b.q_ids), jnp.asarray(b.q_mask),
+                jnp.asarray(b.d_ids), jnp.asarray(b.d_mask),
+            )
+        state, metrics = trainer.train_step(state, *step_args)
         step += 1
         if step % args.log_every == 0 or step == args.steps:
             done = step - start_step  # this process's own work

@@ -174,3 +174,76 @@ def test_colbert_sharded_training_matches_single_device():
     np.testing.assert_allclose(
         float(m_single["loss"]), float(m_mesh["loss"]), rtol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder (stage-3) training — train/contrastive.py::CrossEncoderTrainer
+# ---------------------------------------------------------------------------
+
+
+def _cross_toy_batch(rng, b=8, l=24, vocab=1024):
+    from tristage_rag_tpu.models.tokenizer import HashTokenizer
+    from tristage_rag_tpu.train.data import cross_pair_batch
+
+    tok = HashTokenizer(vocab_size=vocab)
+    queries = [f"query topic {i} alpha beta" for i in range(b)]
+    positives = [f"document topic {i} alpha beta gamma delta" for i in range(b)]
+    cb = cross_pair_batch(tok, queries, positives, max_length=l)
+    return cb
+
+
+def test_cross_pair_batch_layout():
+    cb = _cross_toy_batch(np.random.default_rng(0), b=4)
+    assert cb.ids.shape[0] == 8 and cb.labels.shape == (8, 1)
+    assert cb.labels[:4].sum() == 4.0 and cb.labels[4:].sum() == 0.0
+    # negative rows pair query i with positive i+1 — different content
+    assert not np.array_equal(cb.ids[0], cb.ids[4])
+
+
+def test_cross_training_reduces_loss():
+    from tristage_rag_tpu.models.config import CrossEncoderConfig
+    from tristage_rag_tpu.models.heads import CrossEncoder
+    from tristage_rag_tpu.train.contrastive import CrossEncoderTrainer
+
+    cfg = encoder_config("tiny-bert").replace(dtype="float32", num_layers=1)
+    module = CrossEncoder(cfg, CrossEncoderConfig(num_labels=1))
+    trainer = CrossEncoderTrainer(
+        module, TrainConfig(learning_rate=1e-3, warmup_steps=2, total_steps=30)
+    )
+    cb = _cross_toy_batch(np.random.default_rng(1), vocab=cfg.vocab_size)
+    ids, mask = jnp.asarray(cb.ids), jnp.asarray(cb.mask)
+    types, labels = jnp.asarray(cb.types), jnp.asarray(cb.labels)
+    state = trainer.init_state(jax.random.PRNGKey(0), ids, mask)
+    losses = []
+    for _ in range(15):
+        state, m = trainer.train_step(state, ids, mask, types, labels)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_cross_sharded_training_matches_single_device():
+    from jax.sharding import Mesh
+
+    from tristage_rag_tpu.models.config import CrossEncoderConfig
+    from tristage_rag_tpu.models.heads import CrossEncoder
+    from tristage_rag_tpu.train.contrastive import CrossEncoderTrainer
+
+    cfg = encoder_config("tiny-bert").replace(dtype="float32", num_layers=1)
+    module = CrossEncoder(cfg, CrossEncoderConfig(num_labels=1))
+    cb = _cross_toy_batch(np.random.default_rng(2), b=8, vocab=cfg.vocab_size)
+    ids, mask = jnp.asarray(cb.ids), jnp.asarray(cb.mask)
+    types, labels = jnp.asarray(cb.types), jnp.asarray(cb.labels)
+
+    t_single = CrossEncoderTrainer(module, TrainConfig())
+    s0 = t_single.init_state(jax.random.PRNGKey(0), ids, mask)
+    _, m_single = t_single.train_step(s0, ids, mask, types, labels)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("dp", "tp"))
+    t_mesh = CrossEncoderTrainer(module, TrainConfig(), mesh=mesh)
+    s1 = t_mesh.init_state(jax.random.PRNGKey(0), ids, mask)
+    _, m_mesh = t_mesh.train_step(s1, ids, mask, types, labels)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_mesh["loss"]), rtol=1e-4
+    )

@@ -248,6 +248,32 @@ class Trainer:
 
 
 @dataclasses.dataclass
+class CrossEncoderTrainer(Trainer):
+    """Pointwise BCE trainer for the stage-3 cross-encoder family.
+
+    Batches are pre-built joint pair rows — each (query, positive) pair
+    contributes a label-1 row and a shifted in-batch negative
+    (train/data.py::cross_pair_batch) a label-0 row. The module is the
+    serving CrossEncoder (CLS -> classifier logits); completing the
+    training story across all three funnel stages.
+
+    train_step(state, ids, mask, types, labels): ids/mask/types are
+    [B, L] int32, labels [B, 1] f32 (2-D so the dp batch sharding spec
+    applies uniformly)."""
+
+    def _loss_fn(self, params, ids, mask, types, labels):
+        logits = self.module.apply({"params": params}, ids, mask, types)
+        if logits.shape[-1] == 1:
+            raw = logits[..., 0]
+        else:  # multi-label heads: positive-class logit margin
+            raw = logits[..., -1] - logits[..., 0]
+        y = labels[..., 0].astype(jnp.float32)
+        loss = jnp.mean(optax.sigmoid_binary_cross_entropy(raw, y))
+        acc = jnp.mean((raw > 0).astype(jnp.float32) == y)
+        return loss, acc
+
+
+@dataclasses.dataclass
 class ColBERTTrainer(Trainer):
     """Late-interaction contrastive trainer for a ColBERTEncoder: the
     module returns [B, L, D] token embeddings and the loss is MaxSim

@@ -62,6 +62,38 @@ class PairBatch:
         return self.q_ids.shape[0]
 
 
+@dataclasses.dataclass
+class CrossPairBatch:
+    """Joint (query, doc) pair rows for cross-encoder training."""
+
+    ids: np.ndarray  # [B, L] int32
+    mask: np.ndarray  # [B, L] int32
+    types: np.ndarray  # [B, L] int32 segment ids
+    labels: np.ndarray  # [B, 1] f32 (2-D for uniform dp sharding)
+
+
+def cross_pair_batch(
+    tokenizer: BaseTokenizer,
+    queries: Sequence[str],
+    positives: Sequence[str],
+    max_length: int,
+) -> CrossPairBatch:
+    """Build a cross-encoder BCE batch from B (query, positive) pairs:
+    B label-1 rows (q_i, d_i) plus B label-0 rows (q_i, d_{i+1 mod B})
+    — shifted in-batch negatives, so every batch is half positive and
+    needs no external negative mining. Rows tokenize through the SAME
+    pair encoding serving uses (encode_pairs: [CLS] q [SEP] d [SEP]
+    with types + longest-first truncation)."""
+    b = len(queries)
+    pairs = [(queries[i], positives[i]) for i in range(b)] + [
+        (queries[i], positives[(i + 1) % b]) for i in range(b)
+    ]
+    tb = tokenizer.encode_pairs(pairs, max_length)
+    labels = np.zeros((2 * b, 1), np.float32)
+    labels[:b] = 1.0
+    return CrossPairBatch(tb.input_ids, tb.attn_mask, tb.token_type_ids, labels)
+
+
 class PairDataLoader:
     """Shuffled, epoch-aware batch iterator over text pairs.
 
