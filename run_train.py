@@ -151,7 +151,10 @@ def main() -> int:
                 runtime.params, sh,
             )
         else:
-            state["params"] = jax.device_put(runtime.params)
+            # copy via host: the train step donates its state, and a
+            # same-device device_put aliases — donation would delete
+            # runtime.params
+            state["params"] = jax.device_put(jax.device_get(runtime.params))
 
     ckpt = TrainCheckpointer(args.ckpt_dir)
     if args.resume and ckpt.latest_step() is not None:

@@ -30,6 +30,119 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _task_pairs(task) -> list[tuple[str, str]]:
+    def _text(doc):
+        return doc.get("text", "") if isinstance(doc, dict) else str(doc)
+
+    return [
+        (task.queries[qid], _text(task.corpus[did]))
+        for qid, rels in task.qrels.items()
+        for did in rels
+        if qid in task.queries and did in task.corpus
+    ]
+
+
+def _train_tiny_stack(task, steps: int, models: dict) -> dict:
+    """Fine-tune the three tiny models on the task's (query, relevant
+    doc) pairs — bi/colbert InfoNCE + cross BCE — returning trained
+    param trees keyed by stage. Runs on the measurement device."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tristage_rag_tpu.engine.factory import build_runtime
+    from tristage_rag_tpu.train.contrastive import (
+        ColBERTTrainer, CrossEncoderTrainer, TrainConfig, Trainer,
+    )
+    from tristage_rag_tpu.train.data import cross_pair_batch
+
+    pairs = _task_pairs(task)
+    rng_np = np.random.default_rng(0)
+    bs = min(32, len(pairs))
+
+    # BM25-mined hard negatives for the cross-encoder: the top-ranked
+    # NON-relevant doc per query — the candidate distribution stage-3
+    # actually faces inside the funnel (random negatives teach topic
+    # matching only; the reranker then can't separate same-topic docs
+    # and a wider funnel hurts instead of helping).
+    from tristage_rag_tpu.index.bm25 import BM25Index
+
+    def _text(doc):
+        return doc.get("text", "") if isinstance(doc, dict) else str(doc)
+
+    doc_ids = list(task.corpus)
+    bm25 = BM25Index()
+    bm25.add([_text(task.corpus[d]) for d in doc_ids])
+    hard_neg: dict[str, str] = {}
+    for qid, q in task.queries.items():
+        rel = set(task.qrels.get(qid, ()))
+        for di, _score in bm25.search(q, 10):
+            if doc_ids[di] not in rel:
+                hard_neg[q] = _text(task.corpus[doc_ids[di]])
+                break
+    fallback = _text(task.corpus[doc_ids[0]])
+    tcfg = TrainConfig(
+        learning_rate=1e-3, warmup_steps=max(steps // 10, 1),
+        total_steps=steps,
+    )
+    out = {}
+    for stage, kind, cls in (
+        ("stage1", "bi", Trainer),
+        ("stage2", "colbert", ColBERTTrainer),
+        ("stage3", "cross", CrossEncoderTrainer),
+    ):
+        runtime, tok = build_runtime(
+            kind, models[f"{stage}_model"], model_dir="", seed=0,
+            compute_dtype="float32",
+        )
+        trainer = cls(runtime.module, tcfg)
+
+        def batch():
+            idx = rng_np.choice(len(pairs), size=bs, replace=False)
+            qs = [pairs[i][0] for i in idx]
+            ds = [pairs[i][1] for i in idx]
+            if kind == "cross":
+                negs = [hard_neg.get(q, fallback) for q in qs]
+                cb = cross_pair_batch(tok, qs, ds, max_length=96,
+                                      negatives=negs)
+                return (jnp.asarray(cb.ids), jnp.asarray(cb.mask),
+                        jnp.asarray(cb.types), jnp.asarray(cb.labels))
+            qb = tok.encode_batch(qs, 64, buckets=(64,))
+            db = tok.encode_batch(ds, 96, buckets=(96,))
+            return (jnp.asarray(qb.input_ids), jnp.asarray(qb.attn_mask),
+                    jnp.asarray(db.input_ids), jnp.asarray(db.attn_mask))
+
+        b0 = batch()
+        state = trainer.init_state(jax.random.PRNGKey(0), b0[0], b0[1])
+        # warm-start from the runtime's deterministic init so the
+        # trained tree matches the params the pipeline will build.
+        # Copy via host: the train step DONATES its state, and
+        # device_put of an already-placed array is a no-op alias —
+        # donation would delete runtime.params out from under us.
+        state["params"] = jax.device_put(jax.device_get(runtime.params))
+        first = last = None
+        for _ in range(steps):
+            state, m = trainer.train_step(state, *batch())
+            last = float(m["loss"])
+            first = last if first is None else first
+        print(f"# trained {stage} ({kind}): loss {first:.3f} -> "
+              f"{last:.3f}", flush=True)
+        out[stage] = jax.device_get(state["params"])
+    return out
+
+
+def _inject_trained(pipeline, trained: dict) -> None:
+    """Install trained params into a pipeline's runtimes BEFORE any
+    indexing (the device caches encode with these weights)."""
+    import jax
+
+    pipeline.initialize_stages()
+    for stage in ("stage1", "stage2", "stage3"):
+        rt = getattr(pipeline, stage).runtime
+        rt.params = jax.device_put(trained[stage])
+        rt.weights_loaded = True
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2000)
@@ -39,7 +152,15 @@ def main() -> None:
     ap.add_argument("--int8-stage3", action="store_true",
                     help="also measure int8 cross-encoder weights at "
                          "each width")
+    ap.add_argument("--train-steps", type=int, default=0,
+                    help="(tiny mode) fine-tune all three tiny models "
+                         "on the synthetic task for N steps before "
+                         "measuring — gives the NDCG axis real signal "
+                         "instead of the random-weight watermark")
     args = ap.parse_args()
+    if args.train_steps and not args.tiny:
+        ap.error("--train-steps requires --tiny (training full-size "
+                 "archs from random init is not meaningful)")
 
     if args.tiny:
         # CPU dev smoke: the axon sitecustomize forces the TPU platform
@@ -72,6 +193,10 @@ def main() -> None:
             stage3_model="minilm-l6-cross",
         )
 
+    trained = None
+    if args.train_steps:
+        trained = _train_tiny_stack(task, args.train_steps, models)
+
     rows = []
     variants = [("bf16", {})]
     if args.int8_stage3:
@@ -86,6 +211,8 @@ def main() -> None:
                 **models, **extra,
             )
             p = RetrievalPipeline(cfg)
+            if trained is not None:
+                _inject_trained(p, trained)
             t0 = time.time()
             out = run_evaluation(p, task, top_k=20)
             wall = time.time() - t0
@@ -97,7 +224,10 @@ def main() -> None:
                 "eval_qps": round(out["qps"], 1),
                 "p50_ms": round(out["latency_p50_ms"], 2),
                 "wall_s": round(wall, 1),
-                "random_weights_watermark": True,
+                "weights": (
+                    f"synthetic-trained-{args.train_steps}steps"
+                    if trained is not None else "random-init-watermark"
+                ),
             }
             if p._fused is not None and p._fused.ready():
                 probe = p._fused.device_time_probe(

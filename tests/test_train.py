@@ -124,6 +124,36 @@ def test_colbert_loss_perfect_alignment():
     assert float(loss) < 1e-3
 
 
+def test_colbert_gradients_finite_with_padded_tokens():
+    """ColBERTEncoder zeroes padded token rows; the loss's normalize
+    must clamp INSIDE the sqrt or d/ds sqrt(s)|_{s=0} = inf turns every
+    gradient NaN after one step (round-3 regression: training diverged
+    to nan at step 2 on any batch containing padding)."""
+    from tristage_rag_tpu.models.config import ColBERTConfig
+    from tristage_rag_tpu.models.heads import ColBERTEncoder
+    from tristage_rag_tpu.train.contrastive import ColBERTTrainer
+
+    cfg = encoder_config("tiny-modernbert").replace(
+        dtype="float32", num_layers=1
+    )
+    module = ColBERTEncoder(cfg, ColBERTConfig(output_dim=16))
+    trainer = ColBERTTrainer(
+        module, TrainConfig(learning_rate=1e-3, warmup_steps=1,
+                            total_steps=10)
+    )
+    rng = np.random.default_rng(6)
+    q, qm, d, dm = _toy_batch(rng, vocab=cfg.vocab_size)
+    qm = np.asarray(qm).copy()
+    dm = np.asarray(dm).copy()
+    qm[:, 6:] = 0  # ragged padding — zeroed token rows
+    dm[:, 8:] = 0
+    qm, dm = jnp.asarray(qm), jnp.asarray(dm)
+    state = trainer.init_state(jax.random.PRNGKey(0), q, qm)
+    for _ in range(3):
+        state, m = trainer.train_step(state, q, qm, d, dm)
+        assert np.isfinite(float(m["loss"])), "NaN loss with padding"
+
+
 def test_colbert_training_reduces_loss():
     from tristage_rag_tpu.models.config import ColBERTConfig
     from tristage_rag_tpu.models.heads import ColBERTEncoder

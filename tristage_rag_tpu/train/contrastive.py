@@ -63,10 +63,14 @@ def late_interaction_scores(
     which under dp becomes the cross-shard negative coupling XLA turns
     into ICI collectives."""
     def _norm(x):
-        n = jnp.sqrt(jnp.sum(
-            jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True
-        ))
-        return (x.astype(jnp.float32) / jnp.maximum(n, 1e-12)).astype(x.dtype)
+        # clamp INSIDE the sqrt: padded token rows are exactly zero
+        # (ColBERTEncoder masks them), and d/ds sqrt(s) at s=0 is inf —
+        # inf * 0 = NaN would poison every gradient. max() before the
+        # sqrt routes the zero branch's gradient through the constant.
+        s = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                    keepdims=True)
+        n = jnp.sqrt(jnp.maximum(s, 1e-24))
+        return (x.astype(jnp.float32) / n).astype(x.dtype)
 
     q_emb, d_emb = _norm(q_emb), _norm(d_emb)
     sim = jnp.einsum(

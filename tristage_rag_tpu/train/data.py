@@ -77,16 +77,19 @@ def cross_pair_batch(
     queries: Sequence[str],
     positives: Sequence[str],
     max_length: int,
+    negatives: Sequence[str] | None = None,
 ) -> CrossPairBatch:
     """Build a cross-encoder BCE batch from B (query, positive) pairs:
-    B label-1 rows (q_i, d_i) plus B label-0 rows (q_i, d_{i+1 mod B})
-    — shifted in-batch negatives, so every batch is half positive and
-    needs no external negative mining. Rows tokenize through the SAME
-    pair encoding serving uses (encode_pairs: [CLS] q [SEP] d [SEP]
-    with types + longest-first truncation)."""
+    B label-1 rows (q_i, d_i) plus B label-0 rows — explicit
+    ``negatives`` when given (e.g. BM25-mined hard negatives), else
+    (q_i, d_{i+1 mod B}) shifted in-batch negatives. Rows tokenize
+    through the SAME pair encoding serving uses (encode_pairs:
+    [CLS] q [SEP] d [SEP] with types + longest-first truncation)."""
     b = len(queries)
+    if negatives is None:
+        negatives = [positives[(i + 1) % b] for i in range(b)]
     pairs = [(queries[i], positives[i]) for i in range(b)] + [
-        (queries[i], positives[(i + 1) % b]) for i in range(b)
+        (queries[i], negatives[i]) for i in range(b)
     ]
     tb = tokenizer.encode_pairs(pairs, max_length)
     labels = np.zeros((2 * b, 1), np.float32)
