@@ -181,3 +181,40 @@ class TestMeshPipeline:
         a = single.search(q, top_k=3)["results"]
         b = sharded.search(q, top_k=3)["results"]
         assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+
+
+class TestPerfProfile:
+    def test_perf_yaml_all_accelerators_active(self, tmp_path):
+        """configs/perf.yaml turns on every opt-in accelerator; loading
+        it (with tiny models substituted) must yield a pipeline where
+        each knob is really active — not just parsed."""
+        import dataclasses
+        from pathlib import Path
+
+        from tristage_rag_tpu.engine.config import PipelineConfig
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        cfg = PipelineConfig.from_yaml(
+            Path(__file__).parent.parent / "configs" / "perf.yaml"
+        )
+        assert cfg.index_dtype == "int8"
+        assert cfg.index_search_impl == "approx"
+        assert cfg.stage2_cache_int8 and cfg.stage3_weights_int8
+        assert cfg.enable_result_cache and cfg.result_cache_size == 4096
+        cfg = dataclasses.replace(
+            cfg, stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=8, stage2_top_k=6,
+            stage3_top_k=3, stage1_max_text_length=64,
+            stage2_max_seq_length=32, stage3_max_length=64,
+            mesh_data_parallel=1, compute_dtype="float32",
+            index_dir=str(tmp_path),
+        )
+        p = RetrievalPipeline(cfg)
+        p.add_documents([f"doc {i} fox topic {i % 3}" for i in range(12)])
+        assert p.stage1.index.quantized
+        assert p.stage1.index.search_impl == "approx"
+        assert p.stage2._cache is not None and p.stage2._cache.quantized
+        out = p.search("fox topic 1", top_k=3)
+        assert out["results"]
+        hit = p.search("fox topic 1", top_k=3)
+        assert hit["timing"].get("cached") is True

@@ -89,6 +89,12 @@ class PipelineConfig:
     # TPU-native knobs (no reference equivalent)
     compute_dtype: str = "bfloat16"
     index_dtype: str = "float32"
+    # Stage-1 dense search path: "auto" picks exact below ~100k rows
+    # and approx_max_k above (the reference's flat-vs-IVF switch,
+    # src/stage1_retriever.py:274-291); "exact"/"approx"/"pallas"
+    # force one. recall_target feeds approx_max_k.
+    index_search_impl: str = "auto"
+    index_recall_target: float = 0.95
     mesh_data_parallel: int = 0  # 0 = use all local devices on one axis
     seed: int = 0
     # Single-dispatch tri-stage search (engine/fused.py). Activates when
@@ -149,6 +155,8 @@ class PipelineConfig:
             ("save_intermediate_results", "save_intermediate_results"),
             ("compute_dtype", "compute_dtype"),
             ("index_dtype", "index_dtype"),
+            ("index_search_impl", "index_search_impl"),
+            ("index_recall_target", "index_recall_target"),
             ("mesh_data_parallel", "mesh_data_parallel"),
             ("seed", "seed"),
             ("enable_fused_search", "enable_fused_search"),

@@ -105,6 +105,12 @@ class Stage1Retriever:
                 dim=emb.shape[1],
                 dtype=self.config.index_dtype,
                 mesh=self.mesh,
+                search_impl=getattr(
+                    self.config, "index_search_impl", "auto"
+                ),
+                recall_target=getattr(
+                    self.config, "index_recall_target", 0.95
+                ),
             )
         self.index.add(emb)
         if self.bm25 is not None:
@@ -291,7 +297,11 @@ class Stage1Retriever:
         payload = json.loads(docs_file.read_text())
         self.documents = payload["documents"]
         self.doc_metadata = payload["metadata"]
-        self.index = DenseIndex.load(d / "stage1_dense", mesh=self.mesh)
+        self.index = DenseIndex.load(
+            d / "stage1_dense", mesh=self.mesh,
+            search_impl=getattr(self.config, "index_search_impl", "auto"),
+            recall_target=getattr(self.config, "index_recall_target", 0.95),
+        )
         # restore the host-side filter that keeps tombstoned docs
         # out of BM25 results too
         self.deleted_ids = self.index.deleted_ids

@@ -440,6 +440,8 @@ class DenseIndex:
         path: str | Path,
         mesh: Optional[Mesh] = None,
         data_axis: str = "data",
+        search_impl: str = "auto",
+        recall_target: float = 0.95,
     ) -> "DenseIndex":
         path = Path(path)
         meta = json.loads(path.with_suffix(".json").read_text())
@@ -452,6 +454,8 @@ class DenseIndex:
             mesh=mesh,
             data_axis=data_axis,
             capacity=max(meta["count"], MIN_CAPACITY),
+            search_impl=search_impl,
+            recall_target=recall_target,
         )
         if idx.quantized and scales is not None:
             # restore raw int8 values + scales (no double quantization)
