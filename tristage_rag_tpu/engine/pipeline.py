@@ -449,6 +449,11 @@ class RetrievalPipeline:
             "device": mesh_info(self.mesh),
             "performance_stats": dict(self.performance_stats),
             "latency_percentiles": self.stage_timer.summary(),
+            "result_cache": {
+                "enabled": self.config.enable_result_cache,
+                "entries": len(self._result_cache),
+                **self.result_cache_stats,
+            },
         }
         if self.stage1 is not None:
             info["stage1"] = self.stage1.get_stats()
