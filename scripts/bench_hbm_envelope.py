@@ -106,7 +106,23 @@ def main() -> None:
         p.add_documents(chunk)
         n_done += len(chunk)
         print(f"# filled {n_done} docs ({n_done / (time.time() - t0):.0f} "
-              f"docs/s)", flush=True)
+              f"docs/s, dispatch-side)", flush=True)
+    # Completion barrier BEFORE the clock stops: add_documents only
+    # dispatches; the acking relay returns before the device finishes,
+    # so without a data-dependent fetch fill_s measures host
+    # tokenization throughput, not indexing throughput.
+    import jax.numpy as jnp
+
+    barrier = jnp.sum(p.stage1.index._buf[:1].astype(jnp.float32))
+    if p.stage2._cache is not None:
+        barrier = barrier + jnp.sum(
+            p.stage2._cache.state()[0][:1].astype(jnp.float32)
+        )
+    if p._fused is not None:
+        barrier = barrier + jnp.sum(
+            p._fused.doc_tokens.state()[0][:1].astype(jnp.float32)
+        )
+    float(barrier)
     fill_s = time.time() - t0
 
     idx = p.stage1.index
