@@ -152,6 +152,10 @@ def main() -> None:
     ap.add_argument("--int8-stage3", action="store_true",
                     help="also measure int8 cross-encoder weights at "
                          "each width")
+    ap.add_argument("--act-int8", action="store_true",
+                    help="also measure int8-activation cross-encoder "
+                         "(int8 x int8 MXU; stage3_act_int8) at each "
+                         "width")
     ap.add_argument("--train-steps", type=int, default=0,
                     help="(tiny mode) fine-tune all three tiny models "
                          "on the synthetic task for N steps before "
@@ -201,6 +205,8 @@ def main() -> None:
     variants = [("bf16", {})]
     if args.int8_stage3:
         variants.append(("int8_s3", {"stage3_weights_int8": True}))
+    if args.act_int8:
+        variants.append(("act_int8", {"stage3_act_int8": True}))
     for width in args.widths:
         for vname, extra in variants:
             cfg = PipelineConfig(

@@ -70,6 +70,14 @@ class PipelineConfig:
     # weight HBM; dequant runs in-jit). Quality/latency measured in
     # scripts/bench_funnel_width.py --int8-stage3.
     stage3_weights_int8: bool = False
+    # int8 x int8 MXU matmuls for the cross-encoder's dense projections
+    # (dynamic per-token activation quant; models/layers.py::QDense).
+    # The measured stage-3 latency lever — weight-only int8 is
+    # latency-neutral because the stage is MXU compute-bound
+    # (BENCH_NOTES round-3); int8 activations tap the MXU's 2x int8
+    # throughput. Scores shift ~1e-2; rankings verified identical on
+    # tiny stacks (tests/test_int8_act.py).
+    stage3_act_int8: bool = False
     stage3_normalize_scores: bool = True
     # Fused-path pair layout: queries are capped at this many tokens
     # (incl. [CLS]/[SEP]) and docs at stage3_max_length - reserve, so
@@ -145,6 +153,7 @@ class PipelineConfig:
             ("normalize_scores", "stage3_normalize_scores"),
             ("query_reserve", "stage3_query_reserve"),
             ("weights_int8", "stage3_weights_int8"),
+            ("act_int8", "stage3_act_int8"),
         ],
         "general": [
             ("model_dir", "model_dir"),

@@ -128,8 +128,14 @@ def build_runtime(
     seed: int = 0,
     head_overrides: Optional[dict] = None,
     prompt_mode: str = "auto",
+    encoder_overrides: Optional[dict] = None,
 ) -> tuple[EncoderRuntime, BaseTokenizer]:
-    """Build an (EncoderRuntime, tokenizer) pair for one stage."""
+    """Build an (EncoderRuntime, tokenizer) pair for one stage.
+
+    ``encoder_overrides`` are applied to the EncoderConfig AFTER a
+    checkpoint (which carries its own architecture config) resolves —
+    runtime knobs like ``int8_activations`` that are not architecture.
+    """
     ckpt = checkpoint_dir(model_dir, model_name)
     # When a checkpoint exists, the registry entry is irrelevant (the
     # architecture comes from its config.json) — resolve quietly.
@@ -158,6 +164,9 @@ def build_runtime(
         except Exception as e:  # fall back to random init, keep serving
             logger.warning("failed to load checkpoint %s (%s); random init", ckpt, e)
             params = None
+
+    if encoder_overrides:
+        enc_cfg = enc_cfg.replace(**encoder_overrides)
 
     from tristage_rag_tpu.parallel.mesh import DATA_AXIS
 

@@ -34,6 +34,11 @@ class CrossEncoderReranker:
             mesh=mesh,
             seed=config.seed + 2,
             head_overrides={"activation": config.stage3_activation},
+            encoder_overrides=(
+                {"int8_activations": True}
+                if getattr(config, "stage3_act_int8", False)
+                else None
+            ),
         )
         if getattr(config, "stage3_weights_int8", False):
             n = self.runtime.quantize_weights_int8()

@@ -79,6 +79,13 @@ class EncoderConfig:
 
     # Numerics
     dtype: str = "bfloat16"  # compute dtype; params are float32
+    # int8 x int8 MXU matmuls for all dense projections (dynamic
+    # per-token activation quantization, per-output-channel weights).
+    # The stage-3 latency lever: v5e int8 MXU peak is 2x bf16
+    # (BENCH_NOTES round-3 measured weight-only int8 latency-neutral
+    # because the stage is compute-bound). Attention score/probs
+    # einsums stay bf16.
+    int8_activations: bool = False
 
     @property
     def kv_heads(self) -> int:

@@ -8,6 +8,8 @@ so banded attention would not pay for itself on the MXU).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -101,6 +103,134 @@ def attention_bias(
     return jnp.where(pair, 0.0, -1e30).astype(jnp.float32)
 
 
+def quant_rows(x2d: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row (per-token) symmetric int8: ``(codes [M,K], scales [M])``.
+    Delegates to index/token_cache.py::symmetric_int8 — the ONE int8
+    contract. Split out so sibling projections sharing one input
+    (q/k/v; gate/up) quantize it ONCE — the quant pass is a full HBM
+    read of the activations, and amortizing it across matmuls is what
+    the int8 MXU win survives on (scripts/bench_int8_mxu.py: unshared
+    dynamic quant gives back most of the 2.1-2.5x static int8 speedup;
+    contraction-heavy shapes go below 1x)."""
+    from tristage_rag_tpu.index.token_cache import symmetric_int8
+
+    return symmetric_int8(x2d)
+
+
+def _int8_matmul(x2d, kernel, out_dtype, pre=None) -> jax.Array:
+    """``x2d @ kernel`` on the int8 MXU path: dynamic per-token
+    symmetric int8 activations x per-output-channel int8 weights, int32
+    accumulation, f32 rescale.
+
+    ``kernel`` is either a plain ``[K, N]`` array (quantized in-jit; the
+    weight pass is O(K*N) next to the O(M*K*N) matmul) or a
+    pre-quantized ``{"q8": [K, N] int8, "scale": [N]}`` dict (weights
+    ride int8 in HBM; see EncoderRuntime.quantize_weights_int8).
+    ``pre`` is an optional precomputed ``quant_rows(x2d)`` shared with
+    sibling projections.
+
+    v5e MXU: int8 x int8 peaks at 2x bf16 FLOPs — this is the
+    "int8 activations" lever BENCH_NOTES round-3 records as the real
+    stage-3 speedup path (weight-only int8 measured latency-neutral
+    because the stage is MXU compute-bound).
+    """
+    from tristage_rag_tpu.index.token_cache import symmetric_int8
+
+    xq, xs = quant_rows(x2d) if pre is None else pre
+    if isinstance(kernel, dict):
+        acc = jax.lax.dot_general(
+            xq, kernel["q8"], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        ws = kernel["scale"]
+    else:
+        wq, ws = symmetric_int8(kernel.astype(jnp.float32).T)  # [N,K],[N]
+        acc = jax.lax.dot_general(
+            xq, wq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    y = acc.astype(jnp.float32) * xs[:, None] * ws[None, :]
+    return y.astype(out_dtype)
+
+
+class QDense(nn.Module):
+    """Drop-in for ``nn.Dense`` that runs the matmul int8 x int8.
+
+    Param names/shapes are identical to ``nn.Dense`` (``kernel``
+    [in, features], ``bias`` [features]) so checkpoints and param trees
+    swap between the bf16 and int8 modules unchanged.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pre=None):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+        )
+        lead = x.shape[:-1]
+        y = _int8_matmul(
+            x.reshape(-1, x.shape[-1]), kernel, self.dtype, pre=pre
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y.reshape(*lead, self.features)
+
+
+class QDenseGeneral(nn.Module):
+    """Drop-in for ``nn.DenseGeneral`` (trailing-axes contraction only —
+    the two forms Attention uses: ``axis=-1`` with tuple features for
+    q/k/v, ``axis=(-2,-1)`` with int features for o_proj). Param layout
+    matches ``nn.DenseGeneral`` exactly.
+    """
+
+    features: Any
+    axis: Any = -1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pre=None):
+        feats = (
+            (self.features,) if isinstance(self.features, int)
+            else tuple(self.features)
+        )
+        axes = (self.axis,) if isinstance(self.axis, int) else tuple(self.axis)
+        axes = tuple(a % x.ndim for a in axes)
+        if axes != tuple(range(x.ndim - len(axes), x.ndim)):
+            raise ValueError(f"QDenseGeneral needs trailing axes, got {axes}")
+        in_dims = tuple(x.shape[a] for a in axes)
+        k = 1
+        for d in in_dims:
+            k *= d
+        n = 1
+        for d in feats:
+            n *= d
+
+        def kernel_init(rng, shape, dtype=jnp.float32):
+            # match nn.DenseGeneral: init on the flattened 2-D shape so
+            # fan-in/out (and hence random-init values) are identical
+            flat = nn.initializers.lecun_normal()(rng, (k, n), dtype)
+            return flat.reshape(shape)
+
+        kernel = self.param("kernel", kernel_init, in_dims + feats)
+        lead = x.shape[: x.ndim - len(axes)]
+        kern2d = (
+            {"q8": kernel["q8"].reshape(k, n),
+             "scale": kernel["scale"].reshape(n)}
+            if isinstance(kernel, dict) else kernel.reshape(k, n)
+        )
+        y = _int8_matmul(x.reshape(-1, k), kern2d, self.dtype, pre=pre)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, feats)
+            y = y + b.reshape(-1).astype(self.dtype)
+        return y.reshape(*lead, *feats)
+
+
 class Attention(nn.Module):
     cfg: EncoderConfig
     layer_idx: int
@@ -110,13 +240,26 @@ class Attention(nn.Module):
         cfg = self.cfg
         dt = compute_dtype(cfg)
         h, kvh, hd = cfg.num_heads, cfg.kv_heads, cfg.dims_per_head
-        dense = lambda feats, name: nn.DenseGeneral(
-            features=feats, use_bias=cfg.attn_bias, dtype=dt, name=name
-        )
         b, l, _ = x.shape
-        q = dense((h, hd), "q_proj")(x)
-        k = dense((kvh, hd), "k_proj")(x)
-        v = dense((kvh, hd), "v_proj")(x)
+        if cfg.int8_activations:
+            # q/k/v share one input: quantize it ONCE (the quant pass
+            # is a full activation read; sharing it across the three
+            # matmuls is what keeps int8 ahead of bf16 — see
+            # scripts/bench_int8_mxu.py + BENCH_NOTES round-3).
+            pre = quant_rows(x.reshape(-1, x.shape[-1]))
+            dense = lambda feats, name: QDenseGeneral(
+                features=feats, use_bias=cfg.attn_bias, dtype=dt, name=name
+            )
+            q = dense((h, hd), "q_proj")(x, pre=pre)
+            k = dense((kvh, hd), "k_proj")(x, pre=pre)
+            v = dense((kvh, hd), "v_proj")(x, pre=pre)
+        else:
+            dense = lambda feats, name: nn.DenseGeneral(
+                features=feats, use_bias=cfg.attn_bias, dtype=dt, name=name
+            )
+            q = dense((h, hd), "q_proj")(x)
+            k = dense((kvh, hd), "k_proj")(x)
+            v = dense((kvh, hd), "v_proj")(x)
         if cfg.qk_norm:
             qn = RMSNorm(eps=cfg.norm_eps, name="q_norm")
             kn = RMSNorm(eps=cfg.norm_eps, name="k_norm")
@@ -138,6 +281,9 @@ class Attention(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1).astype(dt)
         out = jnp.einsum("bhlm,bmhd->blhd", probs, v, preferred_element_type=jnp.float32)
         out = out.astype(dt)
+        # o_proj stays bf16 even under int8_activations: its input is
+        # unique (no quant sharing) and square K=N shapes measured
+        # BELOW 1x with dynamic quant (bench_int8_mxu: 0.67-0.90x).
         return nn.DenseGeneral(
             features=cfg.hidden_size,
             axis=(-2, -1),
@@ -157,9 +303,29 @@ class Mlp(nn.Module):
         dense = lambda feats, name: nn.Dense(
             features=feats, use_bias=cfg.mlp_bias_flag, dtype=dt, name=name
         )
+        if cfg.int8_activations:
+            # Expansion matmuls (gate/up, N = mlp_dim >> K) are where
+            # dynamic-quant int8 wins (1.1-1.7x measured); gate and up
+            # share the input, so quantize it once. down_proj stays
+            # bf16: its contraction-heavy shape measured 0.90-0.98x
+            # (bench_int8_mxu) — the quant pass over the 4x-wide
+            # intermediate costs more than the int8 matmul saves.
+            qdense = lambda feats, name: QDense(
+                features=feats, use_bias=cfg.mlp_bias_flag, dtype=dt,
+                name=name,
+            )
+            pre = quant_rows(x.reshape(-1, x.shape[-1]))
+        else:
+            qdense, pre = dense, None
+
+        def expand(feats, name, xin):
+            if pre is not None:
+                return qdense(feats, name)(xin, pre=pre)
+            return dense(feats, name)(xin)
+
         if cfg.activation in ("geglu", "geglu_tanh", "swiglu"):
-            gate = dense(cfg.mlp_dim, "gate_proj")(x)
-            up = dense(cfg.mlp_dim, "up_proj")(x)
+            gate = expand(cfg.mlp_dim, "gate_proj", x)
+            up = expand(cfg.mlp_dim, "up_proj", x)
             if cfg.activation == "swiglu":
                 act = nn.silu(gate)
             elif cfg.activation == "geglu_tanh":  # gelu_pytorch_tanh (Gemma)
@@ -168,7 +334,7 @@ class Mlp(nn.Module):
                 act = nn.gelu(gate, approximate=False)
             h = act * up
         else:
-            h = dense(cfg.mlp_dim, "up_proj")(x)
+            h = expand(cfg.mlp_dim, "up_proj", x)
             h = nn.gelu(h, approximate=False) if cfg.activation == "gelu" else nn.relu(h)
         return dense(cfg.hidden_size, "down_proj")(h)
 
