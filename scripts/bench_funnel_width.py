@@ -156,6 +156,10 @@ def main() -> None:
                     help="also measure int8-activation cross-encoder "
                          "(int8 x int8 MXU; stage3_act_int8) at each "
                          "width")
+    ap.add_argument("--act-int8-static", action="store_true",
+                    help="also measure the static-scale int8-activation "
+                         "mode (stage3_act_int8='static': calibrated "
+                         "per-tensor scales, ALL projections int8)")
     ap.add_argument("--train-steps", type=int, default=0,
                     help="(tiny mode) fine-tune all three tiny models "
                          "on the synthetic task for N steps before "
@@ -207,6 +211,8 @@ def main() -> None:
         variants.append(("int8_s3", {"stage3_weights_int8": True}))
     if args.act_int8:
         variants.append(("act_int8", {"stage3_act_int8": True}))
+    if args.act_int8_static:
+        variants.append(("act_int8_static", {"stage3_act_int8": "static"}))
     for width in args.widths:
         for vname, extra in variants:
             cfg = PipelineConfig(

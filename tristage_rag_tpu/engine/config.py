@@ -71,13 +71,17 @@ class PipelineConfig:
     # scripts/bench_funnel_width.py --int8-stage3.
     stage3_weights_int8: bool = False
     # int8 x int8 MXU matmuls for the cross-encoder's dense projections
-    # (dynamic per-token activation quant; models/layers.py::QDense).
-    # The measured stage-3 latency lever — weight-only int8 is
-    # latency-neutral because the stage is MXU compute-bound
-    # (BENCH_NOTES round-3); int8 activations tap the MXU's 2x int8
-    # throughput. Scores shift ~1e-2; rankings verified identical on
-    # tiny stacks (tests/test_int8_act.py).
-    stage3_act_int8: bool = False
+    # (models/layers.py::QDense). The measured stage-3 latency lever —
+    # weight-only int8 is latency-neutral because the stage is MXU
+    # compute-bound (BENCH_NOTES round-3); int8 activations tap the
+    # MXU's 2x int8 throughput. Values: False | True/"dynamic"
+    # (per-token abs-max quant in-jit; expansion-shaped projections
+    # only) | "static" (per-tensor scales abs-max-calibrated on the
+    # first real batch; ALL projections incl. o_proj/down_proj run
+    # int8, recovering the static column of bench_int8_mxu). Scores
+    # shift ~1e-2; rankings verified on tiny stacks
+    # (tests/test_int8_act.py, test_int8_act_static.py).
+    stage3_act_int8: bool | str = False
     stage3_normalize_scores: bool = True
     # Fused-path pair layout: queries are capped at this many tokens
     # (incl. [CLS]/[SEP]) and docs at stage3_max_length - reserve, so

@@ -579,6 +579,23 @@ class FusedSearcher:
         s1 = self.stage1
         nb = len(queries)
 
+        s3rt = self.stage3.runtime
+        if getattr(s3rt, "needs_act_calibration", False):
+            # Static int8 activations need calibrated scales BEFORE the
+            # fused program scores pairs (it applies the stage-3 module
+            # directly, bypassing runtime.forward's lazy trigger).
+            # Calibrate on real (query, indexed-doc) pairs host-side.
+            sample = s1.documents[:: max(1, len(s1.documents) // 16)][:16]
+            if sample:
+                tb = self.stage3.tokenizer.encode_pairs(
+                    [(queries[0], d) for d in sample], cfg.stage3_max_length
+                )
+                n = s3rt.calibrate_act_static([tb])
+                logger.info(
+                    "stage3 static int8 calibrated on %d pairs (%d sites)",
+                    len(sample), n,
+                )
+
         prompt = s1.runtime.prompts.get("query", "")
         tb1 = s1.tokenizer.encode_batch(
             [prompt + q for q in queries], cfg.stage1_max_text_length

@@ -23,6 +23,21 @@ from tristage_rag_tpu.engine.factory import build_runtime
 logger = logging.getLogger(__name__)
 
 
+def _act_int8_overrides(mode) -> Optional[dict]:
+    """Map the ``stage3_act_int8`` knob (False | True/"dynamic" |
+    "static") to EncoderConfig overrides."""
+    if not mode:
+        return None
+    if mode in (True, "dynamic", "true"):
+        return {"int8_activations": True}
+    if mode == "static":
+        return {"int8_activations": True, "int8_act_static": True}
+    raise ValueError(
+        f"stage3_act_int8 must be False, True/'dynamic' or 'static'; "
+        f"got {mode!r}"
+    )
+
+
 class CrossEncoderReranker:
     def __init__(self, config: PipelineConfig, mesh: Optional[Mesh] = None):
         self.config = config
@@ -34,10 +49,8 @@ class CrossEncoderReranker:
             mesh=mesh,
             seed=config.seed + 2,
             head_overrides={"activation": config.stage3_activation},
-            encoder_overrides=(
-                {"int8_activations": True}
-                if getattr(config, "stage3_act_int8", False)
-                else None
+            encoder_overrides=_act_int8_overrides(
+                getattr(config, "stage3_act_int8", False)
             ),
         )
         if getattr(config, "stage3_weights_int8", False):

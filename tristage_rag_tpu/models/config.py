@@ -86,6 +86,16 @@ class EncoderConfig:
     # because the stage is compute-bound). Attention score/probs
     # einsums stay bf16.
     int8_activations: bool = False
+    # Static (calibrated) per-tensor activation scales instead of the
+    # dynamic per-token abs-max. Removes the per-row reduction pass the
+    # dynamic mode pays before every dot (which makes contraction-heavy
+    # shapes LOSE — bench_int8_mxu: 3072->768 at 0.87x dynamic vs 2.91x
+    # static), so o_proj and down_proj run int8 x int8 as well. Scales
+    # live in the param tree (``*_scale`` scalars) and are filled by an
+    # abs-max calibration pass on the first real batch
+    # (EncoderRuntime.calibrate_act_static); out-of-range activations
+    # saturate at +-127.
+    int8_act_static: bool = False
 
     @property
     def kv_heads(self) -> int:

@@ -117,6 +117,25 @@ def quant_rows(x2d: jax.Array) -> tuple[jax.Array, jax.Array]:
     return symmetric_int8(x2d)
 
 
+def quant_static(x2d: jax.Array, scale: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-tensor static int8: ``(codes [M,K], scale scalar)``.
+
+    ``scale`` is a calibrated scalar (abs-max of representative
+    activations / 127 — EncoderRuntime.calibrate_act_static). Unlike
+    :func:`quant_rows` there is no reduction over the activations: the
+    rescale is a compile-time-shaped scalar divide that XLA fuses into
+    the producing elementwise op, which is what recovers the static
+    column of scripts/bench_int8_mxu.py (2.4-2.9x on the
+    contraction-heavy shapes where the dynamic mode loses). Values
+    beyond the calibrated range saturate at +-127.
+    """
+    s = jnp.maximum(scale, 1e-8).astype(jnp.float32)
+    codes = jnp.clip(
+        jnp.round(x2d.astype(jnp.float32) / s), -127.0, 127.0
+    ).astype(jnp.int8)
+    return codes, s
+
+
 def _int8_matmul(x2d, kernel, out_dtype, pre=None) -> jax.Array:
     """``x2d @ kernel`` on the int8 MXU path: dynamic per-token
     symmetric int8 activations x per-output-channel int8 weights, int32
@@ -149,8 +168,41 @@ def _int8_matmul(x2d, kernel, out_dtype, pre=None) -> jax.Array:
             xq, wq, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-    y = acc.astype(jnp.float32) * xs[:, None] * ws[None, :]
+    # xs is [M] (dynamic per-token) or a scalar (static per-tensor).
+    xsb = xs if xs.ndim == 0 else xs[:, None]
+    y = acc.astype(jnp.float32) * xsb * ws[None, :]
     return y.astype(out_dtype)
+
+
+def _act_site(mod: nn.Module, cfg, name: str, x2d, dynamic_ok: bool = True):
+    """One activation-quantization site (attn_in / attn_out / mlp_in /
+    mlp_mid). Returns a precomputed ``(codes, scale)`` for
+    ``QDense(pre=...)``, or ``None`` when this forward should take the
+    bf16 dense path:
+
+    * dynamic mode on a contraction-heavy site (``dynamic_ok=False`` —
+      measured below 1x, see bench_int8_mxu), or int8 off entirely;
+    * static mode during a CALIBRATION pass (``act_stats`` mutable):
+      the forward runs bf16 so downstream sites see true activations,
+      and each site sows its abs-max for
+      EncoderRuntime.calibrate_act_static to turn into scales.
+
+    In static mode the scale rides the param tree as ``<name>_scale``
+    (declared here in every pass so ``module.init`` creates it).
+    """
+    if not cfg.int8_activations:
+        return None
+    if cfg.int8_act_static:
+        s = mod.param(name + "_scale", nn.initializers.ones, ())
+        if mod.is_mutable_collection("act_stats"):
+            mod.sow(
+                "act_stats", name,
+                jnp.max(jnp.abs(x2d.astype(jnp.float32))),
+                init_fn=lambda: jnp.float32(0.0), reduce_fn=jnp.maximum,
+            )
+            return None
+        return quant_static(x2d, s)
+    return quant_rows(x2d) if dynamic_ok else None
 
 
 class QDense(nn.Module):
@@ -241,12 +293,12 @@ class Attention(nn.Module):
         dt = compute_dtype(cfg)
         h, kvh, hd = cfg.num_heads, cfg.kv_heads, cfg.dims_per_head
         b, l, _ = x.shape
-        if cfg.int8_activations:
-            # q/k/v share one input: quantize it ONCE (the quant pass
-            # is a full activation read; sharing it across the three
-            # matmuls is what keeps int8 ahead of bf16 — see
-            # scripts/bench_int8_mxu.py + BENCH_NOTES round-3).
-            pre = quant_rows(x.reshape(-1, x.shape[-1]))
+        # q/k/v share one input: quantize it ONCE (the quant pass is a
+        # full activation read; sharing it across the three matmuls is
+        # what keeps dynamic int8 ahead of bf16 — see
+        # scripts/bench_int8_mxu.py + BENCH_NOTES round-3).
+        pre = _act_site(self, cfg, "attn_in", x.reshape(-1, x.shape[-1]))
+        if pre is not None:
             dense = lambda feats, name: QDenseGeneral(
                 features=feats, use_bias=cfg.attn_bias, dtype=dt, name=name
             )
@@ -281,9 +333,20 @@ class Attention(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1).astype(dt)
         out = jnp.einsum("bhlm,bmhd->blhd", probs, v, preferred_element_type=jnp.float32)
         out = out.astype(dt)
-        # o_proj stays bf16 even under int8_activations: its input is
-        # unique (no quant sharing) and square K=N shapes measured
-        # BELOW 1x with dynamic quant (bench_int8_mxu: 0.67-0.90x).
+        # o_proj stays bf16 under DYNAMIC int8: its input is unique (no
+        # quant sharing) and square K=N shapes measured BELOW 1x with
+        # dynamic quant (bench_int8_mxu: 0.67-0.90x). Static scales
+        # remove the per-row reduction, so o_proj quantizes too
+        # (2.4-2.9x on contraction shapes in the static column).
+        o_pre = _act_site(
+            self, cfg, "attn_out",
+            out.reshape(-1, h * hd), dynamic_ok=False,
+        )
+        if o_pre is not None:
+            return QDenseGeneral(
+                features=cfg.hidden_size, axis=(-2, -1),
+                use_bias=cfg.attn_bias, dtype=dt, name="o_proj",
+            )(out, pre=o_pre)
         return nn.DenseGeneral(
             features=cfg.hidden_size,
             axis=(-2, -1),
@@ -303,20 +366,17 @@ class Mlp(nn.Module):
         dense = lambda feats, name: nn.Dense(
             features=feats, use_bias=cfg.mlp_bias_flag, dtype=dt, name=name
         )
-        if cfg.int8_activations:
-            # Expansion matmuls (gate/up, N = mlp_dim >> K) are where
-            # dynamic-quant int8 wins (1.1-1.7x measured); gate and up
-            # share the input, so quantize it once. down_proj stays
-            # bf16: its contraction-heavy shape measured 0.90-0.98x
-            # (bench_int8_mxu) — the quant pass over the 4x-wide
-            # intermediate costs more than the int8 matmul saves.
+        # Expansion matmuls (gate/up, N = mlp_dim >> K) are where
+        # dynamic-quant int8 wins (1.1-1.7x measured); gate and up
+        # share the input, so quantize it once.
+        pre = _act_site(self, cfg, "mlp_in", x.reshape(-1, x.shape[-1]))
+        if pre is not None:
             qdense = lambda feats, name: QDense(
                 features=feats, use_bias=cfg.mlp_bias_flag, dtype=dt,
                 name=name,
             )
-            pre = quant_rows(x.reshape(-1, x.shape[-1]))
         else:
-            qdense, pre = dense, None
+            qdense = dense
 
         def expand(feats, name, xin):
             if pre is not None:
@@ -336,6 +396,19 @@ class Mlp(nn.Module):
         else:
             h = expand(cfg.mlp_dim, "up_proj", x)
             h = nn.gelu(h, approximate=False) if cfg.activation == "gelu" else nn.relu(h)
+        # down_proj stays bf16 under DYNAMIC int8: the quant-reduction
+        # pass over the 4x-wide intermediate costs more than the int8
+        # matmul saves (bench_int8_mxu: 0.87-0.98x). With static scales
+        # it quantizes too (2.9x static column on 3072->768).
+        mid_pre = _act_site(
+            self, cfg, "mlp_mid", h.reshape(-1, h.shape[-1]),
+            dynamic_ok=False,
+        )
+        if mid_pre is not None:
+            return QDense(
+                features=cfg.hidden_size, use_bias=cfg.mlp_bias_flag,
+                dtype=dt, name="down_proj",
+            )(h, pre=mid_pre)
         return dense(cfg.hidden_size, "down_proj")(h)
 
 

@@ -208,8 +208,86 @@ class EncoderRuntime:
             rng = jax.random.PRNGKey(seed)
             dummy = jnp.zeros((1, 8), dtype=jnp.int32)
             params = self.module.init(rng, dummy, jnp.ones_like(dummy))["params"]
+        elif cfg.int8_activations and getattr(cfg, "int8_act_static", False):
+            # Checkpoints predate the static-quant ``*_scale`` leaves;
+            # graft them (value 1.0, replaced by calibration) so the
+            # loaded tree matches the module's.
+            params = self._graft_act_scales(params, seed)
         self.params = self._place_params(params)
+        # Static activation scales start uncalibrated (1.0): the first
+        # real batch through forward() (or an explicit
+        # calibrate_act_static call) sets them before any scoring runs.
+        self.needs_act_calibration = bool(
+            cfg.int8_activations and getattr(cfg, "int8_act_static", False)
+        )
         self._jit_apply = jax.jit(self._apply)
+
+    def _graft_act_scales(self, params, seed: int):
+        """Insert ``*_scale`` scalar leaves missing from a loaded
+        checkpoint tree, taking them from a fresh module init."""
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        rng = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, 8), dtype=jnp.int32)
+        ref = self.module.init(rng, dummy, jnp.ones_like(dummy))["params"]
+        flat = dict(flatten_dict(params))
+        for path, leaf in flatten_dict(ref).items():
+            if path not in flat and path[-1].endswith("_scale"):
+                flat[path] = leaf
+        return unflatten_dict(flat)
+
+    def calibrate_act_static(self, batches: Sequence[Batch]) -> int:
+        """Abs-max calibration for static int8 activations.
+
+        Runs bf16 forwards with the ``act_stats`` collection mutable —
+        each quant site (models/layers.py::_act_site) then takes the
+        dense path and sows its input's abs-max. The per-site maxima
+        (max over all batches) become per-tensor scales written into
+        the ``*_scale`` param leaves. Same treedef before/after, so no
+        recompile of the serving programs; returns #sites calibrated.
+        """
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        assert self.cfg.int8_activations and self.cfg.int8_act_static
+        self.needs_act_calibration = False
+
+        @jax.jit
+        def stats_fn(p, ids, mask, tt):
+            _, st = self.module.apply(
+                {"params": p}, ids, mask, tt, mutable=["act_stats"]
+            )
+            return st["act_stats"]
+
+        merged: dict = {}
+        for b in batches:
+            bucket = batch_bucket(b.input_ids.shape[0])
+            if self.mesh is not None:
+                dp = self.mesh.shape[self.dp_axis]
+                bucket = ((max(bucket, dp) + dp - 1) // dp) * dp
+            b = pad_batch(b, bucket)
+            st = jax.device_get(
+                stats_fn(
+                    self.params,
+                    self._place_batch(b.input_ids),
+                    self._place_batch(b.attn_mask),
+                    self._place_batch(b.token_type_ids),
+                )
+            )
+            for path, v in flatten_dict(st).items():
+                v = float(np.max(v))
+                merged[path] = max(merged.get(path, 0.0), v)
+
+        flat = dict(flatten_dict(jax.device_get(self.params)))
+        count = 0
+        for path, absmax in merged.items():
+            # sow stores under (..., site_name); the scale param lives
+            # beside it as (..., site_name + "_scale").
+            target = path[:-1] + (path[-1] + "_scale",)
+            if target in flat:
+                flat[target] = jnp.float32(max(absmax, 1e-8) / 127.0)
+                count += 1
+        self.params = self._place_params(unflatten_dict(flat))
+        return count
 
     def quantize_weights_int8(self, min_size: int = 4096) -> int:
         """Convert large 2-D kernels to per-output-channel symmetric
@@ -260,6 +338,11 @@ class EncoderRuntime:
 
     def forward(self, b: Batch) -> jax.Array:
         """Run one padded batch; returns device array (unpadded rows first)."""
+        if self.needs_act_calibration:
+            # First real batch doubles as the static-quant calibration
+            # set (abs-max is distribution-coarse by design; later
+            # outliers saturate at +-127 rather than corrupt scales).
+            self.calibrate_act_static([b])
         n = b.input_ids.shape[0]
         bucket = batch_bucket(n)
         if self.mesh is not None:
