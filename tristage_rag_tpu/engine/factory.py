@@ -31,7 +31,11 @@ _NAME_MAP = {
     "google/embeddinggemma-300m": "embeddinggemma-300m",
     "lightonai/gte-moderncolbert-v1": "gte-moderncolbert",
     "cross-encoder/ms-marco-minilm-l6-v2": "minilm-l6-cross",
+    "cross-encoder/ms-marco-minilm-l-6-v2": "minilm-l6-cross",
     "sentence-transformers/all-minilm-l6-v2": "minilm-l6-cross",
+    # 2-layer distilled sibling (stage-3 student; train/distill.py)
+    "cross-encoder/ms-marco-minilm-l2-v2": "minilm-l2-cross",
+    "cross-encoder/ms-marco-minilm-l-2-v2": "minilm-l2-cross",
 }
 
 _TINY_BY_KIND = {"bi": "tiny-gemma", "colbert": "tiny-modernbert", "cross": "tiny-bert"}

@@ -32,6 +32,11 @@ _TINY = dict(
 ENCODER_CONFIGS: dict[str, EncoderConfig] = {
     # --- test models -----------------------------------------------------
     "tiny-bert": EncoderConfig(**_TINY, position_type="learned", type_vocab_size=2),
+    # 1-layer distillation student for tiny-bert (train/distill.py).
+    "tiny-bert-1l": EncoderConfig(
+        **{**_TINY, "num_layers": 1},
+        position_type="learned", type_vocab_size=2,
+    ),
     "tiny-gemma": EncoderConfig(
         **_TINY,
         position_type="rope",
@@ -109,6 +114,20 @@ ENCODER_CONFIGS: dict[str, EncoderConfig] = {
         type_vocab_size=2,
         norm_eps=1e-12,
     ),
+    # 2-layer sibling of the reference reranker (the published
+    # ms-marco-MiniLM-L2-v2 layout) — the natural distillation student
+    # for stage-3 (train/distill.py, scripts/bench_distill.py).
+    "minilm-l2-cross": EncoderConfig(
+        vocab_size=30522,
+        hidden_size=384,
+        num_layers=2,
+        num_heads=12,
+        mlp_dim=1536,
+        max_position_embeddings=512,
+        position_type="learned",
+        type_vocab_size=2,
+        norm_eps=1e-12,
+    ),
 }
 
 POOLING_CONFIGS: dict[str, PoolingConfig] = {
@@ -127,8 +146,12 @@ COLBERT_CONFIGS: dict[str, ColBERTConfig] = {
 
 CROSS_CONFIGS: dict[str, CrossEncoderConfig] = {
     "tiny-bert": CrossEncoderConfig(num_labels=1, activation="sigmoid"),
+    "tiny-bert-1l": CrossEncoderConfig(num_labels=1, activation="sigmoid"),
     # BertForSequenceClassification routes CLS through the tanh pooler.
     "minilm-l6-cross": CrossEncoderConfig(
+        num_labels=1, activation="sigmoid", pooler_tanh=True
+    ),
+    "minilm-l2-cross": CrossEncoderConfig(
         num_labels=1, activation="sigmoid", pooler_tanh=True
     ),
 }

@@ -5,6 +5,11 @@ from tristage_rag_tpu.train.contrastive import (
     make_optimizer,
     make_param_shardings,
 )
+from tristage_rag_tpu.train.distill import (
+    CrossEncoderDistiller,
+    DistillConfig,
+    init_student_from_teacher,
+)
 
 __all__ = [
     "TrainConfig",
@@ -12,4 +17,7 @@ __all__ = [
     "info_nce_loss",
     "make_optimizer",
     "make_param_shardings",
+    "CrossEncoderDistiller",
+    "DistillConfig",
+    "init_student_from_teacher",
 ]
