@@ -25,11 +25,20 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", required=True, help="JSONL/TSV of query/positive pairs")
     ap.add_argument("--model", default="tiny-gemma", help="registry config or checkpoint name")
-    ap.add_argument("--arch", choices=("bi", "colbert", "cross"), default="bi",
+    ap.add_argument("--arch", choices=("bi", "colbert", "cross", "distill"),
+                    default="bi",
                     help="bi = stage-1 bi-encoder InfoNCE; colbert = "
                          "stage-2 late-interaction (MaxSim) InfoNCE; "
                          "cross = stage-3 cross-encoder pointwise BCE "
-                         "with shifted in-batch negatives")
+                         "with shifted in-batch negatives; distill = "
+                         "stage-3 logit distillation of --teacher into "
+                         "--model (train/distill.py)")
+    ap.add_argument("--teacher", default=None,
+                    help="(distill) teacher cross-encoder registry/"
+                         "checkpoint name, e.g. minilm-l6-cross")
+    ap.add_argument("--hard-label-weight", type=float, default=0.0,
+                    help="(distill) mix of hard-label BCE into the "
+                         "logit-matching MSE (0 = pure distillation)")
     ap.add_argument("--model-dir", default="./models")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--batch-size", type=int, default=32)
@@ -86,12 +95,25 @@ def main() -> int:
         )
         print(f"mesh: dp={dp} tp={args.tp}")
 
+    build_kind = "cross" if args.arch == "distill" else args.arch
+    compute_dtype = (
+        "bfloat16" if devices[0].platform != "cpu" else "float32"
+    )
     runtime, tokenizer = build_runtime(
-        args.arch, args.model, args.model_dir, compute_dtype="bfloat16"
-        if devices[0].platform != "cpu" else "float32",
+        build_kind, args.model, args.model_dir, compute_dtype=compute_dtype,
         seed=args.seed,
     )
-    if args.arch == "cross":
+    teacher_runtime = None
+    if args.arch == "distill":
+        if not args.teacher:
+            raise SystemExit("--arch distill requires --teacher")
+        # Teacher rides frozen; student tokenizer feeds both (same
+        # family/vocab is the distillation contract).
+        teacher_runtime, _ = build_runtime(
+            "cross", args.teacher, args.model_dir,
+            compute_dtype=compute_dtype, seed=args.seed,
+        )
+    if args.arch in ("cross", "distill"):
         # Joint pair rows (each batch = B positives + B shifted
         # negatives) through the SAME pair encoding serving uses.
         def _cross_stream():
@@ -115,20 +137,36 @@ def main() -> int:
             query_max_len=args.query_max_len, doc_max_len=args.doc_max_len,
             seed=args.seed,
         )
-    trainer_cls = {
-        "bi": Trainer, "colbert": ColBERTTrainer,
-        "cross": CrossEncoderTrainer,
-    }[args.arch]
-    trainer = trainer_cls(
-        runtime.module,
-        TrainConfig(
-            learning_rate=args.lr, temperature=args.temperature,
-            warmup_steps=args.warmup, total_steps=args.steps,
-        ),
-        mesh=mesh,
-    )
+    if args.arch == "distill":
+        from tristage_rag_tpu.train.distill import (
+            CrossEncoderDistiller, DistillConfig,
+        )
+
+        trainer = CrossEncoderDistiller(
+            runtime.module,
+            DistillConfig(
+                learning_rate=args.lr, temperature=args.temperature,
+                warmup_steps=args.warmup, total_steps=args.steps,
+                hard_label_weight=args.hard_label_weight,
+            ),
+            mesh=mesh,
+            teacher_module=teacher_runtime.module,
+        )
+    else:
+        trainer_cls = {
+            "bi": Trainer, "colbert": ColBERTTrainer,
+            "cross": CrossEncoderTrainer,
+        }[args.arch]
+        trainer = trainer_cls(
+            runtime.module,
+            TrainConfig(
+                learning_rate=args.lr, temperature=args.temperature,
+                warmup_steps=args.warmup, total_steps=args.steps,
+            ),
+            mesh=mesh,
+        )
     first = next(iter(loader))
-    if args.arch == "cross":
+    if args.arch in ("cross", "distill"):
         state = trainer.init_state(
             jax.random.PRNGKey(args.seed),
             jnp.asarray(first.ids), jnp.asarray(first.mask),
@@ -138,6 +176,19 @@ def main() -> int:
             jax.random.PRNGKey(args.seed),
             jnp.asarray(first.q_ids), jnp.asarray(first.q_mask),
         )
+    teacher_host = None
+    if args.arch == "distill":
+        # DistilBERT-style warm start (layer-mapped teacher copy where
+        # shapes match), then the ordinary mesh placement below.
+        from tristage_rag_tpu.train.distill import init_student_from_teacher
+
+        warm, copied = init_student_from_teacher(
+            runtime.params, teacher_runtime.params
+        )
+        runtime.params = warm
+        print(f"warm-started student from teacher: {copied} leaves copied")
+        # teacher params ride each step as a replicated jit ARG
+        teacher_host = jax.device_get(teacher_runtime.params)
     # warm-start from the loaded checkpoint weights if any — re-placed
     # onto the training mesh shardings (the inference runtime placed
     # them single-device/replicated).
@@ -171,7 +222,7 @@ def main() -> int:
     stream = iter(loader)
     while step < args.steps:
         b = next(stream)
-        if args.arch == "cross":
+        if args.arch in ("cross", "distill"):
             step_args = (
                 jnp.asarray(b.ids), jnp.asarray(b.mask),
                 jnp.asarray(b.types), jnp.asarray(b.labels),
@@ -181,7 +232,12 @@ def main() -> int:
                 jnp.asarray(b.q_ids), jnp.asarray(b.q_mask),
                 jnp.asarray(b.d_ids), jnp.asarray(b.d_mask),
             )
-        state, metrics = trainer.train_step(state, *step_args)
+        if args.arch == "distill":
+            state, metrics = trainer.train_step(
+                state, teacher_host, *step_args
+            )
+        else:
+            state, metrics = trainer.train_step(state, *step_args)
         step += 1
         if step % args.log_every == 0 or step == args.steps:
             done = step - start_step  # this process's own work

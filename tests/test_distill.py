@@ -190,6 +190,60 @@ class TestDistillation:
         assert losses[-1] <= losses[0]
 
 
+class TestRunner:
+    def test_run_train_arch_distill(self, tmp_path):
+        """run_train.py --arch distill end-to-end: warm start, steps,
+        checkpoint — the shipped entry point for the distiller."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        pairs = tmp_path / "pairs.jsonl"
+        with open(pairs, "w") as f:
+            for i in range(32):
+                f.write(json.dumps({
+                    "query": f"query about topic {i % 4}",
+                    "positive": f"document {i} covers topic {i % 4} fully",
+                }) + "\n")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "run_train.py"),
+             "--pairs", str(pairs), "--arch", "distill",
+             "--model", "tiny-bert-1l", "--teacher", "tiny-bert",
+             "--steps", "6", "--batch-size", "8", "--lr", "3e-3",
+             "--warmup", "1", "--doc-max-len", "48", "--log-every", "3",
+             "--ckpt-dir", str(tmp_path / "ckpts"), "--ckpt-every", "6",
+             "--platform", "cpu"],
+            capture_output=True, text=True, timeout=300,
+            env={**os.environ, "PYTHONPATH": repo + os.pathsep
+                 + os.environ.get("PYTHONPATH", "")},
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "warm-started student from teacher: 23 leaves" in out.stdout
+        assert "done: 6 steps" in out.stdout
+        assert (tmp_path / "ckpts").exists()
+
+    def test_distill_requires_teacher(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+
+        pairs = tmp_path / "p.jsonl"
+        pairs.write_text('{"query": "q", "positive": "d"}\n')
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "run_train.py"),
+             "--pairs", str(pairs), "--arch", "distill",
+             "--model", "tiny-bert-1l", "--platform", "cpu"],
+            capture_output=True, text=True, timeout=120,
+            env={**os.environ, "PYTHONPATH": repo + os.pathsep
+                 + os.environ.get("PYTHONPATH", "")},
+        )
+        assert out.returncode != 0
+        assert "--arch distill requires --teacher" in out.stderr
+
+
 class TestServeStudent:
     def test_student_serves_stage3(self, cross_pair):
         """The distilled student drops into the ordinary stage-3
