@@ -65,6 +65,11 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--tuned", action="store_true",
                     help="bigger encode batches + shorter s1 padding")
+    ap.add_argument("--act-int8", default=None,
+                    choices=("dynamic", "static"),
+                    help="run the stage-1/2 encoders with int8 "
+                         "activations (stage{1,2}_act_int8) — the "
+                         "indexing-throughput int8 x int8 MXU lever")
     args = ap.parse_args()
 
     if args.tiny:
@@ -98,6 +103,9 @@ def main():
             stage1_batch_size=256, stage2_batch_size=64,
             stage1_max_text_length=256,
         )
+    if args.act_int8:
+        mode = True if args.act_int8 == "dynamic" else "static"
+        cfg.update(stage1_act_int8=mode, stage2_act_int8=mode)
     docs = make_docs(args.docs)
 
     p = RetrievalPipeline(PipelineConfig(**cfg))
@@ -172,7 +180,8 @@ def main():
     print(json.dumps({
         "metric": "indexing_throughput",
         "value": round(n / total, 1), "unit": "docs/s",
-        "config": "tuned" if args.tuned else "default",
+        "config": ("tuned" if args.tuned else "default")
+        + (f"+act_int8_{args.act_int8}" if args.act_int8 else ""),
         "total_seconds": round(total, 2),
     }), flush=True)
 

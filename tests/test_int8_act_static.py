@@ -220,7 +220,7 @@ class TestStage3Static:
         assert back.stage3_act_int8 == "static"
 
     def test_invalid_mode_rejected(self):
-        from tristage_rag_tpu.engine.stage3 import _act_int8_overrides
+        from tristage_rag_tpu.engine.factory import act_int8_overrides
 
-        with pytest.raises(ValueError):
-            _act_int8_overrides("int4")
+        with pytest.raises(ValueError, match="stage3_act_int8"):
+            act_int8_overrides("int4", "stage3_act_int8")

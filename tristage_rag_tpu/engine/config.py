@@ -38,6 +38,13 @@ class PipelineConfig:
     stage1_rrf_k: int = 60
     stage1_dense_weight: float = 0.7
     stage1_bm25_weight: float = 0.3
+    # int8 x int8 MXU matmuls for the bi-encoder (same knob semantics
+    # as stage3_act_int8: False | True/"dynamic" | "static"). Speeds
+    # the indexing-time corpus encode; queries and docs encode through
+    # the same quantized forward so similarities stay consistent.
+    # Embedding shift ~1e-2 — measure recall before enabling at scale
+    # (scripts/bench_indexing.py --act-int8).
+    stage1_act_int8: bool | str = False
 
     # Stage 2
     stage2_model: str = "lightonai/GTE-ModernColBERT-v1"
@@ -50,6 +57,11 @@ class PipelineConfig:
     # MaxSim on raw last-hidden-state tokens, byte-faithful to the
     # reference (src/stage2_rescorer.py:156-165). See PARITY.md.
     stage2_use_projection: bool = True
+    # int8 x int8 MXU matmuls for the ColBERT encoder (same knob
+    # semantics as stage3_act_int8). Speeds the indexing-time token
+    # cache fill; doc and query tokens then encode identically, so
+    # MaxSim compares like with like. Scores shift ~1e-2.
+    stage2_act_int8: bool | str = False
     stage2_cache_doc_embeddings: bool = False  # TPU-native win (SURVEY §7)
     # HBM budget for the device-resident token cache (49 KB/doc at
     # 192x128 bf16); docs beyond the cap re-encode per query.
@@ -136,6 +148,7 @@ class PipelineConfig:
             ("rrf_k", "stage1_rrf_k"),
             ("dense_weight", "stage1_dense_weight"),
             ("bm25_weight", "stage1_bm25_weight"),
+            ("act_int8", "stage1_act_int8"),
         ],
         "stage2": [
             ("model", "stage2_model"),
@@ -147,6 +160,7 @@ class PipelineConfig:
             ("cache_doc_embeddings", "stage2_cache_doc_embeddings"),
             ("cache_max_docs", "stage2_cache_max_docs"),
             ("cache_int8", "stage2_cache_int8"),
+            ("act_int8", "stage2_act_int8"),
         ],
         "stage3": [
             ("model", "stage3_model"),

@@ -123,6 +123,25 @@ def _load_prompts(ckpt, model_name: str, mode: str = "auto") -> dict:
     return dict(_DEFAULT_PROMPTS.get(base, {"query": "", "document": ""}))
 
 
+def act_int8_overrides(mode, knob: str = "act_int8") -> Optional[dict]:
+    """Map a ``stage{1,2,3}_act_int8`` knob (False | True/"dynamic" |
+    "static") to EncoderConfig overrides (models/layers.py::QDense).
+
+    Dynamic = per-token abs-max quant in-jit, expansion-shaped
+    projections only; static = per-tensor scales calibrated abs-max on
+    the first real batch, ALL projections int8 (BENCH_NOTES round-3
+    int8 x int8 MXU microbench)."""
+    if not mode:
+        return None
+    if mode in (True, "dynamic", "true"):
+        return {"int8_activations": True}
+    if mode == "static":
+        return {"int8_activations": True, "int8_act_static": True}
+    raise ValueError(
+        f"{knob} must be False, True/'dynamic' or 'static'; got {mode!r}"
+    )
+
+
 def build_runtime(
     kind: str,
     model_name: str,

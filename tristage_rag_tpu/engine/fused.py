@@ -579,22 +579,48 @@ class FusedSearcher:
         s1 = self.stage1
         nb = len(queries)
 
+        # Static int8 activations need calibrated scales BEFORE the
+        # fused program runs (it applies the stage modules directly,
+        # bypassing runtime.forward's lazy trigger). Indexing normally
+        # calibrates stages 1-2 (their fills go through forward); this
+        # covers the load_index path where caches restore without any
+        # encode. Calibrate on real indexed docs + the live query.
+        sample = s1.documents[:: max(1, len(s1.documents) // 16)][:16]
         s3rt = self.stage3.runtime
-        if getattr(s3rt, "needs_act_calibration", False):
-            # Static int8 activations need calibrated scales BEFORE the
-            # fused program scores pairs (it applies the stage-3 module
-            # directly, bypassing runtime.forward's lazy trigger).
-            # Calibrate on real (query, indexed-doc) pairs host-side.
-            sample = s1.documents[:: max(1, len(s1.documents) // 16)][:16]
-            if sample:
-                tb = self.stage3.tokenizer.encode_pairs(
-                    [(queries[0], d) for d in sample], cfg.stage3_max_length
-                )
-                n = s3rt.calibrate_act_static([tb])
-                logger.info(
-                    "stage3 static int8 calibrated on %d pairs (%d sites)",
-                    len(sample), n,
-                )
+        if getattr(s3rt, "needs_act_calibration", False) and sample:
+            tb = self.stage3.tokenizer.encode_pairs(
+                [(queries[0], d) for d in sample], cfg.stage3_max_length
+            )
+            n = s3rt.calibrate_act_static([tb])
+            logger.info(
+                "stage3 static int8 calibrated on %d pairs (%d sites)",
+                len(sample), n,
+            )
+        s1rt = s1.runtime
+        if getattr(s1rt, "needs_act_calibration", False) and sample:
+            dp = s1rt.prompts.get("document", "")
+            qp = s1rt.prompts.get("query", "")
+            tb = s1.tokenizer.encode_batch(
+                [qp + queries[0]] + [dp + d for d in sample],
+                cfg.stage1_max_text_length,
+            )
+            n = s1rt.calibrate_act_static([tb])
+            logger.info(
+                "stage1 static int8 calibrated on %d texts (%d sites)",
+                len(sample) + 1, n,
+            )
+        s2rt = self.stage2.runtime
+        if getattr(s2rt, "needs_act_calibration", False) and sample:
+            tb = self.stage2.tokenizer.encode_batch(
+                [queries[0]] + list(sample),
+                cfg.stage2_max_seq_length,
+                buckets=(cfg.stage2_max_seq_length,),
+            )
+            n = s2rt.calibrate_act_static([tb])
+            logger.info(
+                "stage2 static int8 calibrated on %d texts (%d sites)",
+                len(sample) + 1, n,
+            )
 
         prompt = s1.runtime.prompts.get("query", "")
         tb1 = s1.tokenizer.encode_batch(

@@ -18,24 +18,9 @@ import numpy as np
 from jax.sharding import Mesh
 
 from tristage_rag_tpu.engine.config import PipelineConfig
-from tristage_rag_tpu.engine.factory import build_runtime
+from tristage_rag_tpu.engine.factory import act_int8_overrides, build_runtime
 
 logger = logging.getLogger(__name__)
-
-
-def _act_int8_overrides(mode) -> Optional[dict]:
-    """Map the ``stage3_act_int8`` knob (False | True/"dynamic" |
-    "static") to EncoderConfig overrides."""
-    if not mode:
-        return None
-    if mode in (True, "dynamic", "true"):
-        return {"int8_activations": True}
-    if mode == "static":
-        return {"int8_activations": True, "int8_act_static": True}
-    raise ValueError(
-        f"stage3_act_int8 must be False, True/'dynamic' or 'static'; "
-        f"got {mode!r}"
-    )
 
 
 class CrossEncoderReranker:
@@ -49,8 +34,8 @@ class CrossEncoderReranker:
             mesh=mesh,
             seed=config.seed + 2,
             head_overrides={"activation": config.stage3_activation},
-            encoder_overrides=_act_int8_overrides(
-                getattr(config, "stage3_act_int8", False)
+            encoder_overrides=act_int8_overrides(
+                getattr(config, "stage3_act_int8", False), "stage3_act_int8"
             ),
         )
         if getattr(config, "stage3_weights_int8", False):
