@@ -49,6 +49,11 @@ def main() -> int:
     ap.add_argument("--doc-max-len", type=int, default=256)
     ap.add_argument("--ckpt-dir", default="./train_ckpts")
     ap.add_argument("--ckpt-every", type=int, default=200)
+    ap.add_argument("--export-dir", default=None,
+                    help="after training, write a servable native "
+                         "checkpoint (models/native_ckpt.py) here — "
+                         "load it by directory basename via "
+                         "PipelineConfig.stageN_model + model_dir")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--dp", type=int, default=0, help="data-parallel size (0=auto)")
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
@@ -251,6 +256,27 @@ def main() -> int:
     ckpt.close()
     print(f"done: {step - start_step} steps in {time.time() - t0:.1f}s "
           f"(through step {step}/{args.steps}); checkpoints in {args.ckpt_dir}")
+
+    if args.export_dir:
+        from tristage_rag_tpu.engine.factory import checkpoint_dir
+        from tristage_rag_tpu.models.native_ckpt import save_native
+
+        out = save_native(
+            args.export_dir,
+            kind=build_kind,
+            enc_cfg=runtime.cfg,
+            head_cfg=runtime.head_cfg,
+            params=state["params"],
+            prompts=runtime.prompts,
+            # tokenize like the base checkpoint — or the teacher's for
+            # a registry-init distillation student
+            tokenizer_src=checkpoint_dir(args.model_dir, args.model)
+            or (checkpoint_dir(args.model_dir, args.teacher)
+                if args.teacher else None),
+        )
+        print(f"exported servable checkpoint to {out} "
+              f"(use stage model '{Path(out).name}' with "
+              f"model_dir '{Path(out).parent}')")
     return 0
 
 

@@ -67,6 +67,10 @@ def checkpoint_dir(model_dir: str, model_name: str) -> Optional[Path]:
     base = Path(model_dir) / model_name.split("/")[-1]
     if base.is_dir() and any(base.glob("*.safetensors")):
         return base
+    from tristage_rag_tpu.models.native_ckpt import is_native_dir
+
+    if base.is_dir() and is_native_dir(base):
+        return base
     return None
 
 
@@ -176,17 +180,37 @@ def build_runtime(
         head = dataclasses.replace(head, **head_overrides)
 
     params = None
+    native_prompts = None
     if ckpt is not None:
-        from tristage_rag_tpu.models import hf_loader
+        from tristage_rag_tpu.models import hf_loader, native_ckpt
 
         try:
-            enc_cfg, head, params = hf_loader.load_checkpoint(
-                ckpt, kind, enc_cfg, head, compute_dtype
-            )
-            logger.info("loaded %s checkpoint from %s", kind, ckpt)
+            if native_ckpt.is_native_dir(ckpt):
+                saved_kind, n_cfg, n_head, n_params, n_prompts = (
+                    native_ckpt.load_native(ckpt, compute_dtype)
+                )
+                if saved_kind != kind:
+                    raise ValueError(
+                        f"checkpoint {ckpt} is a {saved_kind!r} model, "
+                        f"requested kind {kind!r}"
+                    )
+                enc_cfg, head, params, native_prompts = (
+                    n_cfg, n_head, n_params, n_prompts
+                )
+                if head_overrides:
+                    import dataclasses
+
+                    head = dataclasses.replace(head, **head_overrides)
+                logger.info("loaded native %s checkpoint from %s", kind, ckpt)
+            else:
+                enc_cfg, head, params = hf_loader.load_checkpoint(
+                    ckpt, kind, enc_cfg, head, compute_dtype
+                )
+                logger.info("loaded %s checkpoint from %s", kind, ckpt)
         except Exception as e:  # fall back to random init, keep serving
             logger.warning("failed to load checkpoint %s (%s); random init", ckpt, e)
             params = None
+            native_prompts = None
 
     if encoder_overrides:
         enc_cfg = enc_cfg.replace(**encoder_overrides)
@@ -206,7 +230,12 @@ def build_runtime(
     # eval run on random init can never masquerade as a real score
     # (run_benchmark.py refuses without --allow-random-weights).
     runtime.weights_loaded = weights_loaded
-    runtime.prompts = _load_prompts(ckpt, model_name, prompt_mode)
+    if native_prompts is not None and prompt_mode != "none":
+        # native checkpoints persist their (already mode-resolved)
+        # prompts in the manifest; there is no ST config to re-read
+        runtime.prompts = native_prompts
+    else:
+        runtime.prompts = _load_prompts(ckpt, model_name, prompt_mode)
     tokenizer = load_tokenizer(str(ckpt) if ckpt else None)
     if tokenizer.vocab_size > enc_cfg.vocab_size:
         # Hash tokenizer must stay within the embedding table.
