@@ -43,6 +43,10 @@ REQUIRED_MODELS: dict[str, ModelSpec] = {
 
 LOW_MEMORY_ALTERNATES: dict[str, str] = {
     "google/embeddinggemma-300m": "sentence-transformers/all-MiniLM-L6-v2",
+    # the published 2-layer distillation sibling of the stage-3
+    # reranker (registry "minilm-l2-cross"; or distill your own
+    # in-domain with run_train --arch distill)
+    "cross-encoder/ms-marco-MiniLM-L6-v2": "cross-encoder/ms-marco-MiniLM-L2-v2",
 }
 
 
