@@ -112,12 +112,23 @@ def main() -> int:
     if args.arch == "distill":
         if not args.teacher:
             raise SystemExit("--arch distill requires --teacher")
-        # Teacher rides frozen; student tokenizer feeds both (same
-        # family/vocab is the distillation contract).
-        teacher_runtime, _ = build_runtime(
+        teacher_runtime, teacher_tok = build_runtime(
             "cross", args.teacher, args.model_dir,
             compute_dtype=compute_dtype, seed=args.seed,
         )
+        # ONE tokenizer must feed both forwards (same family/vocab is
+        # the distillation contract), and the teacher's is
+        # authoritative: a registry-init student has no tokenizer
+        # files, and hash-tokenizing a checkpoint teacher would make
+        # its logits (the distillation targets) noise.
+        if teacher_tok.vocab_size <= runtime.cfg.vocab_size:
+            tokenizer = teacher_tok
+        elif tokenizer.vocab_size != teacher_tok.vocab_size:
+            raise SystemExit(
+                f"teacher tokenizer vocab ({teacher_tok.vocab_size}) "
+                f"exceeds the student embedding table "
+                f"({runtime.cfg.vocab_size}); pick a same-family student"
+            )
     if args.arch in ("cross", "distill"):
         # Joint pair rows (each batch = B positives + B shifted
         # negatives) through the SAME pair encoding serving uses.
@@ -183,16 +194,27 @@ def main() -> int:
         )
     teacher_host = None
     if args.arch == "distill":
-        # DistilBERT-style warm start (layer-mapped teacher copy where
-        # shapes match), then the ordinary mesh placement below.
-        from tristage_rag_tpu.train.distill import init_student_from_teacher
+        if runtime.weights_loaded:
+            # the student came from a real checkpoint (e.g. a previous
+            # --export-dir): keep its weights — warm-starting would
+            # clobber the prior distillation with teacher copies
+            print("student loaded checkpoint weights; skipping teacher "
+                  "warm start")
+        else:
+            # DistilBERT-style warm start (layer-mapped teacher copy
+            # where shapes match), then the ordinary mesh placement.
+            from tristage_rag_tpu.train.distill import (
+                init_student_from_teacher,
+            )
 
-        warm, copied = init_student_from_teacher(
-            runtime.params, teacher_runtime.params
-        )
-        runtime.params = warm
-        print(f"warm-started student from teacher: {copied} leaves copied")
+            warm, copied = init_student_from_teacher(
+                runtime.params, teacher_runtime.params
+            )
+            runtime.params = warm
+            print(f"warm-started student from teacher: {copied} leaves "
+                  f"copied")
         # teacher params ride each step as a replicated jit ARG
+        # (device_put once by Trainer._place_repl, reused every step)
         teacher_host = jax.device_get(teacher_runtime.params)
     # warm-start from the loaded checkpoint weights if any — re-placed
     # onto the training mesh shardings (the inference runtime placed

@@ -134,17 +134,23 @@ class TestFactoryLoads:
             np.testing.assert_allclose(np.asarray(fa[p]),
                                        np.asarray(fb[p]), atol=0)
 
-    def test_kind_mismatch_falls_back_to_random(self, tmp_path):
+    def test_kind_mismatch_fails_loudly(self, tmp_path):
+        """Pointing a stage at the wrong-kind checkpoint is a CONFIG
+        error — it must raise, not degrade to random-init serving
+        (which would return garbage scores that look live)."""
         from tristage_rag_tpu.engine.factory import build_runtime
-        from tristage_rag_tpu.models.native_ckpt import save_native
+        from tristage_rag_tpu.models.native_ckpt import (
+            CheckpointKindError, save_native,
+        )
 
         rt, _ = _runtime("cross", "tiny-bert")
         save_native(tmp_path / "a-cross-model", "cross", rt.cfg,
                     rt.head_cfg, rt.params)
-        loaded, _ = build_runtime(
-            "bi", "a-cross-model", str(tmp_path), compute_dtype="float32"
-        )
-        assert not loaded.weights_loaded  # refused, served random init
+        with pytest.raises(CheckpointKindError, match="'cross'"):
+            build_runtime(
+                "bi", "a-cross-model", str(tmp_path),
+                compute_dtype="float32",
+            )
 
     def test_prompt_mode_none_suppresses_saved_prompts(self, tmp_path):
         from tristage_rag_tpu.engine.factory import build_runtime

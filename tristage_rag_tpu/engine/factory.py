@@ -190,7 +190,7 @@ def build_runtime(
                     native_ckpt.load_native(ckpt, compute_dtype)
                 )
                 if saved_kind != kind:
-                    raise ValueError(
+                    raise native_ckpt.CheckpointKindError(
                         f"checkpoint {ckpt} is a {saved_kind!r} model, "
                         f"requested kind {kind!r}"
                     )
@@ -207,6 +207,8 @@ def build_runtime(
                     ckpt, kind, enc_cfg, head, compute_dtype
                 )
                 logger.info("loaded %s checkpoint from %s", kind, ckpt)
+        except native_ckpt.CheckpointKindError:
+            raise  # misconfig, not a load failure — fail loudly
         except Exception as e:  # fall back to random init, keep serving
             logger.warning("failed to load checkpoint %s (%s); random init", ckpt, e)
             params = None

@@ -586,40 +586,44 @@ class FusedSearcher:
         # covers the load_index path where caches restore without any
         # encode. Calibrate on real indexed docs + the live query.
         sample = s1.documents[:: max(1, len(s1.documents) // 16)][:16]
-        s3rt = self.stage3.runtime
-        if getattr(s3rt, "needs_act_calibration", False) and sample:
-            tb = self.stage3.tokenizer.encode_pairs(
-                [(queries[0], d) for d in sample], cfg.stage3_max_length
-            )
-            n = s3rt.calibrate_act_static([tb])
-            logger.info(
-                "stage3 static int8 calibrated on %d pairs (%d sites)",
-                len(sample), n,
-            )
-        s1rt = s1.runtime
-        if getattr(s1rt, "needs_act_calibration", False) and sample:
-            dp = s1rt.prompts.get("document", "")
-            qp = s1rt.prompts.get("query", "")
-            tb = s1.tokenizer.encode_batch(
-                [qp + queries[0]] + [dp + d for d in sample],
+
+        def _s1_batch():
+            qp = s1.runtime.prompts.get("query", "")
+            dp_ = s1.runtime.prompts.get("document", "")
+            return s1.tokenizer.encode_batch(
+                [qp + queries[0]] + [dp_ + d for d in sample],
                 cfg.stage1_max_text_length,
             )
-            n = s1rt.calibrate_act_static([tb])
-            logger.info(
-                "stage1 static int8 calibrated on %d texts (%d sites)",
-                len(sample) + 1, n,
-            )
-        s2rt = self.stage2.runtime
-        if getattr(s2rt, "needs_act_calibration", False) and sample:
-            tb = self.stage2.tokenizer.encode_batch(
+
+        def _s2_batch():
+            return self.stage2.tokenizer.encode_batch(
                 [queries[0]] + list(sample),
                 cfg.stage2_max_seq_length,
                 buckets=(cfg.stage2_max_seq_length,),
             )
-            n = s2rt.calibrate_act_static([tb])
+
+        def _s3_batch():
+            return self.stage3.tokenizer.encode_pairs(
+                [(queries[0], d) for d in sample], cfg.stage3_max_length
+            )
+
+        for name, rt, make_batch in (
+            ("stage1", s1.runtime, _s1_batch),
+            ("stage2", self.stage2.runtime, _s2_batch),
+            ("stage3", self.stage3.runtime, _s3_batch),
+        ):
+            if not getattr(rt, "needs_act_calibration", False):
+                continue
+            if not sample:
+                logger.warning(
+                    "%s static int8 needs calibration but the corpus is "
+                    "empty; scales stay 1.0 until real docs arrive", name,
+                )
+                continue
+            n = rt.calibrate_act_static([make_batch()])
             logger.info(
-                "stage2 static int8 calibrated on %d texts (%d sites)",
-                len(sample) + 1, n,
+                "%s static int8 calibrated on %d docs + query (%d sites)",
+                name, len(sample), n,
             )
 
         prompt = s1.runtime.prompts.get("query", "")

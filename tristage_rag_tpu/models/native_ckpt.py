@@ -45,6 +45,12 @@ FORMAT = "tristage-native"
 VERSION = 1
 MANIFEST = "native_config.json"
 
+
+class CheckpointKindError(ValueError):
+    """A checkpoint of one kind was pointed at a stage of another —
+    a config error that must FAIL, not degrade to random-init serving
+    (the degradation ladder is for load failures, not misconfig)."""
+
 _HEAD_TYPES = {
     "bi": PoolingConfig,
     "colbert": ColBERTConfig,

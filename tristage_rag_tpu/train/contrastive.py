@@ -176,9 +176,19 @@ class Trainer:
     dp_axis: str = "dp"
     tp_axis: str = "tp"
 
+    # Leading step args (between state and the 4 batch arrays) that are
+    # mesh-REPLICATED rather than dp-sharded — e.g. the distiller's
+    # frozen teacher params. Subclasses override.
+    _N_REPL_ARGS = 0
+
     def __post_init__(self):
         self.optimizer = make_optimizer(self.cfg)
         self._step_fn = None
+        # position -> (id(host_tree), placed_tree): replicated args are
+        # device_put ONCE and reused while the caller passes the same
+        # host object (re-uploading a ~100 MB teacher tree every step
+        # would dominate step time on tunneled TPUs).
+        self._repl_cache: dict = {}
 
     def init_state(self, rng, sample_ids, sample_mask):
         params = self.module.init(rng, sample_ids, sample_mask)["params"]
@@ -212,9 +222,9 @@ class Trainer:
         d_emb = self.module.apply({"params": params}, d_ids, d_mask)
         return info_nce_loss(q_emb, d_emb, self.cfg.temperature)
 
-    def _train_step(self, state, q_ids, q_mask, d_ids, d_mask):
+    def _train_step(self, state, *args):
         (loss, acc), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-            state["params"], q_ids, q_mask, d_ids, d_mask
+            state["params"], *args
         )
         updates, opt_state = self.optimizer.update(
             grads, state["opt_state"], state["params"]
@@ -228,27 +238,46 @@ class Trainer:
         return new_state, {"loss": loss, "accuracy": acc}
 
     def step_fn(self):
-        """The jitted train step; batch inputs sharded over dp."""
+        """The jitted train step; replicated leading args (if any),
+        then the 4 batch arrays sharded over dp."""
         if self._step_fn is not None:
             return self._step_fn
         if self.mesh is None:
             self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
         else:
             batch_sh = NamedSharding(self.mesh, P(self.dp_axis, None))
+            repl = NamedSharding(self.mesh, P())
             self._step_fn = jax.jit(
                 self._train_step,
-                in_shardings=(None,) + (batch_sh,) * 4,
+                in_shardings=(None,)
+                + (repl,) * self._N_REPL_ARGS
+                + (batch_sh,) * 4,
                 donate_argnums=(0,),
             )
         return self._step_fn
 
-    def train_step(self, state, q_ids, q_mask, d_ids, d_mask):
+    def _place_repl(self, pos: int, tree):
+        """Replicated-arg placement, cached while the caller keeps
+        passing the same host object at this position."""
+        key = id(tree)
+        hit = self._repl_cache.get(pos)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        if self.mesh is not None:
+            placed = jax.device_put(tree, NamedSharding(self.mesh, P()))
+        else:
+            placed = jax.device_put(tree)
+        self._repl_cache[pos] = (key, placed)
+        return placed
+
+    def train_step(self, state, *args):
+        n = self._N_REPL_ARGS
+        repl = tuple(self._place_repl(i, a) for i, a in enumerate(args[:n]))
+        batch = args[n:]
         if self.mesh is not None:
             sh = NamedSharding(self.mesh, P(self.dp_axis, None))
-            q_ids, q_mask, d_ids, d_mask = (
-                jax.device_put(x, sh) for x in (q_ids, q_mask, d_ids, d_mask)
-            )
-        return self.step_fn()(state, q_ids, q_mask, d_ids, d_mask)
+            batch = tuple(jax.device_put(x, sh) for x in batch)
+        return self.step_fn()(state, *repl, *batch)
 
 
 @dataclasses.dataclass

@@ -41,7 +41,6 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tristage_rag_tpu.train.contrastive import TrainConfig, Trainer
 
@@ -125,11 +124,15 @@ class CrossEncoderDistiller(Trainer):
     batch rows are serving-encoded pairs (train/data.py::
     cross_pair_batch — labels only matter when ``hard_label_weight``
     > 0, but ride along so the same loader feeds both trainers).
-    Teacher params are replicated over the mesh; batch rows shard
-    over dp exactly like CrossEncoderTrainer's.
+    Teacher params ride as the Trainer base's replicated leading arg:
+    device_put ONCE (cached while the caller passes the same host
+    tree — re-uploading ~100 MB per step would dominate on tunneled
+    TPUs) and replicated over the mesh; batch rows shard over dp
+    exactly like CrossEncoderTrainer's.
     """
 
     teacher_module: Any = None
+    _N_REPL_ARGS = 1
 
     @staticmethod
     def _raw(module, params, ids, mask, types):
@@ -153,40 +156,3 @@ class CrossEncoderDistiller(Trainer):
         # "accuracy" = sign agreement with the teacher's decision.
         acc = jnp.mean((s > 0) == (t > 0))
         return loss, acc
-
-    def _train_step(self, state, teacher_params, ids, mask, types, labels):
-        (loss, acc), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-            state["params"], teacher_params, ids, mask, types, labels
-        )
-        updates, opt_state = self.optimizer.update(
-            grads, state["opt_state"], state["params"]
-        )
-        params = optax.apply_updates(state["params"], updates)
-        return (
-            {"params": params, "opt_state": opt_state,
-             "step": state["step"] + 1},
-            {"loss": loss, "accuracy": acc},
-        )
-
-    def step_fn(self):
-        if self._step_fn is not None:
-            return self._step_fn
-        if self.mesh is None:
-            self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
-        else:
-            batch_sh = NamedSharding(self.mesh, P(self.dp_axis, None))
-            repl = NamedSharding(self.mesh, P())
-            self._step_fn = jax.jit(
-                self._train_step,
-                in_shardings=(None, repl) + (batch_sh,) * 4,
-                donate_argnums=(0,),
-            )
-        return self._step_fn
-
-    def train_step(self, state, teacher_params, ids, mask, types, labels):
-        if self.mesh is not None:
-            sh = NamedSharding(self.mesh, P(self.dp_axis, None))
-            ids, mask, types, labels = (
-                jax.device_put(x, sh) for x in (ids, mask, types, labels)
-            )
-        return self.step_fn()(state, teacher_params, ids, mask, types, labels)
