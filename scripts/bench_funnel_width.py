@@ -160,6 +160,15 @@ def main() -> None:
                     help="also measure the static-scale int8-activation "
                          "mode (stage3_act_int8='static': calibrated "
                          "per-tensor scales, ALL projections int8)")
+    ap.add_argument("--act-int8-pallas", action="store_true",
+                    help="also measure the fused Pallas int8 kernel "
+                         "(stage3_act_int8='pallas': quant/dot/dequant/"
+                         "bias in one VMEM pass — the lever for the "
+                         "in-context fusion loss BENCH_NOTES measured "
+                         "on the XLA int8 lowering)")
+    ap.add_argument("--act-int8-static-pallas", action="store_true",
+                    help="also measure the static-scale fused Pallas "
+                         "mode (stage3_act_int8='static-pallas')")
     ap.add_argument("--train-steps", type=int, default=0,
                     help="(tiny mode) fine-tune all three tiny models "
                          "on the synthetic task for N steps before "
@@ -213,6 +222,13 @@ def main() -> None:
         variants.append(("act_int8", {"stage3_act_int8": True}))
     if args.act_int8_static:
         variants.append(("act_int8_static", {"stage3_act_int8": "static"}))
+    if args.act_int8_pallas:
+        variants.append(("act_int8_pallas", {"stage3_act_int8": "pallas"}))
+    if args.act_int8_static_pallas:
+        variants.append(
+            ("act_int8_static_pallas",
+             {"stage3_act_int8": "static-pallas"})
+        )
     for width in args.widths:
         for vname, extra in variants:
             cfg = PipelineConfig(

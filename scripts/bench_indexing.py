@@ -66,10 +66,13 @@ def main():
     ap.add_argument("--tuned", action="store_true",
                     help="bigger encode batches + shorter s1 padding")
     ap.add_argument("--act-int8", default=None,
-                    choices=("dynamic", "static"),
+                    choices=("dynamic", "static", "pallas",
+                             "static-pallas"),
                     help="run the stage-1/2 encoders with int8 "
                          "activations (stage{1,2}_act_int8) — the "
-                         "indexing-throughput int8 x int8 MXU lever")
+                         "indexing-throughput int8 x int8 MXU lever; "
+                         "the *pallas modes use the fused "
+                         "quant/dot/dequant kernel (ops/pallas_qdense)")
     args = ap.parse_args()
 
     if args.tiny:
@@ -104,7 +107,7 @@ def main():
             stage1_max_text_length=256,
         )
     if args.act_int8:
-        mode = True if args.act_int8 == "dynamic" else "static"
+        mode = True if args.act_int8 == "dynamic" else args.act_int8
         cfg.update(stage1_act_int8=mode, stage2_act_int8=mode)
     docs = make_docs(args.docs)
 

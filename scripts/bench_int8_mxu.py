@@ -13,6 +13,12 @@ Prints one JSON line per shape with ms + TOPs for:
   int8_static — int8 inputs pre-quantized (pure MXU ceiling)
   int8_dyn    — bf16 input, in-jit per-row quantize + int8 dot + dequant
                 (what a serving layer actually runs)
+  pallas_dyn / pallas_static — the same two quant modes through the
+                fused Pallas kernel (ops/pallas_qdense.py): quant ->
+                int8 dot -> dequant in one VMEM pass, no HBM
+                materialization of codes/accumulator. The gap between
+                int8_dyn and pallas_dyn is exactly the XLA fusion loss
+                BENCH_NOTES round-3 measured at the funnel level.
 
 Timing: chained fori_loop differencing (the method in
 utils/benchtime.py, inlined here because the step signature is a
@@ -93,17 +99,35 @@ def main() -> None:
             y = acc.astype(jnp.float32) * s * w_scale[None, :]
             return a + jnp.mean(y, axis=1, keepdims=True).astype(a.dtype) * jnp.asarray(1e-8, a.dtype)
 
+        from tristage_rag_tpu.ops.pallas_qdense import fused_qdense
+
+        xs_cal = jnp.float32(
+            float(jnp.max(jnp.abs(x.astype(jnp.float32)))) / 127.0
+        )
+
+        def pallas_dyn_step(a, b):
+            y = fused_qdense(a, b, w_scale, out_dtype=jnp.float32)
+            return a + jnp.mean(y, axis=1, keepdims=True).astype(a.dtype) * jnp.asarray(1e-8, a.dtype)
+
+        def pallas_static_step(a, b):
+            y = fused_qdense(a, b, w_scale, x_scale=xs_cal, out_dtype=jnp.float32)
+            return a + jnp.mean(y, axis=1, keepdims=True).astype(a.dtype) * jnp.asarray(1e-8, a.dtype)
+
         rows = {}
         for name, fn, a0, b0 in (
             ("bf16", bf16_step, x, w),
             ("int8_static", int8_static_step, x8, w8),
             ("int8_dyn", int8_dyn_step, x, w8),
+            ("pallas_dyn", pallas_dyn_step, x, w8),
+            ("pallas_static", pallas_static_step, x, w8),
         ):
             per = timed(fn, a0, b0)
             tops = 2 * m * k * n / per / 1e12
             rows[name] = {"ms": round(per * 1e3, 4), "tops": round(tops, 1)}
-        rows["speedup_dyn"] = round(rows["bf16"]["ms"] / rows["int8_dyn"]["ms"], 3)
-        rows["speedup_static"] = round(rows["bf16"]["ms"] / rows["int8_static"]["ms"], 3)
+        for key in ("int8_dyn", "int8_static", "pallas_dyn", "pallas_static"):
+            rows[f"speedup_{key.replace('int8_', '')}"] = round(
+                rows["bf16"]["ms"] / rows[key]["ms"], 3
+            )
         print(json.dumps({"shape": [m, k, n], **rows}), flush=True)
 
 

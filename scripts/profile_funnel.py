@@ -1,0 +1,88 @@
+"""Op-level profile of the fused funnel: bf16 vs int8-activation
+stage-3.
+
+BENCH_NOTES round 3 measured the per-dot int8 x int8 MXU win (1.2-2.9x
+in isolation) INVERTING at the funnel level (-10-25%). This script
+captures jax.profiler traces of the same fused program under each
+variant so the slowdown can be attributed op-by-op (quant
+materialization? broken matmul epilogue fusion? layout changes?).
+
+Run (TPU):
+  PYTHONPATH=/root/repo:$PYTHONPATH python -u scripts/profile_funnel.py \
+      --docs 2000 --out /tmp/funnel_traces
+Inspect with tensorboard (or xprof) pointed at the per-variant
+subdirectories; `device_host_split` prints a coarse summary inline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=2000)
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--width", type=int, default=100)
+    ap.add_argument("--out", default="/tmp/funnel_traces")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--variants", nargs="+",
+                    default=["bf16", "static"],
+                    choices=["bf16", "dynamic", "static"])
+    args = ap.parse_args()
+
+    if args.tiny:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    from tristage_rag_tpu.engine.config import PipelineConfig
+    from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+    if args.tiny:
+        models = dict(stage1_model="tiny-gemma",
+                      stage2_model="tiny-modernbert",
+                      stage3_model="tiny-bert")
+    else:
+        models = dict(stage1_model="embeddinggemma-300m",
+                      stage2_model="gte-moderncolbert",
+                      stage3_model="minilm-l6-cross")
+    docs = [f"doc {i}: retrieval kernel fusion latency topic {i % 7} "
+            f"memory bandwidth index shard " * 4 for i in range(args.docs)]
+    query = "retrieval kernel latency topic 3"
+
+    mode_map = {"bf16": False, "dynamic": True, "static": "static"}
+    for variant in args.variants:
+        cfg = PipelineConfig(
+            stage1_top_k=500, stage2_top_k=args.width, stage3_top_k=20,
+            stage2_cache_doc_embeddings=True, enable_fused_search=True,
+            mesh_data_parallel=1, stage3_act_int8=mode_map[variant],
+            **models,
+        )
+        p = RetrievalPipeline(cfg)
+        p.add_documents(docs)
+        # warm: compile + (static) calibration outside the trace
+        for _ in range(3):
+            p.search(query, top_k=5)
+        assert p._fused is not None and p._fused.ready()
+        probe = p._fused.device_time_probe(query, iters=args.iters)
+        out_dir = os.path.join(args.out, variant)
+        with jax.profiler.trace(out_dir):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                p.search(query, top_k=5)
+            wall = time.perf_counter() - t0
+        print(f"{variant}: device {probe['per_query_ms']:.2f} ms/query, "
+              f"traced wall {wall / args.iters * 1e3:.2f} ms/query "
+              f"-> {out_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

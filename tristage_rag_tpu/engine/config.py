@@ -90,9 +90,14 @@ class PipelineConfig:
     # (per-token abs-max quant in-jit; expansion-shaped projections
     # only) | "static" (per-tensor scales abs-max-calibrated on the
     # first real batch; ALL projections incl. o_proj/down_proj run
-    # int8, recovering the static column of bench_int8_mxu). Scores
-    # shift ~1e-2; rankings verified on tiny stacks
-    # (tests/test_int8_act.py, test_int8_act_static.py).
+    # int8, recovering the static column of bench_int8_mxu) |
+    # "pallas" / "static-pallas" (the same two quant modes through the
+    # fused quant/dot/dequant kernel ops/pallas_qdense.py — one VMEM
+    # pass, no HBM materialization of int8 codes / int32 accumulator;
+    # the lever for the in-context fusion loss BENCH_NOTES measured on
+    # the XLA lowering). Scores shift ~1e-2; rankings verified on tiny
+    # stacks (tests/test_int8_act.py, test_int8_act_static.py,
+    # test_pallas_qdense.py).
     stage3_act_int8: bool | str = False
     stage3_normalize_scores: bool = True
     # Fused-path pair layout: queries are capped at this many tokens

@@ -129,20 +129,33 @@ def _load_prompts(ckpt, model_name: str, mode: str = "auto") -> dict:
 
 def act_int8_overrides(mode, knob: str = "act_int8") -> Optional[dict]:
     """Map a ``stage{1,2,3}_act_int8`` knob (False | True/"dynamic" |
-    "static") to EncoderConfig overrides (models/layers.py::QDense).
+    "static" | "pallas" | "static-pallas") to EncoderConfig overrides
+    (models/layers.py::QDense).
 
     Dynamic = per-token abs-max quant in-jit, expansion-shaped
     projections only; static = per-tensor scales calibrated abs-max on
     the first real batch, ALL projections int8 (BENCH_NOTES round-3
-    int8 x int8 MXU microbench)."""
+    int8 x int8 MXU microbench). The ``*pallas`` variants route every
+    int8 projection through the fused quant/dot/dequant kernel
+    (ops/pallas_qdense.py) instead of the XLA lowering — all sites
+    quantize in both pallas modes since the quant pass is VMEM-local."""
     if not mode:
         return None
     if mode in (True, "dynamic", "true"):
         return {"int8_activations": True}
     if mode == "static":
         return {"int8_activations": True, "int8_act_static": True}
+    if mode == "pallas":
+        return {"int8_activations": True, "int8_pallas": True}
+    if mode == "static-pallas":
+        return {
+            "int8_activations": True,
+            "int8_act_static": True,
+            "int8_pallas": True,
+        }
     raise ValueError(
-        f"{knob} must be False, True/'dynamic' or 'static'; got {mode!r}"
+        f"{knob} must be False, True/'dynamic', 'static', 'pallas' or"
+        f" 'static-pallas'; got {mode!r}"
     )
 
 

@@ -96,6 +96,16 @@ class EncoderConfig:
     # (EncoderRuntime.calibrate_act_static); out-of-range activations
     # saturate at +-127.
     int8_act_static: bool = False
+    # Run int8 projections through the fused Pallas kernel
+    # (ops/pallas_qdense.py): quant -> int8 MXU dot -> dequant+bias in
+    # one VMEM pass, recovering the epilogue fusions the XLA lowering
+    # loses (BENCH_NOTES round-3: per-dot 1.2-2.9x faster, in-funnel
+    # 10-25% SLOWER via XLA). With the quant pass fused on-chip the
+    # dynamic per-row reduction is VMEM-local, so ALL projection sites
+    # quantize (o_proj/down_proj included — the dynamic_ok gate only
+    # exists because the XLA quant pass is an HBM read). Mosaic TPU
+    # backends only; on CPU the kernel runs interpreted (tests).
+    int8_pallas: bool = False
 
     @property
     def kv_heads(self) -> int:

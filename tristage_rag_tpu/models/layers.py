@@ -174,6 +174,38 @@ def _int8_matmul(x2d, kernel, out_dtype, pre=None) -> jax.Array:
     return y.astype(out_dtype)
 
 
+def _int8_dense(x2d, kernel, bias, out_dtype, pre=None, pallas=False):
+    """One int8 projection, routed to the fused Pallas kernel
+    (ops/pallas_qdense.py — quant/dot/dequant/bias in one VMEM pass)
+    when ``pallas`` is set, else the XLA lowering (:func:`_int8_matmul`
+    + bias). ``bias`` is a flat ``[N]`` array or None. Falls back to
+    XLA on shapes the kernel refuses (K or N not lane-aligned)."""
+    if pallas:
+        from tristage_rag_tpu.index.token_cache import symmetric_int8
+        from tristage_rag_tpu.ops.pallas_qdense import fused_qdense
+
+        if isinstance(kernel, dict):
+            wq, ws = kernel["q8"], kernel["scale"]
+        else:
+            wq_nk, ws = symmetric_int8(kernel.astype(jnp.float32).T)
+            wq = wq_nk.T  # [K, N]; O(K*N) copy, trivial next to the dot
+        # Static mode hands the calibrated scalar to the kernel; in
+        # dynamic mode the kernel computes per-row scales in VMEM and
+        # the shared `pre` codes are dead (DCE'd by XLA).
+        xs = pre[1] if (pre is not None and pre[1].ndim == 0) else None
+        try:
+            return fused_qdense(
+                x2d, wq, ws, bias=bias, x_scale=xs, out_dtype=out_dtype,
+                interpret=jax.default_backend() == "cpu",
+            )
+        except ValueError:
+            pass
+    y = _int8_matmul(x2d, kernel, out_dtype, pre=pre)
+    if bias is not None:
+        y = y + bias.astype(out_dtype)
+    return y
+
+
 def _act_site(mod: nn.Module, cfg, name: str, x2d, dynamic_ok: bool = True):
     """One activation-quantization site (attn_in / attn_out / mlp_in /
     mlp_mid). Returns a precomputed ``(codes, scale)`` for
@@ -192,6 +224,11 @@ def _act_site(mod: nn.Module, cfg, name: str, x2d, dynamic_ok: bool = True):
     """
     if not cfg.int8_activations:
         return None
+    # Under the fused Pallas kernel the dynamic per-row quant pass is
+    # VMEM-local (no HBM read), so the contraction-heavy-site gate
+    # (dynamic_ok=False at o_proj/down_proj) does not apply.
+    if getattr(cfg, "int8_pallas", False):
+        dynamic_ok = True
     if cfg.int8_act_static:
         s = mod.param(name + "_scale", nn.initializers.ones, ())
         if mod.is_mutable_collection("act_stats"):
@@ -216,6 +253,7 @@ class QDense(nn.Module):
     features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, pre=None):
@@ -223,13 +261,16 @@ class QDense(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (x.shape[-1], self.features),
         )
-        lead = x.shape[:-1]
-        y = _int8_matmul(
-            x.reshape(-1, x.shape[-1]), kernel, self.dtype, pre=pre
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
         )
-        if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + b.astype(self.dtype)
+        lead = x.shape[:-1]
+        y = _int8_dense(
+            x.reshape(-1, x.shape[-1]), kernel, b, self.dtype,
+            pre=pre, pallas=self.pallas,
+        )
         return y.reshape(*lead, self.features)
 
 
@@ -244,6 +285,7 @@ class QDenseGeneral(nn.Module):
     axis: Any = -1
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, pre=None):
@@ -276,10 +318,15 @@ class QDenseGeneral(nn.Module):
              "scale": kernel["scale"].reshape(n)}
             if isinstance(kernel, dict) else kernel.reshape(k, n)
         )
-        y = _int8_matmul(x.reshape(-1, k), kern2d, self.dtype, pre=pre)
-        if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, feats)
-            y = y + b.reshape(-1).astype(self.dtype)
+        b = (
+            self.param("bias", nn.initializers.zeros, feats).reshape(-1)
+            if self.use_bias
+            else None
+        )
+        y = _int8_dense(
+            x.reshape(-1, k), kern2d, b, self.dtype,
+            pre=pre, pallas=self.pallas,
+        )
         return y.reshape(*lead, *feats)
 
 
@@ -300,7 +347,8 @@ class Attention(nn.Module):
         pre = _act_site(self, cfg, "attn_in", x.reshape(-1, x.shape[-1]))
         if pre is not None:
             dense = lambda feats, name: QDenseGeneral(
-                features=feats, use_bias=cfg.attn_bias, dtype=dt, name=name
+                features=feats, use_bias=cfg.attn_bias, dtype=dt, name=name,
+                pallas=cfg.int8_pallas,
             )
             q = dense((h, hd), "q_proj")(x, pre=pre)
             k = dense((kvh, hd), "k_proj")(x, pre=pre)
@@ -346,6 +394,7 @@ class Attention(nn.Module):
             return QDenseGeneral(
                 features=cfg.hidden_size, axis=(-2, -1),
                 use_bias=cfg.attn_bias, dtype=dt, name="o_proj",
+                pallas=cfg.int8_pallas,
             )(out, pre=o_pre)
         return nn.DenseGeneral(
             features=cfg.hidden_size,
@@ -373,7 +422,7 @@ class Mlp(nn.Module):
         if pre is not None:
             qdense = lambda feats, name: QDense(
                 features=feats, use_bias=cfg.mlp_bias_flag, dtype=dt,
-                name=name,
+                name=name, pallas=cfg.int8_pallas,
             )
         else:
             qdense = dense
@@ -407,7 +456,7 @@ class Mlp(nn.Module):
         if mid_pre is not None:
             return QDense(
                 features=cfg.hidden_size, use_bias=cfg.mlp_bias_flag,
-                dtype=dt, name="down_proj",
+                dtype=dt, name="down_proj", pallas=cfg.int8_pallas,
             )(h, pre=mid_pre)
         return dense(cfg.hidden_size, "down_proj")(h)
 

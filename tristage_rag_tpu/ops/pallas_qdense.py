@@ -1,0 +1,171 @@
+"""Fused int8 dense projection: quantize -> int8 x int8 MXU dot ->
+dequant (+bias, +activation) in ONE Pallas kernel.
+
+Why this exists (BENCH_NOTES round-3, "int8-activation stage-3 at the
+FUNNEL level"): the XLA lowering of the same computation —
+``quant_rows/quant_static`` -> int8 ``dot_general`` -> f32 rescale —
+materializes the int8 codes and the int32 accumulator between fusion
+islands, and breaks the bf16 epilogue fusions (bias+gelu+residual)
+around the matmul. At MiniLM shapes the fusion loss exceeded the MXU
+gain: per-dot microbench 1.2-2.9x FASTER, in-funnel 10-25% SLOWER.
+
+This kernel keeps the whole sequence in VMEM per (M-tile, N-tile):
+
+    x_tile [bm, K] (bf16/f32, streamed from HBM)
+      -> per-row abs-max scale (dynamic) | per-tensor scalar (static)
+      -> int8 codes               (VMEM only, never HBM)
+      -> MXU int8 x int8 dot      (int32 accumulate)
+      -> f32 rescale * x_scale * w_scale[N]
+      -> + bias, activation
+      -> out_tile [bm, bn] (bf16, one HBM write)
+
+HBM traffic is exactly one read of x, one read of the int8 weights,
+one write of the output — the int8 codes, int32 accumulator and f32
+pre-activation never leave the chip. Numeric contract is IDENTICAL to
+the XLA path (models/layers.py::_int8_matmul): dynamic scales are
+``max(|row|, 1e-12)/127`` (index/token_cache.py::symmetric_int8),
+static scales are ``max(s, 1e-8)``, codes clip to [-127, 127].
+
+Reference context: the reference has no quantization at all (its
+stage-3 is torch fp16/fp32 — /root/reference/src/stage3_reranker.py);
+this is a TPU-native perf lever, opt-in via ``stage{1,2,3}_act_int8:
+"pallas" | "static-pallas"`` (engine/factory.py::act_int8_overrides).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Activation epilogues the kernel can fuse. Keys match
+# EncoderConfig.activation vocabulary where applicable.
+_ACTS = {
+    None: lambda y: y,
+    "relu": lambda y: jnp.maximum(y, 0.0),
+    "gelu": lambda y: jax.nn.gelu(y, approximate=False),
+    "gelu_tanh": lambda y: jax.nn.gelu(y, approximate=True),
+    "silu": jax.nn.silu,
+}
+
+
+def _pick_block_n(k: int, n: int, vmem_cap: int = 4 << 20) -> int:
+    """Largest N-tile whose int8 weight block fits the VMEM budget."""
+    if k * n <= vmem_cap:
+        return n
+    for cand in (2048, 1024, 512, 256, 128):
+        if n % cand == 0 and k * cand <= vmem_cap:
+            return cand
+    return n  # let the compiler complain; caller falls back on error
+
+
+def _kernel(x_ref, wq_ref, ws_ref, b_ref, s_ref, o_ref, *, act, static):
+    x = x_ref[:].astype(jnp.float32)
+    if static:
+        # Per-tensor calibrated scale (models/layers.py::quant_static):
+        # a scalar divide the VPU fuses into the quantize itself.
+        s = jnp.maximum(s_ref[0, 0], 1e-8)
+    else:
+        # Per-row abs-max (token_cache.py::symmetric_int8 contract).
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        s = jnp.maximum(amax, 1e-12) / 127.0
+    codes = jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        codes, wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * s * ws_ref[:].reshape(1, -1)
+    y = y + b_ref[:].reshape(1, -1)
+    o_ref[:] = _ACTS[act](y).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "out_dtype", "block_m", "interpret"),
+)
+def fused_qdense(
+    x2d: jax.Array,
+    wq: jax.Array,
+    wscale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    x_scale: Optional[jax.Array] = None,
+    *,
+    act: Optional[str] = None,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """``act(dequant(quant(x2d) @ wq) + bias)`` as one fused kernel.
+
+    x2d     [M, K] float — activations (bf16/f32).
+    wq      [K, N] int8 — per-output-channel quantized weights.
+    wscale  [N] f32 — weight dequant scales.
+    bias    [N] or None.
+    x_scale None -> dynamic per-row quant in-kernel; scalar array ->
+            static per-tensor scale (calibrated; see quant_static).
+    act     one of {None, "relu", "gelu", "gelu_tanh", "silu"}.
+
+    Requires K % 128 == 0 and N % 128 == 0 (MXU lane alignment; all
+    shipped encoder shapes qualify — see layers.py call sites). M is
+    padded to the block size internally. Raises ValueError otherwise
+    so callers can fall back to the XLA path.
+    """
+    m, k = x2d.shape
+    kw, n = wq.shape
+    if kw != k:
+        raise ValueError(f"x K={k} vs wq K={kw}")
+    if k % 128 or n % 128:
+        raise ValueError(f"fused_qdense needs K,N % 128 == 0; got {k},{n}")
+    if act not in _ACTS:
+        raise ValueError(f"unknown act {act!r}")
+
+    bm = min(block_m, max(32, -(-m // 32) * 32))
+    mp = -(-m // bm) * bm
+    if mp != m:
+        x2d = jnp.pad(x2d, ((0, mp - m), (0, 0)))
+    bn = _pick_block_n(k, n)
+
+    static = x_scale is not None
+    s_arr = (
+        jnp.asarray(x_scale, jnp.float32).reshape(1, 1)
+        if static
+        else jnp.zeros((1, 1), jnp.float32)
+    )
+    b_arr = (
+        jnp.zeros((1, n), jnp.float32)
+        if bias is None
+        else bias.astype(jnp.float32).reshape(1, n)
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, act=act, static=static),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        grid=(mp // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k * x2d.dtype.itemsize + k * n
+            + mp * n * jnp.dtype(out_dtype).itemsize,
+            transcendentals=mp * n if act in ("gelu", "gelu_tanh", "silu")
+            else 0,
+        ),
+        interpret=interpret,
+    )(x2d, wq, wscale.astype(jnp.float32).reshape(1, n), b_arr, s_arr)
+    return out[:m] if mp != m else out
