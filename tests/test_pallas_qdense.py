@@ -236,11 +236,179 @@ class TestEncoderLayerParity:
         ), params=params)
         np.testing.assert_allclose(y_pal, y_xla, atol=1e-4)
 
+    def test_param_tree_identical_across_modes(self):
+        """bf16, int8-XLA and int8-pallas (fused QKV + fused MLP) must
+        produce the same param tree so checkpoints swap freely."""
+        import jax
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.models.layers import EncoderLayer, attention_bias
+
+        x = jnp.ones((1, 4, 128), jnp.float32)
+        bias = attention_bias(jnp.ones((1, 4), jnp.int32))
+        trees = []
+        for extra in (
+            {},
+            {"int8_activations": True},
+            {"int8_activations": True, "int8_pallas": True},
+        ):
+            p = EncoderLayer(self._layer_cfg(**extra), 0).init(
+                jax.random.PRNGKey(0), x, bias, None, None
+            )
+            trees.append(p)
+        s0 = jax.tree_util.tree_structure(trees[0])
+        for t in trees[1:]:
+            assert jax.tree_util.tree_structure(t) == s0
+        for leaves in zip(*(jax.tree_util.tree_leaves(t) for t in trees)):
+            # same structure AND same init values (same seed)
+            for other in leaves[1:]:
+                np.testing.assert_array_equal(
+                    np.asarray(leaves[0]), np.asarray(other)
+                )
+
     def test_dynamic_pallas_close_to_bf16(self):
         y_ref, params = self._run(self._layer_cfg())
         y_pal, _ = self._run(self._layer_cfg(
             int8_activations=True, int8_pallas=True,
         ), params=params)
+        denom = max(np.abs(y_ref).max(), 1e-6)
+        assert np.abs(y_pal - y_ref).max() / denom < 0.05
+
+
+class TestFusedMlp:
+    """fused_qmlp: the whole gate/up/act/mul/down block in one kernel.
+    Must match the per-projection XLA int8 composition exactly."""
+
+    def _parts(self, k=128, f=256, m=70, seed=0):
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.index.token_cache import symmetric_int8
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((m, k)) * 0.3, jnp.float32)
+
+        def q(w):
+            qnk, s = symmetric_int8(jnp.asarray(w, jnp.float32).T)
+            return jnp.asarray(w, jnp.float32), qnk.T, s
+
+        Wg, wg, gs = q(rng.standard_normal((k, f)) * 0.1)
+        Wu, wu, us = q(rng.standard_normal((k, f)) * 0.1)
+        Wd, wd, ds = q(rng.standard_normal((f, k)) * 0.1)
+        bg, bu, bd = (
+            jnp.asarray(rng.standard_normal(n), jnp.float32)
+            for n in (f, f, k)
+        )
+        return x, (Wg, wg, gs, bg), (Wu, wu, us, bu), (Wd, wd, ds, bd)
+
+    def test_glu_dynamic_matches_xla_composition(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.models.layers import _int8_matmul
+        from tristage_rag_tpu.ops.pallas_qdense import fused_qmlp
+
+        x, (Wg, wg, gs, bg), (Wu, wu, us, bu), (Wd, wd, ds, bd) = self._parts()
+        g = _int8_matmul(x, Wg, jnp.float32) + bg
+        u = _int8_matmul(x, Wu, jnp.float32) + bu
+        h = jax.nn.gelu(g, approximate=False) * u
+        ref = _int8_matmul(h, Wd, jnp.float32) + bd
+        got = fused_qmlp(
+            x, wg, wu, wd, gs, us, ds, bg, bu, bd,
+            act="gelu", glu=True, out_dtype=jnp.float32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4
+        )
+
+    def test_glu_static_matches_xla_composition(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.models.layers import _int8_matmul, quant_static
+        from tristage_rag_tpu.ops.pallas_qdense import fused_qmlp
+
+        x, (Wg, wg, gs, bg), (Wu, wu, us, bu), (Wd, wd, ds, bd) = self._parts(
+            seed=1
+        )
+        sx = jnp.float32(float(jnp.max(jnp.abs(x))) / 127.0)
+        g = _int8_matmul(x, Wg, jnp.float32, pre=quant_static(x, sx)) + bg
+        u = _int8_matmul(x, Wu, jnp.float32, pre=quant_static(x, sx)) + bu
+        h = jax.nn.gelu(g, approximate=True) * u
+        sh = jnp.float32(float(jnp.max(jnp.abs(h))) / 127.0)
+        ref = _int8_matmul(h, Wd, jnp.float32, pre=quant_static(h, sh)) + bd
+        got = fused_qmlp(
+            x, wg, wu, wd, gs, us, ds, bg, bu, bd, x_scale=sx, h_scale=sh,
+            act="gelu_tanh", glu=True, out_dtype=jnp.float32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4
+        )
+
+    def test_plain_mlp_matches_xla_composition(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.models.layers import _int8_matmul
+        from tristage_rag_tpu.ops.pallas_qdense import fused_qmlp
+
+        x, (Wg, wg, gs, bg), _, (Wd, wd, ds, bd) = self._parts(seed=2)
+        h = jax.nn.gelu(_int8_matmul(x, Wg, jnp.float32) + bg,
+                        approximate=False)
+        ref = _int8_matmul(h, Wd, jnp.float32) + bd
+        got = fused_qmlp(
+            x, wg, None, wd, gs, None, ds, bg, None, bd,
+            act="gelu", glu=False, out_dtype=jnp.float32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4
+        )
+
+    def test_mlp_module_param_tree_unchanged(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.models.config import EncoderConfig
+        from tristage_rag_tpu.models.layers import Mlp
+
+        base = dict(
+            vocab_size=128, hidden_size=128, num_layers=1, num_heads=2,
+            head_dim=64, mlp_dim=256, max_position_embeddings=32,
+            dtype="float32", activation="geglu",
+        )
+        x = jnp.ones((2, 4, 128), jnp.float32)
+        p_ref = Mlp(EncoderConfig(**base)).init(jax.random.PRNGKey(0), x)
+        p_pal = Mlp(EncoderConfig(
+            **base, int8_activations=True, int8_pallas=True,
+        )).init(jax.random.PRNGKey(0), x)
+        assert (
+            jax.tree_util.tree_structure(p_ref)
+            == jax.tree_util.tree_structure(p_pal)
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_pal)
+        ):
+            assert a.shape == b.shape
+
+    def test_mlp_module_fused_close_to_bf16(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.models.config import EncoderConfig
+        from tristage_rag_tpu.models.layers import Mlp
+
+        base = dict(
+            vocab_size=128, hidden_size=128, num_layers=1, num_heads=2,
+            head_dim=64, mlp_dim=256, max_position_embeddings=32,
+            dtype="float32", activation="geglu_tanh",
+        )
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 8, 128)) * 0.1, jnp.float32)
+        m_ref = Mlp(EncoderConfig(**base))
+        params = m_ref.init(jax.random.PRNGKey(0), x)
+        y_ref = np.asarray(m_ref.apply(params, x))
+        y_pal = np.asarray(Mlp(EncoderConfig(
+            **base, int8_activations=True, int8_pallas=True,
+        )).apply(params, x))
         denom = max(np.abs(y_ref).max(), 1e-6)
         assert np.abs(y_pal - y_ref).max() / denom < 0.05
 

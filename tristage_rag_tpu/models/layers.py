@@ -181,14 +181,9 @@ def _int8_dense(x2d, kernel, bias, out_dtype, pre=None, pallas=False):
     + bias). ``bias`` is a flat ``[N]`` array or None. Falls back to
     XLA on shapes the kernel refuses (K or N not lane-aligned)."""
     if pallas:
-        from tristage_rag_tpu.index.token_cache import symmetric_int8
         from tristage_rag_tpu.ops.pallas_qdense import fused_qdense
 
-        if isinstance(kernel, dict):
-            wq, ws = kernel["q8"], kernel["scale"]
-        else:
-            wq_nk, ws = symmetric_int8(kernel.astype(jnp.float32).T)
-            wq = wq_nk.T  # [K, N]; O(K*N) copy, trivial next to the dot
+        wq, ws = _weights_int8_kn(kernel)  # [K,N]; O(K*N), trivial vs dot
         # Static mode hands the calibrated scalar to the kernel; in
         # dynamic mode the kernel computes per-row scales in VMEM and
         # the shared `pre` codes are dead (DCE'd by XLA).
@@ -334,6 +329,50 @@ class Attention(nn.Module):
     cfg: EncoderConfig
     layer_idx: int
 
+    def _fused_qkv(self, x, pre, dt):
+        """q/k/v as ONE fused Pallas int8 call: the three projections
+        share the input, so concatenating their (per-output-channel
+        quantized) kernels along N turns three kernels + three HBM
+        reads of x into one of each. Per-channel scales make the
+        concatenation numerically exact vs separate calls. Returns
+        (q, k, v) or None when shapes are not lane-aligned (callers
+        then take the per-projection path — no params declared here in
+        that case, so module names never collide)."""
+        cfg = self.cfg
+        h, kvh, hd = cfg.num_heads, cfg.kv_heads, cfg.dims_per_head
+        kdim = x.shape[-1]
+        nq, nkv = h * hd, kvh * hd
+        if kdim % 128 or nq % 128 or nkv % 128:
+            return None
+        from tristage_rag_tpu.ops.pallas_qdense import fused_qdense
+
+        kq, bq = _ProjParams((kdim,), (h, hd), cfg.attn_bias, name="q_proj")()
+        kk, bk = _ProjParams((kdim,), (kvh, hd), cfg.attn_bias, name="k_proj")()
+        kv, bv = _ProjParams((kdim,), (kvh, hd), cfg.attn_bias, name="v_proj")()
+        parts = [
+            _weights_int8_kn(_flat2d(w, kdim, n))
+            for w, n in ((kq, nq), (kk, nkv), (kv, nkv))
+        ]
+        w_all = jnp.concatenate([p[0] for p in parts], axis=1)
+        s_all = jnp.concatenate([p[1] for p in parts])
+        b_all = (
+            jnp.concatenate([b.reshape(-1) for b in (bq, bk, bv)])
+            if cfg.attn_bias
+            else None
+        )
+        xs = pre[1] if pre[1].ndim == 0 else None
+        y = fused_qdense(
+            x.reshape(-1, kdim), w_all, s_all, bias=b_all, x_scale=xs,
+            out_dtype=dt, interpret=jax.default_backend() == "cpu",
+        )
+        b, l = x.shape[0], x.shape[1]
+        q, k, v = jnp.split(y, [nq, nq + nkv], axis=1)
+        return (
+            q.reshape(b, l, h, hd),
+            k.reshape(b, l, kvh, hd),
+            v.reshape(b, l, kvh, hd),
+        )
+
     @nn.compact
     def __call__(self, x, bias, cos, sin):
         cfg = self.cfg
@@ -346,13 +385,19 @@ class Attention(nn.Module):
         # scripts/bench_int8_mxu.py + BENCH_NOTES round-3).
         pre = _act_site(self, cfg, "attn_in", x.reshape(-1, x.shape[-1]))
         if pre is not None:
-            dense = lambda feats, name: QDenseGeneral(
-                features=feats, use_bias=cfg.attn_bias, dtype=dt, name=name,
-                pallas=cfg.int8_pallas,
+            qkv = (
+                self._fused_qkv(x, pre, dt) if cfg.int8_pallas else None
             )
-            q = dense((h, hd), "q_proj")(x, pre=pre)
-            k = dense((kvh, hd), "k_proj")(x, pre=pre)
-            v = dense((kvh, hd), "v_proj")(x, pre=pre)
+            if qkv is not None:
+                q, k, v = qkv
+            else:
+                dense = lambda feats, name: QDenseGeneral(
+                    features=feats, use_bias=cfg.attn_bias, dtype=dt,
+                    name=name, pallas=cfg.int8_pallas,
+                )
+                q = dense((h, hd), "q_proj")(x, pre=pre)
+                k = dense((kvh, hd), "k_proj")(x, pre=pre)
+                v = dense((kvh, hd), "v_proj")(x, pre=pre)
         else:
             dense = lambda feats, name: nn.DenseGeneral(
                 features=feats, use_bias=cfg.attn_bias, dtype=dt, name=name
@@ -405,13 +450,120 @@ class Attention(nn.Module):
         )(out)
 
 
+class _ProjParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense``/``nn.DenseGeneral``:
+    declares ``kernel`` / ``bias`` with identical names, shapes and
+    initializers (flattened-2D lecun fan, like QDenseGeneral), so the
+    fused-block paths (which consume raw weights in one Pallas call)
+    keep the EXACT param tree of the per-projection modules —
+    checkpoints and trained params swap between all int8 modes."""
+
+    in_dims: tuple
+    feats: tuple
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = n = 1
+        for d in self.in_dims:
+            k *= d
+        for d in self.feats:
+            n *= d
+
+        def kernel_init(rng, shape, dtype=jnp.float32):
+            flat = nn.initializers.lecun_normal()(rng, (k, n), dtype)
+            return flat.reshape(shape)
+
+        kern = self.param("kernel", kernel_init, self.in_dims + self.feats)
+        b = (
+            self.param("bias", nn.initializers.zeros, self.feats)
+            if self.use_bias
+            else None
+        )
+        return kern, b
+
+
+def _flat2d(kernel, k: int, n: int):
+    """View an nd (or pre-quantized dict) kernel as 2-D [k, n]."""
+    if isinstance(kernel, dict):
+        return {
+            "q8": kernel["q8"].reshape(k, n),
+            "scale": kernel["scale"].reshape(n),
+        }
+    return kernel.reshape(k, n)
+
+
+def _weights_int8_kn(kernel):
+    """Per-output-channel int8 weights as ``([K, N] int8, [N] f32)``,
+    accepting either a plain float kernel (quantized in-jit) or the
+    pre-quantized ``{"q8", "scale"}`` dict (stage*_weights_int8)."""
+    from tristage_rag_tpu.index.token_cache import symmetric_int8
+
+    if isinstance(kernel, dict):
+        return kernel["q8"], kernel["scale"]
+    wq_nk, ws = symmetric_int8(kernel.astype(jnp.float32).T)
+    return wq_nk.T, ws
+
+
 class Mlp(nn.Module):
     cfg: EncoderConfig
+
+    # EncoderConfig.activation -> fused-kernel gate epilogue
+    _FUSED_ACTS = {
+        "geglu": "gelu", "geglu_tanh": "gelu_tanh", "swiglu": "silu",
+        "gelu": "gelu", "relu": "relu",
+    }
+
+    def _fused_pallas(self, x, glu: bool):
+        """The whole MLP block as one Pallas kernel
+        (ops/pallas_qdense.py::fused_qmlp): the [M, mlp_dim]
+        intermediate stays in VMEM instead of round-tripping HBM
+        between the two matmuls, and x is read once for gate+up."""
+        from tristage_rag_tpu.ops.pallas_qdense import fused_qmlp
+
+        cfg = self.cfg
+        dt = compute_dtype(cfg)
+        hid, f, bias = cfg.hidden_size, cfg.mlp_dim, cfg.mlp_bias_flag
+        kg, bg = _ProjParams((hid,), (f,), bias,
+                             name="gate_proj" if glu else "up_proj")()
+        if glu:
+            ku, bu = _ProjParams((hid,), (f,), bias, name="up_proj")()
+            wu, us = _weights_int8_kn(ku)
+        else:
+            ku = bu = wu = us = None
+        kd, bd = _ProjParams((f,), (hid,), bias, name="down_proj")()
+        wg, gs = _weights_int8_kn(kg)
+        wd, ds = _weights_int8_kn(kd)
+        sx = sh = None
+        if cfg.int8_act_static:
+            sx = self.param("mlp_in_scale", nn.initializers.ones, ())
+            sh = self.param("mlp_mid_scale", nn.initializers.ones, ())
+        lead = x.shape[:-1]
+        y = fused_qmlp(
+            x.reshape(-1, hid), wg, wu, wd, gs, us, ds, bg, bu, bd,
+            x_scale=sx, h_scale=sh,
+            act=self._FUSED_ACTS[cfg.activation], glu=glu, out_dtype=dt,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return y.reshape(*lead, hid)
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
         dt = compute_dtype(cfg)
+        glu = cfg.activation in ("geglu", "geglu_tanh", "swiglu")
+        calibrating = cfg.int8_act_static and self.is_mutable_collection(
+            "act_stats"
+        )
+        if (
+            cfg.int8_activations
+            and getattr(cfg, "int8_pallas", False)
+            and not calibrating
+            and cfg.hidden_size % 128 == 0
+            and cfg.mlp_dim % 128 == 0
+            and cfg.activation in self._FUSED_ACTS
+        ):
+            return self._fused_pallas(x, glu)
         dense = lambda feats, name: nn.Dense(
             features=feats, use_bias=cfg.mlp_bias_flag, dtype=dt, name=name
         )

@@ -169,3 +169,174 @@ def fused_qdense(
         interpret=interpret,
     )(x2d, wq, wscale.astype(jnp.float32).reshape(1, n), b_arr, s_arr)
     return out[:m] if mp != m else out
+
+
+# ---------------------------------------------------------------------------
+# Fused int8 MLP block: (gate, up) -> act(gate)*up -> down in ONE kernel.
+# ---------------------------------------------------------------------------
+
+
+def _quant_tile(x, s_ref, static):
+    """In-VMEM quantization of one activation tile; returns
+    (codes int8, scale) with the same numeric contract as the
+    quant_rows/quant_static pair in models/layers.py."""
+    if static:
+        s = jnp.maximum(s_ref[0, 0], 1e-8)
+    else:
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        s = jnp.maximum(amax, 1e-12) / 127.0
+    return jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8), s
+
+
+def _mlp_kernel(
+    x_ref, wg_ref, wu_ref, wd_ref, gs_ref, us_ref, ds_ref,
+    bg_ref, bu_ref, bd_ref, sx_ref, sh_ref, o_ref, *, act, glu, static,
+):
+    dn = (((1,), (0,)), ((), ()))
+    x = x_ref[:].astype(jnp.float32)
+    xq, xs = _quant_tile(x, sx_ref, static)
+    g = jax.lax.dot_general(
+        xq, wg_ref[:], dn, preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * xs * gs_ref[:].reshape(1, -1)
+    g = g + bg_ref[:].reshape(1, -1)
+    if glu:
+        u = jax.lax.dot_general(
+            xq, wu_ref[:], dn, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * xs * us_ref[:].reshape(1, -1)
+        h = _ACTS[act](g) * (u + bu_ref[:].reshape(1, -1))
+    else:
+        h = _ACTS[act](g)
+    hq, hs = _quant_tile(h, sh_ref, static)
+    y = jax.lax.dot_general(
+        hq, wd_ref[:], dn, preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * hs * ds_ref[:].reshape(1, -1)
+    o_ref[:] = (y + bd_ref[:].reshape(1, -1)).astype(o_ref.dtype)
+
+
+def _mlp_block_m(k: int, f: int, n: int, budget: int = 10 << 20) -> int:
+    """Largest M-tile whose activations (x + gate/up/h f32 + out) fit
+    the VMEM budget next to the resident int8 weights."""
+    weights = k * f * 2 + f * n
+    for bm in (512, 256, 128, 64, 32):
+        acts = 4 * bm * (k + 3 * f + n) + 2 * bm * n
+        if weights + acts <= budget:
+            return bm
+    return 32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "glu", "out_dtype", "interpret"),
+)
+def fused_qmlp(
+    x2d: jax.Array,
+    wg: jax.Array,
+    wu: Optional[jax.Array],
+    wd: jax.Array,
+    gscale: jax.Array,
+    uscale: Optional[jax.Array],
+    dscale: jax.Array,
+    bg: Optional[jax.Array] = None,
+    bu: Optional[jax.Array] = None,
+    bd: Optional[jax.Array] = None,
+    x_scale: Optional[jax.Array] = None,
+    h_scale: Optional[jax.Array] = None,
+    *,
+    act: str = "gelu",
+    glu: bool = True,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """The whole MLP block as ONE kernel, int8 x int8 on the MXU:
+
+        h = act(x @ wg + bg) [* (x @ wu + bu)]      (glu)
+        y = h @ wd + bd
+
+    The ``[M, mlp_dim]`` intermediate ``h`` lives only in VMEM — the
+    XLA lowering (and the bf16 baseline) always materializes it to HBM
+    between the two matmuls, plus reads ``x`` twice for gate/up. Per
+    M-tile this kernel reads x once, writes y once; that HBM saving is
+    structural and independent of the int8-vs-bf16 dot question.
+
+    wg [K, F], wu [K, F] or None, wd [F, N] — int8 per-output-channel
+    with f32 scales gscale/uscale [F], dscale [N]. x_scale / h_scale:
+    None -> dynamic per-row quant in VMEM; scalars -> static calibrated
+    (the ``mlp_in_scale`` / ``mlp_mid_scale`` params). K, F, N must be
+    lane-aligned (% 128); raises ValueError otherwise so callers fall
+    back to the per-projection path.
+    """
+    m, k = x2d.shape
+    kk, f = wg.shape
+    ff, n = wd.shape
+    if kk != k or ff != f:
+        raise ValueError(f"shape mismatch: x K={k} wg {wg.shape} wd {wd.shape}")
+    if k % 128 or f % 128 or n % 128:
+        raise ValueError(f"fused_qmlp needs K,F,N % 128 == 0; got {k},{f},{n}")
+    if glu != (wu is not None):
+        raise ValueError("glu requires wu (and vice versa)")
+    if act not in _ACTS or act is None:
+        raise ValueError(f"unknown act {act!r}")
+
+    bm = min(_mlp_block_m(k, f, n), max(32, -(-m // 32) * 32))
+    mp = -(-m // bm) * bm
+    if mp != m:
+        x2d = jnp.pad(x2d, ((0, mp - m), (0, 0)))
+
+    static = x_scale is not None
+    if static != (h_scale is not None):
+        raise ValueError("x_scale and h_scale must both be set or both None")
+
+    def scalar(v):
+        return (
+            jnp.asarray(v, jnp.float32).reshape(1, 1)
+            if v is not None
+            else jnp.zeros((1, 1), jnp.float32)
+        )
+
+    def vec(v, width):
+        return (
+            jnp.zeros((1, width), jnp.float32)
+            if v is None
+            else v.astype(jnp.float32).reshape(1, width)
+        )
+
+    if wu is None:  # keep the spec list static; dead input, never read
+        wu = jnp.zeros((k, 128), jnp.int8)
+        uscale = None
+    fu = wu.shape[1]
+
+    row = lambda i: (i, 0)
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, act=act, glu=glu, static=static),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        grid=(mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, fu), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fu), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fu), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, n), row, memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * f * (2 if glu else 1) + 2 * mp * f * n,
+            bytes_accessed=mp * k * x2d.dtype.itemsize
+            + k * f * (2 if glu else 1) + f * n
+            + mp * n * jnp.dtype(out_dtype).itemsize,
+            transcendentals=mp * f,
+        ),
+        interpret=interpret,
+    )(
+        x2d, wg, wu, wd,
+        vec(gscale, f), vec(uscale, fu), vec(dscale, n),
+        vec(bg, f), vec(bu, fu), vec(bd, n),
+        scalar(x_scale), scalar(h_scale),
+    )
+    return out[:m] if mp != m else out
