@@ -33,7 +33,8 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--variants", nargs="+",
                     default=["bf16", "static"],
-                    choices=["bf16", "dynamic", "static"])
+                    choices=["bf16", "dynamic", "static", "pallas",
+                             "static-pallas"])
     args = ap.parse_args()
 
     if args.tiny:
@@ -58,7 +59,8 @@ def main() -> None:
             f"memory bandwidth index shard " * 4 for i in range(args.docs)]
     query = "retrieval kernel latency topic 3"
 
-    mode_map = {"bf16": False, "dynamic": True, "static": "static"}
+    mode_map = {"bf16": False, "dynamic": True, "static": "static",
+                "pallas": "pallas", "static-pallas": "static-pallas"}
     for variant in args.variants:
         cfg = PipelineConfig(
             stage1_top_k=500, stage2_top_k=args.width, stage3_top_k=20,
