@@ -217,6 +217,10 @@ class TestShardedFusedVariants:
         # weight-only int8 cross-encoder: the DequantModule adapter must
         # survive shard_map with replicated quantized params
         {"stage3_weights_int8": True},
+        # pallas act-int8 knob over a mesh: tiny dims fall back to the
+        # XLA int8 path inside _int8_dense, but the knob must plumb
+        # through the sharded fused program end-to-end
+        {"stage3_act_int8": "pallas"},
     ])
     def test_parity_with_staged_mesh(self, overrides):
         kw = dict(KW)

@@ -413,6 +413,45 @@ class TestFusedMlp:
         assert np.abs(y_pal - y_ref).max() / denom < 0.05
 
 
+class TestShardMapComposition:
+    def test_fused_qdense_under_shard_map(self):
+        """The kernel must compose with shard_map (the sharded fused
+        funnel wraps encoder forwards in one): rows sharded over the
+        8-device mesh, weights replicated, result identical to the
+        unsharded call."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from tristage_rag_tpu.ops.pallas_qdense import fused_qdense
+
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs the 8-virtual-device CPU mesh")
+        mesh = Mesh(np.asarray(devs[:8]), ("data",))
+        x, w, b = _mk(8 * 32, 128, 128, seed=9)
+        wq, ws = _wq(w)
+        whole = fused_qdense(
+            x, wq, ws, bias=b, out_dtype=jnp.float32, interpret=True
+        )
+
+        def local(xs):
+            return fused_qdense(
+                xs, wq, ws, bias=b, out_dtype=jnp.float32, interpret=True
+            )
+
+        # check_vma=False matches the production wrapping
+        # (engine/fused.py, index/dense.py)
+        sharded = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=P("data", None), out_specs=P("data", None),
+            check_vma=False,
+        )(x)
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(whole), atol=1e-5
+        )
+
+
 class TestConfigPlumbing:
     def test_act_int8_overrides_pallas_modes(self):
         from tristage_rag_tpu.engine.factory import act_int8_overrides
