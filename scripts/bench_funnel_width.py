@@ -169,6 +169,10 @@ def main() -> None:
     ap.add_argument("--act-int8-static-pallas", action="store_true",
                     help="also measure the static-scale fused Pallas "
                          "mode (stage3_act_int8='static-pallas')")
+    ap.add_argument("--fused-mlp", action="store_true",
+                    help="also measure the bf16 whole-block fused MLP "
+                         "(stage3_fused_mlp: no quantization, the "
+                         "[M, mlp_dim] intermediate stays in VMEM)")
     ap.add_argument("--train-steps", type=int, default=0,
                     help="(tiny mode) fine-tune all three tiny models "
                          "on the synthetic task for N steps before "
@@ -229,6 +233,8 @@ def main() -> None:
             ("act_int8_static_pallas",
              {"stage3_act_int8": "static-pallas"})
         )
+    if args.fused_mlp:
+        variants.append(("fused_mlp_bf16", {"stage3_fused_mlp": True}))
     for width in args.widths:
         for vname, extra in variants:
             cfg = PipelineConfig(

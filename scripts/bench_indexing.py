@@ -73,6 +73,9 @@ def main():
                          "indexing-throughput int8 x int8 MXU lever; "
                          "the *pallas modes use the fused "
                          "quant/dot/dequant kernel (ops/pallas_qdense)")
+    ap.add_argument("--fused-mlp", action="store_true",
+                    help="run the stage-1/2 encoders with the bf16 "
+                         "whole-block fused MLP (stage{1,2}_fused_mlp)")
     args = ap.parse_args()
 
     if args.tiny:
@@ -109,6 +112,8 @@ def main():
     if args.act_int8:
         mode = True if args.act_int8 == "dynamic" else args.act_int8
         cfg.update(stage1_act_int8=mode, stage2_act_int8=mode)
+    if args.fused_mlp:
+        cfg.update(stage1_fused_mlp=True, stage2_fused_mlp=True)
     docs = make_docs(args.docs)
 
     p = RetrievalPipeline(PipelineConfig(**cfg))
@@ -184,7 +189,8 @@ def main():
         "metric": "indexing_throughput",
         "value": round(n / total, 1), "unit": "docs/s",
         "config": ("tuned" if args.tuned else "default")
-        + (f"+act_int8_{args.act_int8}" if args.act_int8 else ""),
+        + (f"+act_int8_{args.act_int8}" if args.act_int8 else "")
+        + ("+fused_mlp" if args.fused_mlp else ""),
         "total_seconds": round(total, 2),
     }), flush=True)
 

@@ -413,6 +413,110 @@ class TestFusedMlp:
         assert np.abs(y_pal - y_ref).max() / denom < 0.05
 
 
+class TestFusedMlpBf16:
+    """fused_mlp_bf16: the whole-block fusion at the native dtype —
+    no quantization, opt-in via stage{1,2,3}_fused_mlp."""
+
+    def test_kernel_matches_composition_f32(self):
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        from tristage_rag_tpu.ops.pallas_qdense import fused_mlp_bf16
+
+        x = jnp.asarray(rng.standard_normal((70, 128)) * 0.3, jnp.float32)
+        wg = jnp.asarray(rng.standard_normal((128, 256)) * 0.1, jnp.float32)
+        wu = jnp.asarray(rng.standard_normal((128, 256)) * 0.1, jnp.float32)
+        wd = jnp.asarray(rng.standard_normal((256, 128)) * 0.1, jnp.float32)
+        bg, bu, bd = (
+            jnp.asarray(rng.standard_normal(n), jnp.float32)
+            for n in (256, 256, 128)
+        )
+        h = jax.nn.gelu(x @ wg + bg, approximate=True) * (x @ wu + bu)
+        ref = h @ wd + bd
+        got = fused_mlp_bf16(
+            x, wg, wu, wd, bg, bu, bd, act="gelu_tanh", glu=True,
+            out_dtype=jnp.float32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4
+        )
+
+    def test_mlp_module_fused_matches_plain_f32(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.models.config import EncoderConfig
+        from tristage_rag_tpu.models.layers import Mlp
+
+        base = dict(
+            vocab_size=128, hidden_size=128, num_layers=1, num_heads=2,
+            head_dim=64, mlp_dim=256, max_position_embeddings=32,
+            dtype="float32", activation="geglu",
+        )
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 8, 128)) * 0.1, jnp.float32)
+        m_ref = Mlp(EncoderConfig(**base))
+        params = m_ref.init(jax.random.PRNGKey(0), x)
+        y_ref = np.asarray(m_ref.apply(params, x))
+        m_fused = Mlp(EncoderConfig(**base, fused_mlp=True))
+        # param tree identical -> the plain params apply directly
+        p_fused = m_fused.init(jax.random.PRNGKey(0), x)
+        assert (
+            jax.tree_util.tree_structure(p_fused)
+            == jax.tree_util.tree_structure(params)
+        )
+        y_fused = np.asarray(m_fused.apply(params, x))
+        np.testing.assert_allclose(y_fused, y_ref, atol=1e-4)
+
+    def test_int8_takes_precedence_over_fused_mlp(self):
+        """With both knobs on, the int8 pallas path owns the MLP (it
+        already fuses the block); fused_mlp only applies when int8
+        activations are off."""
+        from tristage_rag_tpu.engine.factory import encoder_perf_overrides
+
+        class C:
+            stage3_act_int8 = "pallas"
+            stage3_fused_mlp = True
+
+        ov = encoder_perf_overrides(C(), "stage3")
+        assert ov == {
+            "int8_activations": True, "int8_pallas": True,
+            "fused_mlp": True,
+        }
+
+    def test_yaml_roundtrip_carries_fused_mlp(self, tmp_path):
+        from tristage_rag_tpu.engine.config import PipelineConfig
+
+        cfg = PipelineConfig(stage1_fused_mlp=True, stage3_fused_mlp=True)
+        path = tmp_path / "c.yaml"
+        cfg.export(path)
+        back = PipelineConfig.from_yaml(path)
+        assert back.stage1_fused_mlp is True
+        assert back.stage2_fused_mlp is False
+        assert back.stage3_fused_mlp is True
+
+    def test_pipeline_smoke_with_fused_mlp(self):
+        from tristage_rag_tpu.engine.config import PipelineConfig
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        docs = [f"doc {i} about topic {i % 4} quick brown fox"
+                for i in range(12)]
+        cfg = PipelineConfig(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=8, stage2_top_k=6,
+            stage3_top_k=3, stage1_max_text_length=64,
+            stage2_max_seq_length=32, stage3_max_length=64,
+            mesh_data_parallel=1, compute_dtype="float32",
+            stage1_fused_mlp=True, stage2_fused_mlp=True,
+            stage3_fused_mlp=True,
+        )
+        p = RetrievalPipeline(cfg)
+        p.add_documents(docs)
+        out = p.search("quick brown fox topic 2", top_k=3)
+        assert len(out["results"]) == 3
+
+
 class TestShardMapComposition:
     def test_fused_qdense_under_shard_map(self):
         """The kernel must compose with shard_map (the sharded fused

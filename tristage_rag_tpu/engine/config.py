@@ -45,6 +45,11 @@ class PipelineConfig:
     # Embedding shift ~1e-2 — measure recall before enabling at scale
     # (scripts/bench_indexing.py --act-int8).
     stage1_act_int8: bool | str = False
+    # bf16 whole-block fused MLP (ops/pallas_qdense.py::fused_mlp_bf16)
+    # when act_int8 is off: gate/up/act/mul/down in one Pallas kernel,
+    # keeping the [M, mlp_dim] intermediate in VMEM. Opt-in; numerics
+    # slightly MORE precise than the module path (f32 epilogue).
+    stage1_fused_mlp: bool = False
 
     # Stage 2
     stage2_model: str = "lightonai/GTE-ModernColBERT-v1"
@@ -62,6 +67,8 @@ class PipelineConfig:
     # cache fill; doc and query tokens then encode identically, so
     # MaxSim compares like with like. Scores shift ~1e-2.
     stage2_act_int8: bool | str = False
+    # bf16 fused MLP for the ColBERT encoder (see stage1_fused_mlp).
+    stage2_fused_mlp: bool = False
     stage2_cache_doc_embeddings: bool = False  # TPU-native win (SURVEY §7)
     # HBM budget for the device-resident token cache (49 KB/doc at
     # 192x128 bf16); docs beyond the cap re-encode per query.
@@ -99,6 +106,8 @@ class PipelineConfig:
     # stacks (tests/test_int8_act.py, test_int8_act_static.py,
     # test_pallas_qdense.py).
     stage3_act_int8: bool | str = False
+    # bf16 fused MLP for the cross-encoder (see stage1_fused_mlp).
+    stage3_fused_mlp: bool = False
     stage3_normalize_scores: bool = True
     # Fused-path pair layout: queries are capped at this many tokens
     # (incl. [CLS]/[SEP]) and docs at stage3_max_length - reserve, so
@@ -154,6 +163,7 @@ class PipelineConfig:
             ("dense_weight", "stage1_dense_weight"),
             ("bm25_weight", "stage1_bm25_weight"),
             ("act_int8", "stage1_act_int8"),
+            ("fused_mlp", "stage1_fused_mlp"),
         ],
         "stage2": [
             ("model", "stage2_model"),
@@ -166,6 +176,7 @@ class PipelineConfig:
             ("cache_max_docs", "stage2_cache_max_docs"),
             ("cache_int8", "stage2_cache_int8"),
             ("act_int8", "stage2_act_int8"),
+            ("fused_mlp", "stage2_fused_mlp"),
         ],
         "stage3": [
             ("model", "stage3_model"),
@@ -177,6 +188,7 @@ class PipelineConfig:
             ("query_reserve", "stage3_query_reserve"),
             ("weights_int8", "stage3_weights_int8"),
             ("act_int8", "stage3_act_int8"),
+            ("fused_mlp", "stage3_fused_mlp"),
         ],
         "general": [
             ("model_dir", "model_dir"),

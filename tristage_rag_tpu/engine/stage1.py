@@ -23,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from tristage_rag_tpu.engine.config import PipelineConfig
-from tristage_rag_tpu.engine.factory import act_int8_overrides, build_runtime
+from tristage_rag_tpu.engine.factory import encoder_perf_overrides, build_runtime
 from tristage_rag_tpu.index.bm25 import BM25Index
 from tristage_rag_tpu.index.dense import DenseIndex
 from tristage_rag_tpu.ops.fusion import reciprocal_rank_fusion, weighted_fusion
@@ -47,9 +47,7 @@ class Stage1Retriever:
             mesh=mesh,
             seed=config.seed,
             prompt_mode=getattr(config, "stage1_prompt_mode", "auto"),
-            encoder_overrides=act_int8_overrides(
-                getattr(config, "stage1_act_int8", False), "stage1_act_int8"
-            ),
+            encoder_overrides=encoder_perf_overrides(config, "stage1"),
         )
         self.documents: list[str] = []
         self.doc_metadata: list[dict[str, Any]] = []

@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from tristage_rag_tpu.engine.config import PipelineConfig
-from tristage_rag_tpu.engine.factory import act_int8_overrides, build_runtime
+from tristage_rag_tpu.engine.factory import encoder_perf_overrides, build_runtime
 from tristage_rag_tpu.ops.maxsim import maxsim_scores, similarity_matrix
 
 logger = logging.getLogger(__name__)
@@ -48,9 +48,7 @@ class ColBERTScorer:
             head_overrides=(
                 None if config.stage2_use_projection else {"project": False}
             ),
-            encoder_overrides=act_int8_overrides(
-                getattr(config, "stage2_act_int8", False), "stage2_act_int8"
-            ),
+            encoder_overrides=encoder_perf_overrides(config, "stage2"),
         )
         # Token-embedding dim: the projection's output, or the raw
         # hidden size in reference-faithful no-projection mode.

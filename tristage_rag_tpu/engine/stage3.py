@@ -18,7 +18,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from tristage_rag_tpu.engine.config import PipelineConfig
-from tristage_rag_tpu.engine.factory import act_int8_overrides, build_runtime
+from tristage_rag_tpu.engine.factory import encoder_perf_overrides, build_runtime
 
 logger = logging.getLogger(__name__)
 
@@ -34,9 +34,7 @@ class CrossEncoderReranker:
             mesh=mesh,
             seed=config.seed + 2,
             head_overrides={"activation": config.stage3_activation},
-            encoder_overrides=act_int8_overrides(
-                getattr(config, "stage3_act_int8", False), "stage3_act_int8"
-            ),
+            encoder_overrides=encoder_perf_overrides(config, "stage3"),
         )
         if getattr(config, "stage3_weights_int8", False):
             n = self.runtime.quantize_weights_int8()

@@ -106,6 +106,13 @@ class EncoderConfig:
     # exists because the XLA quant pass is an HBM read). Mosaic TPU
     # backends only; on CPU the kernel runs interpreted (tests).
     int8_pallas: bool = False
+    # bf16 whole-block fused MLP (ops/pallas_qdense.py::fused_mlp_bf16)
+    # when int8 activations are OFF: gate/up/act/mul/down in one kernel
+    # — the [M, mlp_dim] intermediate stays in VMEM instead of
+    # round-tripping HBM, x is read once for gate+up. Slightly MORE
+    # precise than the module path (f32 epilogue before the cast);
+    # opt-in, tolerance-tested.
+    fused_mlp: bool = False
 
     @property
     def kv_heads(self) -> int:

@@ -547,6 +547,41 @@ class Mlp(nn.Module):
         )
         return y.reshape(*lead, hid)
 
+    def _fused_bf16(self, x, glu: bool):
+        """Whole-block bf16 fused MLP (fused_mlp_bf16): the
+        [M, mlp_dim] intermediate stays in VMEM at the native compute
+        dtype — no quantization involved."""
+        from tristage_rag_tpu.ops.pallas_qdense import fused_mlp_bf16
+
+        cfg = self.cfg
+        dt = compute_dtype(cfg)
+        hid, f, bias = cfg.hidden_size, cfg.mlp_dim, cfg.mlp_bias_flag
+        kg, bg = _ProjParams((hid,), (f,), bias,
+                             name="gate_proj" if glu else "up_proj")()
+        ku, bu = (
+            _ProjParams((hid,), (f,), bias, name="up_proj")()
+            if glu
+            else (None, None)
+        )
+        kd, bd = _ProjParams((f,), (hid,), bias, name="down_proj")()
+
+        def w(kern):  # weight-int8 dict kernels dequantize in-jit
+            if isinstance(kern, dict):
+                return (
+                    kern["q8"].astype(jnp.float32) * kern["scale"][None, :]
+                ).astype(dt)
+            return kern.astype(dt)
+
+        lead = x.shape[:-1]
+        y = fused_mlp_bf16(
+            x.reshape(-1, hid).astype(dt),
+            w(kg), w(ku) if glu else None, w(kd),
+            bg, bu, bd,
+            act=self._FUSED_ACTS[cfg.activation], glu=glu, out_dtype=dt,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return y.reshape(*lead, hid)
+
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
@@ -555,15 +590,24 @@ class Mlp(nn.Module):
         calibrating = cfg.int8_act_static and self.is_mutable_collection(
             "act_stats"
         )
+        aligned = (
+            cfg.hidden_size % 128 == 0
+            and cfg.mlp_dim % 128 == 0
+            and cfg.activation in self._FUSED_ACTS
+        )
         if (
             cfg.int8_activations
             and getattr(cfg, "int8_pallas", False)
             and not calibrating
-            and cfg.hidden_size % 128 == 0
-            and cfg.mlp_dim % 128 == 0
-            and cfg.activation in self._FUSED_ACTS
+            and aligned
         ):
             return self._fused_pallas(x, glu)
+        if (
+            not cfg.int8_activations
+            and getattr(cfg, "fused_mlp", False)
+            and aligned
+        ):
+            return self._fused_bf16(x, glu)
         dense = lambda feats, name: nn.Dense(
             features=feats, use_bias=cfg.mlp_bias_flag, dtype=dt, name=name
         )

@@ -213,10 +213,12 @@ def _mlp_kernel(
     o_ref[:] = (y + bd_ref[:].reshape(1, -1)).astype(o_ref.dtype)
 
 
-def _mlp_block_m(k: int, f: int, n: int, budget: int = 10 << 20) -> int:
+def _mlp_block_m(
+    k: int, f: int, n: int, wbytes: int = 1, budget: int = 10 << 20
+) -> int:
     """Largest M-tile whose activations (x + gate/up/h f32 + out) fit
-    the VMEM budget next to the resident int8 weights."""
-    weights = k * f * 2 + f * n
+    the VMEM budget next to the resident weights (int8 or bf16)."""
+    weights = (k * f * 2 + f * n) * wbytes
     for bm in (512, 256, 128, 64, 32):
         acts = 4 * bm * (k + 3 * f + n) + 2 * bm * n
         if weights + acts <= budget:
@@ -277,7 +279,7 @@ def fused_qmlp(
     if act not in _ACTS or act is None:
         raise ValueError(f"unknown act {act!r}")
 
-    bm = min(_mlp_block_m(k, f, n), max(32, -(-m // 32) * 32))
+    bm = min(_mlp_block_m(k, f, n, wbytes=1), max(32, -(-m // 32) * 32))
     mp = -(-m // bm) * bm
     if mp != m:
         x2d = jnp.pad(x2d, ((0, mp - m), (0, 0)))
@@ -339,4 +341,121 @@ def fused_qmlp(
         vec(bg, f), vec(bu, fu), vec(bd, n),
         scalar(x_scale), scalar(h_scale),
     )
+    return out[:m] if mp != m else out
+
+
+# ---------------------------------------------------------------------------
+# bf16 fused MLP: same whole-block fusion, no quantization — the
+# [M, mlp_dim] intermediate saving is independent of the int8 question
+# and applies to the DEFAULT serving dtype.
+# ---------------------------------------------------------------------------
+
+
+def _mlp_bf16_kernel(
+    x_ref, wg_ref, wu_ref, wd_ref, bg_ref, bu_ref, bd_ref, o_ref,
+    *, act, glu,
+):
+    dn = (((1,), (0,)), ((), ()))
+    x = x_ref[:]
+    g = jax.lax.dot_general(
+        x, wg_ref[:], dn, preferred_element_type=jnp.float32
+    ) + bg_ref[:].reshape(1, -1)
+    if glu:
+        u = jax.lax.dot_general(
+            x, wu_ref[:], dn, preferred_element_type=jnp.float32
+        ) + bu_ref[:].reshape(1, -1)
+        h = _ACTS[act](g) * u
+    else:
+        h = _ACTS[act](g)
+    y = jax.lax.dot_general(
+        h.astype(x.dtype), wd_ref[:], dn, preferred_element_type=jnp.float32
+    ) + bd_ref[:].reshape(1, -1)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "glu", "out_dtype", "interpret"),
+)
+def fused_mlp_bf16(
+    x2d: jax.Array,
+    wg: jax.Array,
+    wu: Optional[jax.Array],
+    wd: jax.Array,
+    bg: Optional[jax.Array] = None,
+    bu: Optional[jax.Array] = None,
+    bd: Optional[jax.Array] = None,
+    *,
+    act: str = "gelu",
+    glu: bool = True,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """The MLP block as one kernel at the native compute dtype:
+
+        h = act(x @ wg + bg) [* (x @ wu + bu)];  y = h @ wd + bd
+
+    vs the XLA lowering this saves the HBM round-trip of the
+    ``[M, mlp_dim]`` intermediate and the second read of x for the
+    gate/up pair. Numerics: dots accumulate f32 and the glu epilogue
+    runs in f32 before casting back (slightly MORE precise than the
+    module path, which materializes bf16 between ops) — gate behind a
+    config knob, tolerance-tested. Same alignment contract as
+    fused_qmlp."""
+    m, k = x2d.shape
+    kk, f = wg.shape
+    ff, n = wd.shape
+    if kk != k or ff != f:
+        raise ValueError(f"shape mismatch: x K={k} wg {wg.shape} wd {wd.shape}")
+    if k % 128 or f % 128 or n % 128:
+        raise ValueError(f"fused_mlp_bf16 needs K,F,N % 128 == 0; got {k},{f},{n}")
+    if glu != (wu is not None):
+        raise ValueError("glu requires wu (and vice versa)")
+    if act not in _ACTS or act is None:
+        raise ValueError(f"unknown act {act!r}")
+
+    wbytes = wg.dtype.itemsize
+    bm = min(
+        _mlp_block_m(k, f, n, wbytes=wbytes), max(32, -(-m // 32) * 32)
+    )
+    mp = -(-m // bm) * bm
+    if mp != m:
+        x2d = jnp.pad(x2d, ((0, mp - m), (0, 0)))
+
+    def vec(v, width):
+        return (
+            jnp.zeros((1, width), jnp.float32)
+            if v is None
+            else v.astype(jnp.float32).reshape(1, width)
+        )
+
+    if wu is None:
+        wu = jnp.zeros((k, 128), x2d.dtype)
+    fu = wu.shape[1]
+
+    row = lambda i: (i, 0)
+    rep = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_mlp_bf16_kernel, act=act, glu=glu),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        grid=(mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, f), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, fu), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, n), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fu), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), rep, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, n), row, memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * f * (2 if glu else 1) + 2 * mp * f * n,
+            bytes_accessed=mp * k * x2d.dtype.itemsize
+            + (k * f * (2 if glu else 1) + f * n) * wbytes
+            + mp * n * jnp.dtype(out_dtype).itemsize,
+            transcendentals=mp * f,
+        ),
+        interpret=interpret,
+    )(x2d, wg, wu, wd, vec(bg, f), vec(bu, fu), vec(bd, n))
     return out[:m] if mp != m else out
