@@ -173,6 +173,13 @@ def main() -> None:
                     help="also measure the bf16 whole-block fused MLP "
                          "(stage3_fused_mlp: no quantization, the "
                          "[M, mlp_dim] intermediate stays in VMEM)")
+    ap.add_argument("--flash", action="store_true",
+                    help="also measure flash attention for the "
+                         "cross-encoder (stage3_flash_attention: "
+                         "logits/probs never materialize to HBM)")
+    ap.add_argument("--flash-fused-mlp", action="store_true",
+                    help="also measure flash attention + bf16 fused "
+                         "MLP together (the full bf16 kernel stack)")
     ap.add_argument("--train-steps", type=int, default=0,
                     help="(tiny mode) fine-tune all three tiny models "
                          "on the synthetic task for N steps before "
@@ -235,6 +242,13 @@ def main() -> None:
         )
     if args.fused_mlp:
         variants.append(("fused_mlp_bf16", {"stage3_fused_mlp": True}))
+    if args.flash:
+        variants.append(("flash_attn", {"stage3_flash_attention": True}))
+    if args.flash_fused_mlp:
+        variants.append(
+            ("flash+fused_mlp",
+             {"stage3_flash_attention": True, "stage3_fused_mlp": True})
+        )
     for width in args.widths:
         for vname, extra in variants:
             cfg = PipelineConfig(

@@ -76,6 +76,10 @@ def main():
     ap.add_argument("--fused-mlp", action="store_true",
                     help="run the stage-1/2 encoders with the bf16 "
                          "whole-block fused MLP (stage{1,2}_fused_mlp)")
+    ap.add_argument("--flash", action="store_true",
+                    help="run the stage-1/2 encoders with flash "
+                         "attention on padding-only layers "
+                         "(stage{1,2}_flash_attention)")
     args = ap.parse_args()
 
     if args.tiny:
@@ -114,6 +118,8 @@ def main():
         cfg.update(stage1_act_int8=mode, stage2_act_int8=mode)
     if args.fused_mlp:
         cfg.update(stage1_fused_mlp=True, stage2_fused_mlp=True)
+    if args.flash:
+        cfg.update(stage1_flash_attention=True, stage2_flash_attention=True)
     docs = make_docs(args.docs)
 
     p = RetrievalPipeline(PipelineConfig(**cfg))
@@ -190,7 +196,8 @@ def main():
         "value": round(n / total, 1), "unit": "docs/s",
         "config": ("tuned" if args.tuned else "default")
         + (f"+act_int8_{args.act_int8}" if args.act_int8 else "")
-        + ("+fused_mlp" if args.fused_mlp else ""),
+        + ("+fused_mlp" if args.fused_mlp else "")
+        + ("+flash" if args.flash else ""),
         "total_seconds": round(total, 2),
     }), flush=True)
 

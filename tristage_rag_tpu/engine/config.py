@@ -50,6 +50,11 @@ class PipelineConfig:
     # keeping the [M, mlp_dim] intermediate in VMEM. Opt-in; numerics
     # slightly MORE precise than the module path (f32 epilogue).
     stage1_fused_mlp: bool = False
+    # Flash attention for padding-only layers (JAX's Pallas TPU
+    # kernel): [B,h,L,L] logits/probs never materialize to HBM.
+    # Opt-in; windowed/causal/softcapped layers keep the dense
+    # einsum path (models/config.py::flash_attention).
+    stage1_flash_attention: bool = False
 
     # Stage 2
     stage2_model: str = "lightonai/GTE-ModernColBERT-v1"
@@ -69,6 +74,8 @@ class PipelineConfig:
     stage2_act_int8: bool | str = False
     # bf16 fused MLP for the ColBERT encoder (see stage1_fused_mlp).
     stage2_fused_mlp: bool = False
+    # Flash attention for the ColBERT encoder (see stage1).
+    stage2_flash_attention: bool = False
     stage2_cache_doc_embeddings: bool = False  # TPU-native win (SURVEY §7)
     # HBM budget for the device-resident token cache (49 KB/doc at
     # 192x128 bf16); docs beyond the cap re-encode per query.
@@ -108,6 +115,10 @@ class PipelineConfig:
     stage3_act_int8: bool | str = False
     # bf16 fused MLP for the cross-encoder (see stage1_fused_mlp).
     stage3_fused_mlp: bool = False
+    # Flash attention for the cross-encoder (see stage1) — the
+    # biggest attention-HBM case: 100 pairs x 256 tokens x 12
+    # heads of logits+probs per layer.
+    stage3_flash_attention: bool = False
     stage3_normalize_scores: bool = True
     # Fused-path pair layout: queries are capped at this many tokens
     # (incl. [CLS]/[SEP]) and docs at stage3_max_length - reserve, so
@@ -164,6 +175,7 @@ class PipelineConfig:
             ("bm25_weight", "stage1_bm25_weight"),
             ("act_int8", "stage1_act_int8"),
             ("fused_mlp", "stage1_fused_mlp"),
+            ("flash_attention", "stage1_flash_attention"),
         ],
         "stage2": [
             ("model", "stage2_model"),
@@ -177,6 +189,7 @@ class PipelineConfig:
             ("cache_int8", "stage2_cache_int8"),
             ("act_int8", "stage2_act_int8"),
             ("fused_mlp", "stage2_fused_mlp"),
+            ("flash_attention", "stage2_flash_attention"),
         ],
         "stage3": [
             ("model", "stage3_model"),
@@ -189,6 +202,7 @@ class PipelineConfig:
             ("weights_int8", "stage3_weights_int8"),
             ("act_int8", "stage3_act_int8"),
             ("fused_mlp", "stage3_fused_mlp"),
+            ("flash_attention", "stage3_flash_attention"),
         ],
         "general": [
             ("model_dir", "model_dir"),

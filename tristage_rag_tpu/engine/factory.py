@@ -161,15 +161,17 @@ def act_int8_overrides(mode, knob: str = "act_int8") -> Optional[dict]:
 
 def encoder_perf_overrides(config, stage: str) -> Optional[dict]:
     """Merge the per-stage encoder performance knobs
-    (``{stage}_act_int8``, ``{stage}_fused_mlp``) into one
-    EncoderConfig override dict. fused_mlp only applies when int8
-    activations are off — the int8 pallas modes already fuse the MLP
-    block (models/layers.py::Mlp)."""
+    (``{stage}_act_int8``, ``{stage}_fused_mlp``,
+    ``{stage}_flash_attention``) into one EncoderConfig override dict.
+    fused_mlp only applies when int8 activations are off — the int8
+    pallas modes already fuse the MLP block (models/layers.py::Mlp)."""
     ov = act_int8_overrides(
         getattr(config, f"{stage}_act_int8", False), f"{stage}_act_int8"
     ) or {}
     if getattr(config, f"{stage}_fused_mlp", False):
         ov["fused_mlp"] = True
+    if getattr(config, f"{stage}_flash_attention", False):
+        ov["flash_attention"] = True
     return ov or None
 
 

@@ -113,6 +113,15 @@ class EncoderConfig:
     # precise than the module path (f32 epilogue before the cast);
     # opt-in, tolerance-tested.
     fused_mlp: bool = False
+    # Flash attention (JAX's shipped Pallas TPU kernel): the [B,h,L,L]
+    # logits/probs never materialize to HBM — the dominant attention
+    # traffic at cross-encoder shapes (100 pairs x 256 tokens x 12
+    # heads => ~300 MB/layer at f32). Opt-in; applies to layers whose
+    # mask is padding-only (no sliding window, no causal, no logit
+    # softcap) with lane-aligned seq (L % 128 == 0); other layers keep
+    # the dense-bias einsum path. On CPU the mha_reference fallback
+    # keeps tests meaningful.
+    flash_attention: bool = False
 
     @property
     def kv_heads(self) -> int:

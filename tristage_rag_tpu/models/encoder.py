@@ -83,11 +83,24 @@ class TextEncoder(nn.Module):
             else:
                 cos_l, sin_l = cos_g, sin_g
 
+        # Flash attention applies where the mask is padding-only: a
+        # global (non-windowed) bidirectional layer with no logit
+        # softcap, at lane-aligned seq. Windowed/causal layers keep the
+        # dense-bias einsum path (models/layers.py::Attention).
+        flash_ok = (
+            getattr(cfg, "flash_attention", False)
+            and not cfg.causal
+            and cfg.attn_logit_softcap <= 0
+            and l % 128 == 0
+        )
         for i in range(cfg.num_layers):
             is_global = cfg.is_global_layer(i)
             bias = global_bias if is_global else local_bias
             cos, sin = (cos_g, sin_g) if is_global else (cos_l, sin_l)
-            x = EncoderLayer(cfg, i, name=f"layer_{i}")(x, bias, cos, sin)
+            x = EncoderLayer(cfg, i, name=f"layer_{i}")(
+                x, bias, cos, sin,
+                mask=attn_mask if (flash_ok and is_global) else None,
+            )
 
         if cfg.pre_norm:
             x = make_norm(cfg, "final_norm")(x)

@@ -373,8 +373,34 @@ class Attention(nn.Module):
             v.reshape(b, l, kvh, hd),
         )
 
+    def _flash(self, q, k, v, mask, scale, dt):
+        """JAX's Pallas TPU flash-attention kernel: logits/probs never
+        materialize to HBM. ``mask`` [B, L] (1 = real token) becomes
+        segment ids — real tokens attend real tokens, padding attends
+        padding (identical to the dense key-validity bias for every
+        valid query row; padded rows differ but are masked downstream
+        by every pooling/scoring consumer). On CPU the pure-jax
+        mha_reference keeps the mapping testable."""
+        from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+        qh = q.transpose(0, 2, 1, 3)  # [B, h, L, hd]
+        kh = k.transpose(0, 2, 1, 3)
+        vh = v.transpose(0, 2, 1, 3)
+        seg = fa.SegmentIds(
+            q=mask.astype(jnp.int32), kv=mask.astype(jnp.int32)
+        )
+        if jax.default_backend() == "cpu":
+            o = fa.mha_reference(
+                qh, kh, vh, None, segment_ids=seg, sm_scale=scale
+            )
+        else:
+            o = fa.flash_attention(
+                qh, kh, vh, segment_ids=seg, sm_scale=scale
+            )
+        return o.transpose(0, 2, 1, 3).astype(dt)  # [B, L, h, hd]
+
     @nn.compact
-    def __call__(self, x, bias, cos, sin):
+    def __call__(self, x, bias, cos, sin, mask=None):
         cfg = self.cfg
         dt = compute_dtype(cfg)
         h, kvh, hd = cfg.num_heads, cfg.kv_heads, cfg.dims_per_head
@@ -417,15 +443,22 @@ class Attention(nn.Module):
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
         scale = (cfg.query_scale or hd) ** -0.5
-        logits = jnp.einsum("blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32)
-        logits = logits * scale
-        if cfg.attn_logit_softcap > 0:
-            c = cfg.attn_logit_softcap
-            logits = jnp.tanh(logits / c) * c
-        logits = logits + bias
-        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
-        out = jnp.einsum("bhlm,bmhd->blhd", probs, v, preferred_element_type=jnp.float32)
-        out = out.astype(dt)
+        if mask is not None:
+            out = self._flash(q, k, v, mask, scale, dt)
+        else:
+            logits = jnp.einsum(
+                "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+            )
+            logits = logits * scale
+            if cfg.attn_logit_softcap > 0:
+                c = cfg.attn_logit_softcap
+                logits = jnp.tanh(logits / c) * c
+            logits = logits + bias
+            probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+            out = jnp.einsum(
+                "bhlm,bmhd->blhd", probs, v, preferred_element_type=jnp.float32
+            )
+            out = out.astype(dt)
         # o_proj stays bf16 under DYNAMIC int8: its input is unique (no
         # quant sharing) and square K=N shapes measured BELOW 1x with
         # dynamic quant (bench_int8_mxu: 0.67-0.90x). Static scales
@@ -662,7 +695,7 @@ class EncoderLayer(nn.Module):
     layer_idx: int
 
     @nn.compact
-    def __call__(self, x, bias, cos, sin):
+    def __call__(self, x, bias, cos, sin, mask=None):
         cfg = self.cfg
         attn = Attention(cfg, self.layer_idx, name="attn")
         mlp = Mlp(cfg, name="mlp")
@@ -672,7 +705,7 @@ class EncoderLayer(nn.Module):
                 h = x  # ModernBERT layer 0: attn input norm is Identity
             else:
                 h = make_norm(cfg, "attn_norm")(x)
-            h = attn(h, bias, cos, sin)
+            h = attn(h, bias, cos, sin, mask=mask)
             if cfg.gemma_norms:
                 h = make_norm(cfg, "post_attn_norm")(h)
             x = x + h
@@ -683,6 +716,8 @@ class EncoderLayer(nn.Module):
             x = x + h
         else:
             # Post-LN (BERT/MiniLM).
-            x = make_norm(cfg, "attn_norm")(x + attn(x, bias, cos, sin))
+            x = make_norm(cfg, "attn_norm")(
+                x + attn(x, bias, cos, sin, mask=mask)
+            )
             x = make_norm(cfg, "mlp_norm")(x + mlp(x))
         return x
