@@ -109,6 +109,25 @@ def main() -> None:
 
         paths.insert(0, ("pallas_fused_exact", pallas_step, docs))
         paths.insert(0, ("pallas_fused_bank", pallas_bank_step, docs))
+        if int8_ready:
+            # int8 x int8 on the MXU + half the HBM read — the XLA
+            # int8 path only gets the read saving (it dequantizes into
+            # a float dot, staying compute-bound: 82.8k vs 76.9k QPS).
+            def pallas_int8_step(q, d):
+                return fused_matmul_topk(
+                    q.astype(jnp.float32), d, count, k=K, scales=scales
+                )
+
+            def pallas_int8_bank_step(q, d):
+                return fused_matmul_topk(
+                    q.astype(jnp.float32), d, count, k=K, mode="bank",
+                    scales=scales,
+                )
+
+            paths.insert(0, ("pallas_int8_exact", pallas_int8_step, q8docs))
+            paths.insert(
+                0, ("pallas_int8_bank", pallas_int8_bank_step, q8docs)
+            )
 
     iters_for = {"xla_exact": 6}
     for name, fn, corpus in paths:
@@ -128,10 +147,15 @@ def main() -> None:
     recalls = {}
     try:
         exact_ids = jax.device_get(jax.jit(xla_exact_step)(q, docs)[1])
-        for name, step, corpus in (
-            [("xla_approx", xla_approx_step, docs)]
-            + ([("int8_approx", int8_approx_step, q8docs)] if int8_ready else [])
-        ):
+        recall_paths = [("xla_approx", xla_approx_step, docs)]
+        if int8_ready:
+            recall_paths.append(("int8_approx", int8_approx_step, q8docs))
+        if os.environ.get("BENCH_PALLAS") and int8_ready:
+            recall_paths += [
+                ("pallas_int8_exact", pallas_int8_step, q8docs),
+                ("pallas_int8_bank", pallas_int8_bank_step, q8docs),
+            ]
+        for name, step, corpus in recall_paths:
             ids = jax.device_get(jax.jit(step)(q, corpus)[1])
             hit = sum(
                 len(set(ids[b].tolist()) & set(exact_ids[b].tolist()))
@@ -156,6 +180,11 @@ def main() -> None:
         out["int8_approx_qps"] = round(candidates["int8_approx"], 1)
         if "int8_approx" in recalls:
             out["int8_recall_at_k"] = round(recalls["int8_approx"], 4)
+    for pal in ("pallas_int8_exact", "pallas_int8_bank"):
+        if pal in candidates:
+            out[f"{pal}_qps"] = round(candidates[pal], 1)
+            if pal in recalls:
+                out[f"{pal}_recall_at_k"] = round(recalls[pal], 4)
     print(json.dumps(out))
 
 

@@ -335,8 +335,6 @@ class DenseIndex:
         scale is None unless quantized."""
         bias = self._del_mask if self._deleted else None
         impl = self._impl()
-        if impl == "pallas" and self.quantized:
-            impl = "exact"
         return self._buf, jnp.int32(self.count), bias, self._scales, impl
 
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -346,8 +344,6 @@ class DenseIndex:
         q = jnp.asarray(queries)
         bias = self._del_mask if self._deleted else None
         impl = self._impl()
-        if impl == "pallas" and self.quantized:
-            impl = "exact"  # fused kernel is float-only for now
         if self.mesh is not None and self._shards > 1:
             cnt = jnp.asarray([self.count], dtype=jnp.int32)
             s, i = _sharded_topk(
@@ -365,7 +361,15 @@ class DenseIndex:
             extra = min(len(self._deleted), self.capacity - k_eff)
             try:
                 s, i = fused_matmul_topk(
-                    q, self._buf, jnp.int32(self.count), k=k_eff + extra
+                    q, self._buf, jnp.int32(self.count), k=k_eff + extra,
+                    scales=(
+                        self._scales[: self.capacity]
+                        if self.quantized
+                        else None
+                    ),
+                    # Mosaic is TPU-only; interpret keeps the forced-
+                    # pallas path testable on the CPU suite.
+                    interpret=jax.default_backend() == "cpu",
                 )
             except ValueError:
                 # corpus too small for this k's per-block margin — the
