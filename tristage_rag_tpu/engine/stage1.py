@@ -198,7 +198,11 @@ class Stage1Retriever:
         route). Saves a device round-trip per query batch — on
         tunneled dev TPUs that is ~30 ms of the stage-1 budget."""
         corpus, count, bias, scale, impl = self.index.search_state()
-        if self.mesh is not None or impl == "pallas":
+        # Route on the RAW impl: search_state downgrades pallas+int8 to
+        # "exact" for the fused composites (which have no int8-kernel
+        # variant), but a forced-pallas config should reach the int8
+        # kernel through index.search()'s two-step route.
+        if self.mesh is not None or self.index._impl() == "pallas":
             q = self.encode(list(queries), kind="query")
             return self.index.search(q, top_k)
         if self._fused_fn is None:

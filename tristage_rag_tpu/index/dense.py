@@ -335,6 +335,13 @@ class DenseIndex:
         scale is None unless quantized."""
         bias = self._del_mask if self._deleted else None
         impl = self._impl()
+        if impl == "pallas" and self.quantized:
+            # The fused-funnel/fused-dispatch composites (the callers
+            # of this method) have no int8-kernel variant yet; keep
+            # them on the exact XLA composition so a pallas+int8
+            # config still gets the single-dispatch funnel. The
+            # two-step search() path below DOES run the int8 kernel.
+            impl = "exact"
         return self._buf, jnp.int32(self.count), bias, self._scales, impl
 
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:

@@ -221,8 +221,16 @@ def _act_site(mod: nn.Module, cfg, name: str, x2d, dynamic_ok: bool = True):
         return None
     # Under the fused Pallas kernel the dynamic per-row quant pass is
     # VMEM-local (no HBM read), so the contraction-heavy-site gate
-    # (dynamic_ok=False at o_proj/down_proj) does not apply.
-    if getattr(cfg, "int8_pallas", False):
+    # (dynamic_ok=False at o_proj/down_proj) does not apply — but only
+    # when the kernel will actually take these shapes (K and the
+    # output hidden lane-aligned); otherwise _int8_dense falls back to
+    # exactly the XLA dynamic-quant configuration bench_int8_mxu
+    # measured below 1x on contraction shapes.
+    if (
+        getattr(cfg, "int8_pallas", False)
+        and x2d.shape[1] % 128 == 0
+        and cfg.hidden_size % 128 == 0
+    ):
         dynamic_ok = True
     if cfg.int8_act_static:
         s = mod.param(name + "_scale", nn.initializers.ones, ())

@@ -54,17 +54,23 @@ _ACTS = {
 
 
 def _pick_block_n(k: int, n: int, vmem_cap: int = 4 << 20) -> int:
-    """Largest N-tile whose int8 weight block fits the VMEM budget."""
+    """Largest N-tile whose int8 weight block fits the VMEM budget.
+    Returns 0 when no lane-aligned tile fits (caller raises ValueError
+    so _int8_dense's XLA fallback actually triggers — a VMEM-oversized
+    block would fail at Mosaic compile with an uncatchable error)."""
     if k * n <= vmem_cap:
         return n
     for cand in (2048, 1024, 512, 256, 128):
         if n % cand == 0 and k * cand <= vmem_cap:
             return cand
-    return n  # let the compiler complain; caller falls back on error
+    return 0
 
 
-def _kernel(x_ref, wq_ref, ws_ref, b_ref, s_ref, o_ref, *, act, static):
-    x = x_ref[:].astype(jnp.float32)
+def _quant_tile(x, s_ref, static):
+    """In-VMEM quantization of one activation tile; returns
+    (codes int8, scale) with the same numeric contract as the
+    quant_rows/quant_static pair in models/layers.py — the ONE
+    definition used by every kernel in this file."""
     if static:
         # Per-tensor calibrated scale (models/layers.py::quant_static):
         # a scalar divide the VPU fuses into the quantize itself.
@@ -73,7 +79,12 @@ def _kernel(x_ref, wq_ref, ws_ref, b_ref, s_ref, o_ref, *, act, static):
         # Per-row abs-max (token_cache.py::symmetric_int8 contract).
         amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
         s = jnp.maximum(amax, 1e-12) / 127.0
-    codes = jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8)
+    return jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8), s
+
+
+def _kernel(x_ref, wq_ref, ws_ref, b_ref, s_ref, o_ref, *, act, static):
+    x = x_ref[:].astype(jnp.float32)
+    codes, s = _quant_tile(x, s_ref, static)
     acc = jax.lax.dot_general(
         codes, wq_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -128,6 +139,11 @@ def fused_qdense(
     if mp != m:
         x2d = jnp.pad(x2d, ((0, mp - m), (0, 0)))
     bn = _pick_block_n(k, n)
+    if not bn:
+        raise ValueError(
+            f"fused_qdense: no lane-aligned N tile of [K={k}, N={n}] "
+            f"fits the VMEM budget"
+        )
 
     static = x_scale is not None
     s_arr = (
@@ -176,22 +192,16 @@ def fused_qdense(
 # ---------------------------------------------------------------------------
 
 
-def _quant_tile(x, s_ref, static):
-    """In-VMEM quantization of one activation tile; returns
-    (codes int8, scale) with the same numeric contract as the
-    quant_rows/quant_static pair in models/layers.py."""
-    if static:
-        s = jnp.maximum(s_ref[0, 0], 1e-8)
+def _mlp_kernel(x_ref, wg_ref, *refs, act, glu, static):
+    """``glu`` is a static trace parameter: the up-projection operands
+    (wu/us/bu) are only present in the spec list when glu is on, so the
+    non-glu trace never streams dead blocks through VMEM."""
+    if glu:
+        (wu_ref, wd_ref, gs_ref, us_ref, ds_ref, bg_ref, bu_ref, bd_ref,
+         sx_ref, sh_ref, o_ref) = refs
     else:
-        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-        s = jnp.maximum(amax, 1e-12) / 127.0
-    return jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8), s
-
-
-def _mlp_kernel(
-    x_ref, wg_ref, wu_ref, wd_ref, gs_ref, us_ref, ds_ref,
-    bg_ref, bu_ref, bd_ref, sx_ref, sh_ref, o_ref, *, act, glu, static,
-):
+        (wd_ref, gs_ref, ds_ref, bg_ref, bd_ref, sx_ref, sh_ref,
+         o_ref) = refs
     dn = (((1,), (0,)), ((), ()))
     x = x_ref[:].astype(jnp.float32)
     xq, xs = _quant_tile(x, sx_ref, static)
@@ -302,30 +312,41 @@ def fused_qmlp(
             else v.astype(jnp.float32).reshape(1, width)
         )
 
-    if wu is None:  # keep the spec list static; dead input, never read
-        wu = jnp.zeros((k, 128), jnp.int8)
-        uscale = None
-    fu = wu.shape[1]
-
     row = lambda i: (i, 0)
+    rep = lambda i: (0, 0)
+
+    def spec(shape, index_map=rep, space=pltpu.VMEM):
+        return pl.BlockSpec(shape, index_map, memory_space=space)
+
+    # glu is a static argname: the up-projection operands exist only in
+    # the glu trace (no dead VMEM streaming for MiniLM-style MLPs).
+    inputs = [x2d, wg]
+    in_specs = [spec((bm, k), row), spec((k, f))]
+    if glu:
+        inputs.append(wu)
+        in_specs.append(spec((k, f)))
+    inputs += [wd, vec(gscale, f)]
+    in_specs += [spec((f, n)), spec((1, f))]
+    if glu:
+        inputs.append(vec(uscale, f))
+        in_specs.append(spec((1, f)))
+    inputs += [vec(dscale, n), vec(bg, f)]
+    in_specs += [spec((1, n)), spec((1, f))]
+    if glu:
+        inputs.append(vec(bu, f))
+        in_specs.append(spec((1, f)))
+    inputs += [vec(bd, n), scalar(x_scale), scalar(h_scale)]
+    in_specs += [
+        spec((1, n)),
+        spec((1, 1), space=pltpu.SMEM),
+        spec((1, 1), space=pltpu.SMEM),
+    ]
+
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, act=act, glu=glu, static=static),
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         grid=(mp // bm,),
-        in_specs=[
-            pl.BlockSpec((bm, k), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, fu), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, fu), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, fu), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, n), row, memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * k * f * (2 if glu else 1) + 2 * mp * f * n,
@@ -335,12 +356,7 @@ def fused_qmlp(
             transcendentals=mp * f,
         ),
         interpret=interpret,
-    )(
-        x2d, wg, wu, wd,
-        vec(gscale, f), vec(uscale, fu), vec(dscale, n),
-        vec(bg, f), vec(bu, fu), vec(bd, n),
-        scalar(x_scale), scalar(h_scale),
-    )
+    )(*inputs)
     return out[:m] if mp != m else out
 
 
@@ -351,10 +367,11 @@ def fused_qmlp(
 # ---------------------------------------------------------------------------
 
 
-def _mlp_bf16_kernel(
-    x_ref, wg_ref, wu_ref, wd_ref, bg_ref, bu_ref, bd_ref, o_ref,
-    *, act, glu,
-):
+def _mlp_bf16_kernel(x_ref, wg_ref, *refs, act, glu):
+    if glu:
+        wu_ref, wd_ref, bg_ref, bu_ref, bd_ref, o_ref = refs
+    else:
+        wd_ref, bg_ref, bd_ref, o_ref = refs
     dn = (((1,), (0,)), ((), ()))
     x = x_ref[:]
     g = jax.lax.dot_general(
@@ -429,25 +446,30 @@ def fused_mlp_bf16(
             else v.astype(jnp.float32).reshape(1, width)
         )
 
-    if wu is None:
-        wu = jnp.zeros((k, 128), x2d.dtype)
-    fu = wu.shape[1]
-
     row = lambda i: (i, 0)
     rep = lambda i: (0, 0)
+
+    def spec(shape, index_map=rep):
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    inputs = [x2d, wg]
+    in_specs = [spec((bm, k), row), spec((k, f))]
+    if glu:
+        inputs.append(wu)
+        in_specs.append(spec((k, f)))
+    inputs += [wd, vec(bg, f)]
+    in_specs += [spec((f, n)), spec((1, f))]
+    if glu:
+        inputs.append(vec(bu, f))
+        in_specs.append(spec((1, f)))
+    inputs.append(vec(bd, n))
+    in_specs.append(spec((1, n)))
+
     out = pl.pallas_call(
         functools.partial(_mlp_bf16_kernel, act=act, glu=glu),
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         grid=(mp // bm,),
-        in_specs=[
-            pl.BlockSpec((bm, k), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, f), rep, memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, fu), rep, memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, n), rep, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), rep, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, fu), rep, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), rep, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, n), row, memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * k * f * (2 if glu else 1) + 2 * mp * f * n,
@@ -457,5 +479,5 @@ def fused_mlp_bf16(
             transcendentals=mp * f,
         ),
         interpret=interpret,
-    )(x2d, wg, wu, wd, vec(bg, f), vec(bu, fu), vec(bd, n))
+    )(*inputs)
     return out[:m] if mp != m else out

@@ -228,6 +228,10 @@ def fused_matmul_topk(
     quantized = scales is not None
     if quantized and corpus.dtype != jnp.int8:
         raise ValueError(f"scales given but corpus is {corpus.dtype}")
+    if corpus.dtype == jnp.int8 and not quantized:
+        # Without scales the non-quantized branch would silently cast
+        # float queries to int8 codes (0.73 -> 0) — refuse loudly.
+        raise ValueError("int8 corpus needs scales= (per-row dequant)")
     if n % block_size != 0:
         raise ValueError(f"corpus rows {n} not a multiple of {block_size}")
     nblocks = n // block_size
