@@ -29,6 +29,20 @@ _TINY = dict(
     max_position_embeddings=512,
 )
 
+# Lane-aligned tiny variants (hidden/attn-N/mlp all % 128): the fused
+# Pallas kernels and flash attention only engage at MXU-aligned
+# shapes, so pipeline-level CPU tests of the kernel stack use these
+# (tests/test_kernel_stack_pipeline.py). Still deterministic
+# random-init test models — no downloads.
+_TINY_ALIGNED = dict(
+    vocab_size=1024,
+    hidden_size=128,
+    num_layers=2,
+    num_heads=2,
+    mlp_dim=256,
+    max_position_embeddings=512,
+)
+
 ENCODER_CONFIGS: dict[str, EncoderConfig] = {
     # --- test models -----------------------------------------------------
     "tiny-bert": EncoderConfig(**_TINY, position_type="learned", type_vocab_size=2),
@@ -53,6 +67,34 @@ ENCODER_CONFIGS: dict[str, EncoderConfig] = {
     ),
     "tiny-modernbert": EncoderConfig(
         **_TINY,
+        position_type="rope",
+        pre_norm=True,
+        activation="geglu",
+        use_bias=False,
+        sliding_window=8,
+        global_attn_every=2,
+        rope_local_theta=10000.0,
+        rope_theta=160000.0,
+        norm_eps=1e-5,
+    ),
+    "tiny-bert-aligned": EncoderConfig(
+        **_TINY_ALIGNED, position_type="learned", type_vocab_size=2,
+    ),
+    "tiny-gemma-aligned": EncoderConfig(
+        **_TINY_ALIGNED,
+        position_type="rope",
+        norm_type="rmsnorm",
+        norm_eps=1e-6,
+        pre_norm=True,
+        gemma_norms=True,
+        qk_norm=True,
+        activation="geglu_tanh",
+        use_bias=False,
+        embedding_scale=True,
+        embedding_norm=False,
+    ),
+    "tiny-modernbert-aligned": EncoderConfig(
+        **_TINY_ALIGNED,
         position_type="rope",
         pre_norm=True,
         activation="geglu",
@@ -133,6 +175,7 @@ ENCODER_CONFIGS: dict[str, EncoderConfig] = {
 POOLING_CONFIGS: dict[str, PoolingConfig] = {
     "tiny-bert": PoolingConfig(pooling="mean", projection_dims=(32,)),
     "tiny-gemma": PoolingConfig(pooling="mean", projection_dims=(32,)),
+    "tiny-gemma-aligned": PoolingConfig(pooling="mean", projection_dims=(32,)),
     # embeddinggemma: mean pool -> Dense(3072) -> Dense(768) -> normalize
     "embeddinggemma-300m": PoolingConfig(
         pooling="mean", projection_dims=(3072, 768)
@@ -141,11 +184,13 @@ POOLING_CONFIGS: dict[str, PoolingConfig] = {
 
 COLBERT_CONFIGS: dict[str, ColBERTConfig] = {
     "tiny-modernbert": ColBERTConfig(output_dim=32),
+    "tiny-modernbert-aligned": ColBERTConfig(output_dim=32),
     "gte-moderncolbert": ColBERTConfig(output_dim=128),
 }
 
 CROSS_CONFIGS: dict[str, CrossEncoderConfig] = {
     "tiny-bert": CrossEncoderConfig(num_labels=1, activation="sigmoid"),
+    "tiny-bert-aligned": CrossEncoderConfig(num_labels=1, activation="sigmoid"),
     "tiny-bert-1l": CrossEncoderConfig(num_labels=1, activation="sigmoid"),
     # BertForSequenceClassification routes CLS through the tanh pooler.
     "minilm-l6-cross": CrossEncoderConfig(
