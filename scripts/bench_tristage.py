@@ -88,6 +88,9 @@ def main():
     ap.add_argument("--short-docs", action="store_true",
                     help="LIMIT-style ~10-token passages: exercises the "
                          "stage-3 pair-width bucket (engine/fused.py)")
+    ap.add_argument("--maxsim", default="xla", choices=("xla", "pallas"),
+                    help="staged-path MaxSim impl (stage2_maxsim_impl; "
+                         "pallas streams candidate blocks through VMEM)")
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure batch_search throughput at this "
                          "batch size (full funnel, one dispatch)")
@@ -112,6 +115,7 @@ def main():
         stage1_bm25_top_k=300,
         stage2_cache_doc_embeddings=True,
         mesh_data_parallel=1,
+        stage2_maxsim_impl=args.maxsim,
         **models,
     )
     docs = make_docs(args.docs, short=args.short_docs)

@@ -50,3 +50,59 @@ def test_block_boundary_padding():
     )
     assert got.shape == (17,)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_in_jit_normalize_matches_xla():
+    """normalize=True hands raw embeddings to the kernel exactly as the
+    XLA path takes them (the stage-2 wiring contract)."""
+    q, qm, dt, dm = _case(16, 8, 64, 128, seed=3)
+    ref = np.asarray(maxsim_scores(q, qm, dt, dm))
+    got = np.asarray(fused_maxsim(
+        jnp.asarray(q), jnp.asarray(qm), jnp.asarray(dt), jnp.asarray(dm),
+        normalize=True, interpret=True,
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestStage2Wiring:
+    """stage2_maxsim_impl='pallas' routes the staged rescorer through
+    the fused kernel with identical rankings/scores."""
+
+    def _scorer(self, impl):
+        from tristage_rag_tpu.engine.config import PipelineConfig
+        from tristage_rag_tpu.engine.stage2 import ColBERTScorer
+
+        return ColBERTScorer(PipelineConfig(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage2_top_k=8,
+            stage2_max_seq_length=32, mesh_data_parallel=1,
+            compute_dtype="float32", stage2_maxsim_impl=impl,
+        ))
+
+    def test_rescore_parity(self):
+        docs = [f"doc {i} about topic {i % 4} quick brown fox"
+                for i in range(16)]
+        cands = [{"doc_id": i, "document": d, "score": 0.5}
+                 for i, d in enumerate(docs)]
+        out = {}
+        for impl in ("xla", "pallas"):
+            r = self._scorer(impl).rescore_candidates(
+                "quick brown fox topic 2", list(cands)
+            )
+            # a silent pass-through (stage-level failure) would lack
+            # stage2_score — fail loudly instead of vacuously passing
+            assert all("stage2_score" in x for x in r), impl
+            out[impl] = r
+        ids = {k: [x["doc_id"] for x in v] for k, v in out.items()}
+        assert ids["xla"] == ids["pallas"]
+        sx = np.array([x["stage2_score"] for x in out["xla"]])
+        sp = np.array([x["stage2_score"] for x in out["pallas"]])
+        np.testing.assert_allclose(sx, sp, atol=1e-5)
+
+    def test_yaml_roundtrip(self, tmp_path):
+        from tristage_rag_tpu.engine.config import PipelineConfig
+
+        cfg = PipelineConfig(stage2_maxsim_impl="pallas")
+        path = tmp_path / "c.yaml"
+        cfg.export(path)
+        assert PipelineConfig.from_yaml(path).stage2_maxsim_impl == "pallas"

@@ -62,6 +62,12 @@ class PipelineConfig:
     stage2_batch_size: int = 16
     stage2_max_seq_length: int = 192
     stage2_scoring_method: str = "maxsim"  # "maxsim" | "colbert"
+    # MaxSim implementation for the staged rescorer: "xla" einsums the
+    # full [C, Lq, Ld] similarity tensor through HBM; "pallas" streams
+    # candidate blocks through VMEM (ops/pallas_maxsim.py — the
+    # similarities never leave the chip; the win grows with candidate
+    # count and token lengths). Scores identical to 1e-4.
+    stage2_maxsim_impl: str = "xla"  # "xla" | "pallas"
     # True (default) applies the checkpoint's ColBERT projection (the
     # PyLate 1_Dense head — the checkpoint's intended use); False scores
     # MaxSim on raw last-hidden-state tokens, byte-faithful to the
@@ -183,6 +189,7 @@ class PipelineConfig:
             ("batch_size", "stage2_batch_size"),
             ("max_seq_length", "stage2_max_seq_length"),
             ("scoring_method", "stage2_scoring_method"),
+            ("maxsim_impl", "stage2_maxsim_impl"),
             ("use_projection", "stage2_use_projection"),
             ("cache_doc_embeddings", "stage2_cache_doc_embeddings"),
             ("cache_max_docs", "stage2_cache_max_docs"),

@@ -170,6 +170,27 @@ class ColBERTScorer:
             stored += self._cache.add(ids[j : j + bs], emb, mask)
         return stored
 
+    def _maxsim(self, q_emb, q_mask, d_emb, d_mask):
+        """One query's MaxSim scores, routed by ``stage2_maxsim_impl``:
+        "xla" (default) materializes the [C, Lq, Ld] similarity tensor
+        in HBM; "pallas" streams candidate blocks through VMEM and the
+        similarities never leave the chip (ops/pallas_maxsim.py — the
+        win grows with candidate count and token lengths). Both paths
+        re-normalize at score time (identical semantics)."""
+        method = self.config.stage2_scoring_method
+        if getattr(self.config, "stage2_maxsim_impl", "xla") == "pallas":
+            import jax
+
+            from tristage_rag_tpu.ops.pallas_maxsim import fused_maxsim
+
+            return fused_maxsim(
+                jnp.asarray(q_emb), jnp.asarray(q_mask),
+                jnp.asarray(d_emb), jnp.asarray(d_mask),
+                method=method, normalize=True,
+                interpret=jax.default_backend() == "cpu",
+            )
+        return maxsim_scores(q_emb, q_mask, d_emb, d_mask, method=method)
+
     def rescore_candidates(
         self, query: str, candidates: list[dict[str, Any]]
     ) -> list[dict[str, Any]]:
@@ -194,18 +215,12 @@ class ColBERTScorer:
         bucket = _cand_bucket(n)
         d_emb, d_mask = self._candidate_embeddings(candidates, bucket)
         scores = np.asarray(
-            maxsim_scores(
-                q_emb,
-                q_mask,
-                d_emb,
-                d_mask,
-                method=self.config.stage2_scoring_method,
-                # normalize stays ON even though the encoder emits
-                # unit-norm tokens: the device cache stores bf16, whose
-                # rounding perturbs norms by ~1e-3 — re-normalizing at
-                # score time restores exact cosine semantics (the
-                # reference's F.normalize-at-scoring behavior)
-            )
+            self._maxsim(q_emb, q_mask, d_emb, d_mask)
+            # normalize stays ON even though the encoder emits
+            # unit-norm tokens: the device cache stores bf16, whose
+            # rounding perturbs norms by ~1e-3 — re-normalizing at
+            # score time restores exact cosine semantics (the
+            # reference's F.normalize-at-scoring behavior)
         )[:n]
 
         rescored = []
@@ -283,10 +298,7 @@ class ColBERTScorer:
                         cm = np.concatenate(
                             [cm, np.zeros((pad, cm.shape[1]), cm.dtype)]
                         )
-                scores_dev = maxsim_scores(
-                    q_emb, q_mask, ce, cm,
-                    method=self.config.stage2_scoring_method,
-                )[:n]
+                scores_dev = self._maxsim(q_emb, q_mask, ce, cm)[:n]
                 dispatched.append((scores_dev, n))
             live = [s for s, n in dispatched if n]
             flat = (

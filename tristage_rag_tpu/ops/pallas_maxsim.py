@@ -78,21 +78,31 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("method", "block_candidates", "interpret")
+    jax.jit,
+    static_argnames=("method", "block_candidates", "interpret", "normalize"),
 )
 def fused_maxsim(
-    q_tokens: jax.Array,  # [Lq, D] (already normalized or raw — caller's choice)
+    q_tokens: jax.Array,  # [Lq, D]
     q_mask: jax.Array,  # [Lq]
     d_tokens: jax.Array,  # [C, Ld, D]
     d_mask: jax.Array,  # [C, Ld]
     method: str = "maxsim",
     block_candidates: int = 16,
     interpret: bool = False,
+    normalize: bool = False,
 ):
-    """[C] MaxSim scores; numerics match ops.maxsim.maxsim_scores with
-    normalize=False (pass pre-normalized embeddings)."""
+    """[C] MaxSim scores; numerics match ops.maxsim.maxsim_scores
+    (same masking/method semantics). ``normalize=True`` L2-normalizes
+    tokens inside this jit (XLA fuses it around the kernel call), so
+    callers can hand over raw embeddings exactly as they do to the XLA
+    path."""
     c, ld, d = d_tokens.shape
     lq = q_tokens.shape[0]
+    if normalize:
+        from tristage_rag_tpu.ops.maxsim import _normalize
+
+        q_tokens = _normalize(q_tokens)
+        d_tokens = _normalize(d_tokens)
     # Pad shapes to hardware tiles: Lq to sublane 8, Ld to lane 128
     # boundaries for the reshape-reduce, C to the block size.
     lq_p = _round_up(max(lq, 8), 8)
