@@ -180,6 +180,11 @@ def main() -> None:
     ap.add_argument("--flash-fused-mlp", action="store_true",
                     help="also measure flash attention + bf16 fused "
                          "MLP together (the full bf16 kernel stack)")
+    ap.add_argument("--aligned", action="store_true",
+                    help="(tiny mode) use the lane-aligned tiny models "
+                         "(hidden 128) so the fused Pallas kernels and "
+                         "flash attention actually engage on CPU — the "
+                         "quality-preservation leg for the kernel stack")
     ap.add_argument("--train-steps", type=int, default=0,
                     help="(tiny mode) fine-tune all three tiny models "
                          "on the synthetic task for N steps before "
@@ -210,9 +215,11 @@ def main() -> None:
     task = load_limit(data_dir, "limit-small")
 
     if args.tiny:
+        suffix = "-aligned" if args.aligned else ""
         models = dict(
-            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
-            stage3_model="tiny-bert",
+            stage1_model=f"tiny-gemma{suffix}",
+            stage2_model=f"tiny-modernbert{suffix}",
+            stage3_model=f"tiny-bert{suffix}",
         )
     else:
         models = dict(
