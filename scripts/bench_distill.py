@@ -189,7 +189,7 @@ def main() -> None:
                 inject["stage3"] = raw_student
             for stage in ("stage1", "stage2", "stage3"):
                 rt = getattr(p, stage).runtime
-                rt.params = jax.device_put(inject[stage])
+                rt.load_params(jax.device_put(inject[stage]))
                 rt.weights_loaded = True
         t0 = time.time()
         out = run_evaluation(p, task, top_k=20)

@@ -139,7 +139,7 @@ def _inject_trained(pipeline, trained: dict) -> None:
     pipeline.initialize_stages()
     for stage in ("stage1", "stage2", "stage3"):
         rt = getattr(pipeline, stage).runtime
-        rt.params = jax.device_put(trained[stage])
+        rt.load_params(jax.device_put(trained[stage]))
         rt.weights_loaded = True
 
 

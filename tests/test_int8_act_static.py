@@ -140,6 +140,30 @@ class TestScaleParams:
             rebuilt.params
         ) == jax.tree_util.tree_structure(rt.params)
 
+    def test_load_params_grafts_and_rearms_calibration(self):
+        """Injecting a bf16-trained tree into a live static-mode
+        runtime (the bench/trained-weights path) must graft the scale
+        leaves and re-arm calibration — direct ``rt.params =`` skips
+        both and the next forward dies with ScopeParamNotFoundError
+        (the exact failure the aligned funnel-width quality leg hit)."""
+        import jax
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        s = self._cross_runtime(static=True)
+        rt = s.runtime
+        # simulate a tree produced by bf16 training: no scale leaves
+        flat = {
+            p: v
+            for p, v in flatten_dict(jax.device_get(rt.params)).items()
+            if not p[-1].endswith("_scale")
+        }
+        rt.needs_act_calibration = False  # pretend already calibrated
+        rt.load_params(unflatten_dict(flat))
+        assert rt.needs_act_calibration
+        # forward still works end-to-end (lazy calibration included)
+        out = s.predict("quick brown fox", ["doc one", "doc two"])
+        assert len(out) == 2
+
 
 class TestStage3Static:
     def test_scores_close_flips_are_near_ties(self):

@@ -222,6 +222,20 @@ class EncoderRuntime:
         )
         self._jit_apply = jax.jit(self._apply)
 
+    def load_params(self, params) -> None:
+        """Install an externally-produced param tree (trained,
+        distilled, or checkpoint-loaded AFTER construction). Grafts the
+        runtime-only ``*_scale`` leaves a bf16-trained tree predates
+        (static act-int8 configs) and re-arms calibration — assigning
+        ``runtime.params`` directly skips both and crashes the next
+        forward with ScopeParamNotFoundError on such configs."""
+        if self.cfg.int8_activations and getattr(
+            self.cfg, "int8_act_static", False
+        ):
+            params = self._graft_act_scales(params, 0)
+            self.needs_act_calibration = True
+        self.params = self._place_params(params)
+
     def _graft_act_scales(self, params, seed: int):
         """Insert ``*_scale`` scalar leaves missing from a loaded
         checkpoint tree, taking them from a fresh module init."""
