@@ -114,6 +114,56 @@ class TestKernelEngagement:
         assert calls["dense"] > 0    # fused QKV / o_proj
 
 
+class TestFusedFunnelComposition:
+    """The kernels must compose INSIDE the fused single-dispatch
+    program (engine/fused.py builds one XLA program around the same
+    modules), not just on the staged path."""
+
+    def test_kernels_engage_inside_fused_program(self, monkeypatch):
+        import tristage_rag_tpu.ops.pallas_qdense as pq
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        calls = {"mlp": 0}
+        orig = pq.fused_qmlp
+
+        def counted(*a, **kw):
+            calls["mlp"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(pq, "fused_qmlp", counted)
+        p = RetrievalPipeline(_base_cfg(
+            stage2_cache_doc_embeddings=True, enable_fused_search=True,
+            stage3_act_int8="pallas",
+        ))
+        p.add_documents(_docs())
+        out = p.search(QUERIES[0], top_k=3)
+        assert out["timing"].get("fused") is True
+        assert len(out["results"]) == 3
+        assert calls["mlp"] > 0  # fused MLP traced inside the program
+
+    def test_fused_rankings_stable_with_flash_and_fused_mlp(self):
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        def run(**extra):
+            p = RetrievalPipeline(_base_cfg(
+                stage2_cache_doc_embeddings=True,
+                enable_fused_search=True, **extra,
+            ))
+            p.add_documents(_docs())
+            out = p.search(QUERIES[0], top_k=3)
+            assert out["timing"].get("fused") is True
+            return [r["doc_id"] for r in out["results"]]
+
+        base = run()
+        stacked = run(
+            stage1_flash_attention=True, stage2_flash_attention=True,
+            stage3_flash_attention=True, stage1_fused_mlp=True,
+            stage2_fused_mlp=True, stage3_fused_mlp=True,
+        )
+        assert base[0] == stacked[0]
+        assert set(base) == set(stacked)
+
+
 class TestRankingStability:
     def test_flash_fused_mlp_close_to_bf16(self):
         base = _run()
