@@ -38,15 +38,17 @@ QUERIES = ["retrieval kernel latency topic 2 " + "funnel " * 60,
 def _base_cfg(**extra):
     from tristage_rag_tpu.engine.config import PipelineConfig
 
-    return PipelineConfig(
+    kw = dict(
         stage1_model="tiny-gemma-aligned",
         stage2_model="tiny-modernbert-aligned",
         stage3_model="tiny-bert-aligned",
         stage1_top_k=8, stage2_top_k=6, stage3_top_k=3,
         stage1_max_text_length=128, stage2_max_seq_length=128,
         stage3_max_length=128, mesh_data_parallel=1,
-        compute_dtype="float32", **extra,
+        compute_dtype="float32",
     )
+    kw.update(extra)
+    return PipelineConfig(**kw)
 
 
 def _run(**extra):
@@ -162,6 +164,44 @@ class TestFusedFunnelComposition:
         )
         assert base[0] == stacked[0]
         assert set(base) == set(stacked)
+
+
+class TestShardedComposition:
+    """Kernel stack over the 8-virtual-device mesh: the shard-mapped
+    fused funnel wraps the same modules, so the Pallas kernels must
+    compose with shard_map end-to-end (per-shard shapes, replicated
+    params) and rank identically to the staged mesh path."""
+
+    def test_sharded_fused_parity_with_kernel_stack(self):
+        import jax
+
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-virtual-device CPU mesh")
+        stack = dict(
+            stage3_act_int8="pallas", stage1_fused_mlp=True,
+            stage2_fused_mlp=True,
+        )
+        # SHORT docs: stage-3 truncation must not fire — fused vs
+        # staged differ there by the documented static-cap divergence
+        # (PARITY.md), which would mask what this test pins. The int8
+        # and fused-MLP kernels engage regardless of seq bucket.
+        docs = [f"doc {i} about topic {i % 4} quick brown fox"
+                for i in range(14)]
+
+        def run(fused):
+            p = RetrievalPipeline(_base_cfg(
+                mesh_data_parallel=0, enable_fused_search=fused,
+                stage2_cache_doc_embeddings=fused, **stack,
+            ))
+            p.add_documents(list(docs))
+            out = p.search("quick brown fox topic 2", top_k=3)
+            if fused:
+                assert out["timing"].get("fused") is True
+            return [r["doc_id"] for r in out["results"]]
+
+        assert run(True) == run(False)
 
 
 class TestRankingStability:
