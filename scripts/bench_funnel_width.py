@@ -194,6 +194,9 @@ def main() -> None:
     if args.train_steps and not args.tiny:
         ap.error("--train-steps requires --tiny (training full-size "
                  "archs from random init is not meaningful)")
+    if args.aligned and not args.tiny:
+        ap.error("--aligned requires --tiny (full-size archs are "
+                 "already lane-aligned)")
 
     if args.tiny:
         # CPU dev smoke: the axon sitecustomize forces the TPU platform

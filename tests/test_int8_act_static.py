@@ -248,3 +248,59 @@ class TestStage3Static:
 
         with pytest.raises(ValueError, match="stage3_act_int8"):
             act_int8_overrides("int4", "stage3_act_int8")
+
+
+class TestLoadParamsTransforms:
+    def _static_cross(self):
+        from tristage_rag_tpu.engine.stage3 import CrossEncoderReranker
+
+        return CrossEncoderReranker(_base(
+            stage3_act_int8="static", stage3_normalize_scores=False,
+        ))
+
+    def test_calibrated_tree_keeps_scales(self):
+        """A tree saved from a CALIBRATED runtime carries representative
+        scales — load_params must not re-arm calibration (which would
+        overwrite them from the first serving batch)."""
+        import jax
+
+        s = self._static_cross()
+        s.predict("quick brown fox", ["doc one", "doc two"])  # calibrates
+        assert not s.runtime.needs_act_calibration
+        tree = jax.device_get(s.runtime.params)
+        s.runtime.load_params(tree)
+        assert not s.runtime.needs_act_calibration
+
+    def test_weight_int8_runtime_requantizes_dense_tree(self):
+        """Installing a dense (trained) tree into a runtime that ran
+        quantize_weights_int8 must re-quantize — otherwise the
+        DequantModule wrapper silently serves dense weights while the
+        config claims int8."""
+        import jax
+        from flax.traverse_util import flatten_dict
+
+        from tristage_rag_tpu.engine.stage3 import CrossEncoderReranker
+
+        s = CrossEncoderReranker(_base(
+            stage3_weights_int8=True, stage3_normalize_scores=False,
+        ))
+        rt = s.runtime
+
+        def q8_kernels(tree):
+            return sum(
+                1 for p in flatten_dict(tree) if p[-1] == "q8"
+            )
+
+        n_before = q8_kernels(jax.device_get(rt.params))
+        assert n_before > 0
+        # a dense tree, as training would produce it
+        from tristage_rag_tpu.engine.factory import build_runtime
+
+        dense_rt, _ = build_runtime(
+            "cross", "tiny-bert", "./models", compute_dtype="float32",
+            seed=_base().seed + 2,
+        )
+        rt.load_params(jax.device_get(dense_rt.params))
+        assert q8_kernels(jax.device_get(rt.params)) == n_before
+        out = s.predict("quick brown fox", ["doc one", "doc two"])
+        assert len(out) == 2

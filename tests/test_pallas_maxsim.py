@@ -106,3 +106,41 @@ class TestStage2Wiring:
         path = tmp_path / "c.yaml"
         cfg.export(path)
         assert PipelineConfig.from_yaml(path).stage2_maxsim_impl == "pallas"
+
+    def test_unknown_method_raises_like_xla(self):
+        q = jnp.zeros((4, 32), jnp.float32)
+        qm = jnp.ones((4,), jnp.int32)
+        dt = jnp.zeros((3, 8, 32), jnp.float32)
+        dm = jnp.ones((3, 8), jnp.int32)
+        with pytest.raises(ValueError, match="method"):
+            fused_maxsim(q, qm, dt, dm, method="max_sim", interpret=True)
+
+    def test_mesh_scorer_keeps_xla_path(self, monkeypatch):
+        """With a device mesh the sharded token-cache gathers cannot
+        feed a plain pallas_call on hardware — the impl knob must fall
+        back to the XLA path (which shard-maps fine)."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        import tristage_rag_tpu.ops.pallas_maxsim as pm
+        from tristage_rag_tpu.engine.config import PipelineConfig
+        from tristage_rag_tpu.engine.stage2 import ColBERTScorer
+        from tristage_rag_tpu.parallel.mesh import create_mesh
+
+        def boom(*a, **kw):
+            raise AssertionError("pallas path must not run on a mesh")
+
+        monkeypatch.setattr(pm, "fused_maxsim", boom)
+        mesh = create_mesh(0)
+        s = ColBERTScorer(PipelineConfig(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage2_top_k=4,
+            stage2_max_seq_length=32, compute_dtype="float32",
+            stage2_maxsim_impl="pallas",
+        ), mesh=mesh)
+        docs = [f"doc {i} quick brown fox" for i in range(6)]
+        cands = [{"doc_id": i, "document": d, "score": 0.5}
+                 for i, d in enumerate(docs)]
+        r = s.rescore_candidates("quick brown fox", cands)
+        assert all("stage2_score" in x for x in r)

@@ -38,6 +38,7 @@ def _cand_bucket(n: int) -> int:
 class ColBERTScorer:
     def __init__(self, config: PipelineConfig, mesh: Optional[Mesh] = None):
         self.config = config
+        self.mesh = mesh
         self.runtime, self.tokenizer = build_runtime(
             "colbert",
             config.stage2_model,
@@ -178,7 +179,13 @@ class ColBERTScorer:
         win grows with candidate count and token lengths). Both paths
         re-normalize at score time (identical semantics)."""
         method = self.config.stage2_scoring_method
-        if getattr(self.config, "stage2_maxsim_impl", "xla") == "pallas":
+        if (
+            getattr(self.config, "stage2_maxsim_impl", "xla") == "pallas"
+            and self.mesh is None
+            # a mesh-sharded token-cache gather cannot feed a plain
+            # pallas_call on real multi-device hardware (no shard_map
+            # here) — keep the XLA path, which shards fine
+        ):
             import jax
 
             from tristage_rag_tpu.ops.pallas_maxsim import fused_maxsim

@@ -220,35 +220,67 @@ class EncoderRuntime:
         self.needs_act_calibration = bool(
             cfg.int8_activations and getattr(cfg, "int8_act_static", False)
         )
+        self._weights_int8 = False  # set by quantize_weights_int8
         self._jit_apply = jax.jit(self._apply)
 
     def load_params(self, params) -> None:
         """Install an externally-produced param tree (trained,
-        distilled, or checkpoint-loaded AFTER construction). Grafts the
-        runtime-only ``*_scale`` leaves a bf16-trained tree predates
-        (static act-int8 configs) and re-arms calibration — assigning
-        ``runtime.params`` directly skips both and crashes the next
-        forward with ScopeParamNotFoundError on such configs."""
+        distilled, or checkpoint-loaded AFTER construction). Handles
+        the runtime-only transforms a raw tree predates:
+
+        * static act-int8: grafts missing ``*_scale`` leaves and
+          re-arms calibration — but ONLY when leaves were actually
+          missing (a tree saved from a calibrated runtime keeps its
+          representative scales);
+        * weight-only int8 (quantize_weights_int8 ran): a dense
+          incoming tree is re-quantized so the DequantModule wrapper
+          keeps serving int8 kernels instead of silently going dense.
+
+        Assigning ``runtime.params`` directly skips all of this and
+        either crashes the next forward (ScopeParamNotFoundError) or
+        silently changes what the runtime serves."""
         if self.cfg.int8_activations and getattr(
             self.cfg, "int8_act_static", False
         ):
-            params = self._graft_act_scales(params, 0)
-            self.needs_act_calibration = True
+            params, grafted = self._graft_act_scales(
+                params, 0, report=True
+            )
+            if grafted:
+                self.needs_act_calibration = True
         self.params = self._place_params(params)
+        if self._weights_int8:
 
-    def _graft_act_scales(self, params, seed: int):
+            def has_q8(p):
+                if isinstance(p, dict) or hasattr(p, "items"):
+                    return any(
+                        (k == "kernel" and isinstance(v, dict))
+                        or has_q8(v)
+                        for k, v in p.items()
+                    )
+                return False
+
+            if not has_q8(jax.device_get(self.params)):
+                self.quantize_weights_int8()
+
+    def _graft_act_scales(self, params, seed: int, report: bool = False):
         """Insert ``*_scale`` scalar leaves missing from a loaded
-        checkpoint tree, taking them from a fresh module init."""
+        checkpoint tree, taking them from a fresh module init. With
+        ``report`` returns ``(tree, n_grafted)`` so callers can tell a
+        pre-calibrated tree (0 grafts — keep its scales) from a raw
+        bf16 one (grafts — needs calibration)."""
         from flax.traverse_util import flatten_dict, unflatten_dict
 
         rng = jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, 8), dtype=jnp.int32)
         ref = self.module.init(rng, dummy, jnp.ones_like(dummy))["params"]
         flat = dict(flatten_dict(params))
+        grafted = 0
         for path, leaf in flatten_dict(ref).items():
             if path not in flat and path[-1].endswith("_scale"):
                 flat[path] = leaf
-        return unflatten_dict(flat)
+                grafted += 1
+        tree = unflatten_dict(flat)
+        return (tree, grafted) if report else tree
 
     def calibrate_act_static(self, batches: Sequence[Batch]) -> int:
         """Abs-max calibration for static int8 activations.
@@ -329,7 +361,11 @@ class EncoderRuntime:
             return p
 
         self.params = self._place_params(walk(host))
-        self.module = DequantModule(self.module, jnp.dtype(self.cfg.dtype))
+        if not self._weights_int8:  # load_params re-entry: don't re-wrap
+            self.module = DequantModule(
+                self.module, jnp.dtype(self.cfg.dtype)
+            )
+        self._weights_int8 = True
         self._jit_apply = jax.jit(self._apply)
         return count
 

@@ -96,6 +96,10 @@ def fused_maxsim(
     tokens inside this jit (XLA fuses it around the kernel call), so
     callers can hand over raw embeddings exactly as they do to the XLA
     path."""
+    if method not in ("maxsim", "colbert"):
+        # match ops.maxsim.maxsim_scores: unknown methods raise instead
+        # of silently scoring as "maxsim"
+        raise ValueError(f"unknown scoring method {method!r}")
     c, ld, d = d_tokens.shape
     lq = q_tokens.shape[0]
     if normalize:
