@@ -163,6 +163,13 @@ class PipelineConfig:
     # Invalidated on any index mutation.
     enable_result_cache: bool = False
     result_cache_size: int = 1024
+    # Persist the stage-2 token-embedding cache + stage-3 token-id
+    # cache alongside the index (npz + JSON meta, never pickle):
+    # load_index then restores them instead of re-encoding the whole
+    # corpus — the dominant restart cost (~1 chip-minute per 50k docs
+    # at measured fill rates). Any mismatch (model, doc count, dtype,
+    # int8 mode, mesh split) falls back to the re-encode path.
+    persist_device_caches: bool = False
 
     # ---- YAML ------------------------------------------------------------
 
@@ -227,6 +234,7 @@ class PipelineConfig:
             ("enable_fused_search", "enable_fused_search"),
             ("enable_result_cache", "enable_result_cache"),
             ("result_cache_size", "result_cache_size"),
+            ("persist_device_caches", "persist_device_caches"),
         ],
     }
 

@@ -395,6 +395,74 @@ class RetrievalPipeline:
         if self.stage1 is None:
             raise ValueError("pipeline not initialized")
         self.stage1.save_index(index_dir)
+        if getattr(self.config, "persist_device_caches", False):
+            self._save_device_caches(index_dir)
+
+    def _cache_paths(self, index_dir: Optional[str]):
+        import json
+        from pathlib import Path
+
+        root = Path(index_dir or self.config.index_dir)
+        return (
+            root / "stage2_cache.npz",
+            root / "stage3_tokens.npz",
+            root / "device_caches.json",
+            json,
+        )
+
+    def _save_device_caches(self, index_dir: Optional[str]) -> None:
+        """Persist the stage-2 token-embedding cache and the stage-3
+        token-id cache next to the index, so load_index can skip the
+        corpus re-encode (the dominant restart cost — SURVEY §5.4's
+        checkpoint/resume surface extended to the device caches)."""
+        s2_path, s3_path, meta_path, json = self._cache_paths(index_dir)
+        meta = {
+            "stage2_model": self.config.stage2_model,
+            "stage3_model": self.config.stage3_model,
+            "docs": len(self.stage1.documents),
+        }
+        wrote = False
+        cache = getattr(self.stage2, "_cache", None) if self.stage2 else None
+        if cache is not None and cache.size:
+            cache.save(s2_path)
+            wrote = True
+        if self._fused is not None and self._fused.doc_tokens.size:
+            self._fused.doc_tokens.save(s3_path)
+            wrote = True
+        if wrote:
+            meta_path.write_text(json.dumps(meta))
+
+    def _load_device_caches(self, index_dir: Optional[str]) -> tuple[bool, bool]:
+        """(stage2_loaded, stage3_loaded) — False on any mismatch, and
+        the caller refills from the doc store exactly as before."""
+        s2_path, s3_path, meta_path, json = self._cache_paths(index_dir)
+        if not meta_path.exists():
+            return False, False
+        try:
+            meta = json.loads(meta_path.read_text())
+        except Exception:
+            return False, False
+        if (
+            meta.get("stage2_model") != self.config.stage2_model
+            or meta.get("stage3_model") != self.config.stage3_model
+            or meta.get("docs") != len(self.stage1.documents)
+        ):
+            return False, False
+        n = len(self.stage1.documents)
+        s2_ok = s3_ok = False
+        cache = getattr(self.stage2, "_cache", None) if self.stage2 else None
+        if cache is not None and s2_path.exists():
+            s2_ok = cache.load(s2_path) and cache.covers(range(n))
+            if not s2_ok:
+                cache.clear()
+        if self._fused is not None and s3_path.exists():
+            s3_ok = (
+                self._fused.doc_tokens.load(s3_path)
+                and self._fused.doc_tokens.covers_count(n)
+            )
+            if not s3_ok:
+                self._fused.doc_tokens.clear()
+        return s2_ok, s3_ok
 
     def load_index(self, index_dir: Optional[str] = None) -> bool:
         if self.stage1 is None:
@@ -403,17 +471,25 @@ class RetrievalPipeline:
         if ok:
             self._invalidate_result_cache()
         if ok and self.stage1.documents:
-            # Repopulate the device caches the fused path depends on
-            # (embeddings aren't persisted; the doc store is the source
-            # of truth). Clear first: the loaded corpus reuses row ids
-            # 0..n-1, and precompute skips ids already present — stale
-            # entries from a previously indexed corpus would otherwise
-            # silently serve wrong embeddings for the new docs.
+            # Repopulate the device caches the fused path depends on.
+            # With persist_device_caches the saved buffers restore
+            # directly (skipping the corpus re-encode); otherwise the
+            # doc store is the source of truth. Clear first: the loaded
+            # corpus reuses row ids 0..n-1, and precompute skips ids
+            # already present — stale entries from a previously indexed
+            # corpus would otherwise silently serve wrong embeddings.
             docs = self.stage1.documents
-            if self.config.stage2_cache_doc_embeddings and self.stage2:
+            s2_loaded = s3_loaded = False
+            if getattr(self.config, "persist_device_caches", False):
+                s2_loaded, s3_loaded = self._load_device_caches(index_dir)
+            if (
+                self.config.stage2_cache_doc_embeddings
+                and self.stage2
+                and not s2_loaded
+            ):
                 self.stage2.clear_cache()
                 self.stage2.precompute(range(len(docs)), docs)
-            if self._fused is not None:
+            if self._fused is not None and not s3_loaded:
                 self._fused.doc_tokens.clear()
                 self._fused.precompute(range(len(docs)), docs)
         return ok

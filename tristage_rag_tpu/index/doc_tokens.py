@@ -137,6 +137,54 @@ class DocTokenCache:
         """True when every row id in [0, count) is cached."""
         return len(self._present) >= count and count <= self.capacity
 
+    # ---- persistence (npz + JSON meta; never pickle) -----------------------
+
+    def save(self, path) -> None:
+        import json
+
+        meta = dict(
+            kind="doc_tokens", seq_len=self.seq_len, sep_id=self.sep_id,
+            capacity=self.capacity, max_len=self.max_len,
+        )
+        np.savez(
+            path,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            buf=np.asarray(jax.device_get(self._buf)),
+            lens=np.asarray(jax.device_get(self._len)),
+            present=np.asarray(sorted(self._present), dtype=np.int64),
+        )
+
+    def load(self, path) -> bool:
+        """Restore; False on tokenizer/shape mismatch (caller refills)."""
+        import json
+
+        try:
+            z = np.load(path)
+            meta = json.loads(bytes(z["meta"]).decode())
+        except Exception:
+            return False
+        if (
+            meta.get("kind") != "doc_tokens"
+            or meta["seq_len"] != self.seq_len
+            or meta["sep_id"] != self.sep_id
+        ):
+            return False
+        cap = int(meta["capacity"])
+        if cap % (self._shards * 8) and self._shards > 1:
+            return False
+        self.capacity = cap
+        self.max_len = int(meta["max_len"])
+        self._buf = self._place(jnp.asarray(z["buf"], jnp.int32))
+        self._len = self._place(jnp.asarray(z["lens"], jnp.int32))
+        self._present = set(int(i) for i in z["present"])
+        return True
+
+    def _place(self, z):
+        if self.mesh is None:
+            return jax.device_put(z)
+        spec = P(self.data_axis, *([None] * (z.ndim - 1)))
+        return jax.device_put(z, NamedSharding(self.mesh, spec))
+
     def clear(self) -> None:
         self._present = set()
         self.max_len = 0

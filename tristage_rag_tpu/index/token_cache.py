@@ -237,6 +237,76 @@ class DeviceTokenCache:
     def covers(self, doc_ids) -> bool:
         return all(int(i) in self._present for i in doc_ids)
 
+    # ---- persistence (npz + JSON meta; never pickle) -----------------------
+
+    def save(self, path) -> None:
+        """Persist the cache so a reloaded index skips the corpus
+        re-encode (the dominant restart cost: ~1 chip-minute per 50k
+        docs at measured fill rates). bf16 buffers ride as uint16 bit
+        patterns (npz has no bfloat16)."""
+        buf = np.asarray(jax.device_get(self._buf))
+        arrays = dict(
+            mask=np.asarray(jax.device_get(self._mask)),
+            present=np.asarray(sorted(self._present), dtype=np.int64),
+        )
+        if buf.dtype == np.dtype("bfloat16") or str(buf.dtype) == "bfloat16":
+            arrays["buf_u16"] = buf.view(np.uint16)
+        else:
+            arrays["buf"] = buf
+        if self.quantized:
+            arrays["scale"] = np.asarray(jax.device_get(self._scale))
+        meta = dict(
+            kind="token_cache", seq_len=self.seq_len, dim=self.dim,
+            dtype=str(self.dtype), quantized=self.quantized,
+            capacity=self.capacity,
+        )
+        np.savez(path, meta=np.frombuffer(
+            __import__("json").dumps(meta).encode(), dtype=np.uint8
+        ), **arrays)
+
+    def load(self, path) -> bool:
+        """Restore a saved cache. Returns False (caller refills from
+        the doc store) on any mismatch: different seq/dim/dtype/int8
+        mode, or a capacity that doesn't divide over the current mesh."""
+        import json
+
+        try:
+            z = np.load(path)
+            meta = json.loads(bytes(z["meta"]).decode())
+        except Exception:
+            return False
+        if (
+            meta.get("kind") != "token_cache"
+            or meta["seq_len"] != self.seq_len
+            or meta["dim"] != self.dim
+            or meta["dtype"] != str(self.dtype)
+            or meta["quantized"] != self.quantized
+        ):
+            return False
+        cap = int(meta["capacity"])
+        if cap % (self._shards * 8) and self._shards > 1:
+            return False  # saved under a different mesh split
+        if "buf_u16" in z:
+            import ml_dtypes
+
+            buf = z["buf_u16"].view(ml_dtypes.bfloat16)
+        else:
+            buf = z["buf"]
+        self.capacity = cap
+        self._buf = self._place(jnp.asarray(buf))
+        self._mask = self._place(jnp.asarray(z["mask"]))
+        self._scale = (
+            self._place(jnp.asarray(z["scale"])) if self.quantized else None
+        )
+        self._present = set(int(i) for i in z["present"])
+        return True
+
+    def _place(self, z):
+        if self.mesh is None:
+            return jax.device_put(z)
+        spec = P(self.data_axis, *([None] * (z.ndim - 1)))
+        return jax.device_put(z, NamedSharding(self.mesh, spec))
+
     def clear(self) -> None:
         self._present = set()
         # buffers kept allocated; masks zeroed lazily on reuse
