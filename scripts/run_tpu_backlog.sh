@@ -49,7 +49,10 @@ run bench_pallas 5400 env BENCH_PALLAS=1 python -u bench.py
 run tristage_maxsim 5400 python -u scripts/bench_tristage.py \
     --docs 2000 --reps 30 --staged-also --maxsim pallas
 
-# 6. op-level attribution traces (only worth reading if something above
+# 6. restart cost: persisted-cache restore vs corpus re-encode.
+run restart 3600 python -u scripts/bench_restart.py --docs 2000
+
+# 7. op-level attribution traces (only worth reading if something above
 #    surprises).
 run profile_funnel 3600 python -u scripts/profile_funnel.py \
     --variants bf16 static pallas --out "$OUT/traces"
