@@ -97,6 +97,37 @@ class TestRoundTrip:
         out = p2.search("quick brown fox topic 2", top_k=3)
         assert [r["doc_id"] for r in out["results"]] == ref
 
+    def test_same_count_different_corpus_refills(self, tmp_path):
+        """Row ids double as cache keys — a same-COUNT but
+        different-CONTENT corpus must refill (the corpus fingerprint
+        catches what the doc-count check cannot)."""
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        _build_and_save(tmp_path)
+        # overwrite the index with a different same-size corpus,
+        # WITHOUT persisting caches (stale npz files remain on disk)
+        p_mid = RetrievalPipeline(_cfg(tmp_path, persist_device_caches=False))
+        p_mid.add_documents(
+            [f"entirely different text {i} lorem ipsum" for i in
+             range(len(DOCS))]
+        )
+        p_mid.save_index()
+
+        p2 = RetrievalPipeline(_cfg(tmp_path))
+        p2.initialize_stages()
+        calls = {"n": 0}
+        orig = p2.stage2.precompute
+
+        def counted(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        p2.stage2.precompute = counted
+        assert p2.load_index()
+        assert calls["n"] > 0  # stale caches refused, refill ran
+        out = p2.search("entirely different text 3", top_k=3)
+        assert len(out["results"]) == 3
+
     def test_int8_mode_mismatch_refills(self, tmp_path):
         """Saved bf16 cache + int8-configured pipeline: the cache-level
         dtype guard refuses and the refill produces a working pipeline."""

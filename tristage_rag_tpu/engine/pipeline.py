@@ -410,6 +410,19 @@ class RetrievalPipeline:
             json,
         )
 
+    def _corpus_sha(self) -> str:
+        """Fingerprint of the doc store: row ids double as cache keys,
+        so persisted caches are only valid for the exact corpus that
+        filled them — a same-count different-content corpus must refill
+        (the doc-count check alone cannot tell them apart)."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for d in self.stage1.documents:
+            h.update(d.encode())
+            h.update(b"\x00")
+        return h.hexdigest()
+
     def _save_device_caches(self, index_dir: Optional[str]) -> None:
         """Persist the stage-2 token-embedding cache and the stage-3
         token-id cache next to the index, so load_index can skip the
@@ -420,6 +433,7 @@ class RetrievalPipeline:
             "stage2_model": self.config.stage2_model,
             "stage3_model": self.config.stage3_model,
             "docs": len(self.stage1.documents),
+            "corpus_sha": self._corpus_sha(),
         }
         wrote = False
         cache = getattr(self.stage2, "_cache", None) if self.stage2 else None
@@ -446,6 +460,7 @@ class RetrievalPipeline:
             meta.get("stage2_model") != self.config.stage2_model
             or meta.get("stage3_model") != self.config.stage3_model
             or meta.get("docs") != len(self.stage1.documents)
+            or meta.get("corpus_sha") != self._corpus_sha()
         ):
             return False, False
         n = len(self.stage1.documents)
