@@ -80,7 +80,9 @@ class PipelineConfig:
     stage2_act_int8: bool | str = False
     # bf16 fused MLP for the ColBERT encoder (see stage1_fused_mlp).
     stage2_fused_mlp: bool = False
-    # Flash attention for the ColBERT encoder (see stage1).
+    # Flash attention for the ColBERT encoder (see stage1). NOTE: the
+    # default stage2_max_seq_length (192) is not lane-aligned, so this
+    # only engages on the 128-token bucket (or set max_seq_length 256).
     stage2_flash_attention: bool = False
     stage2_cache_doc_embeddings: bool = False  # TPU-native win (SURVEY §7)
     # HBM budget for the device-resident token cache (49 KB/doc at
