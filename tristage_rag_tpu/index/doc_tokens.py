@@ -142,11 +142,13 @@ class DocTokenCache:
     def save(self, path) -> None:
         import json
 
+        from tristage_rag_tpu.index.token_cache import _atomic_savez
+
         meta = dict(
             kind="doc_tokens", seq_len=self.seq_len, sep_id=self.sep_id,
             capacity=self.capacity, max_len=self.max_len,
         )
-        np.savez(
+        _atomic_savez(
             path,
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
             buf=np.asarray(jax.device_get(self._buf)),

@@ -34,6 +34,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 MIN_CAPACITY = 256
 
 
+def _atomic_savez(path, **arrays) -> None:
+    """np.savez via temp-file + rename: a crash mid-write leaves the
+    previous snapshot intact instead of a truncated npz (the load
+    guards would refuse it, but then the restart pays the full
+    re-encode the snapshot existed to avoid)."""
+    import os
+
+    path = str(path)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _scatter(buf, mask_buf, rows, row_mask, ids):
     buf = buf.at[ids].set(rows.astype(buf.dtype))
@@ -260,7 +273,7 @@ class DeviceTokenCache:
             dtype=str(self.dtype), quantized=self.quantized,
             capacity=self.capacity,
         )
-        np.savez(path, meta=np.frombuffer(
+        _atomic_savez(path, meta=np.frombuffer(
             __import__("json").dumps(meta).encode(), dtype=np.uint8
         ), **arrays)
 
