@@ -70,7 +70,14 @@ async def _bench(args) -> dict:
     from tristage_rag_tpu.serve.mcp_server import RetrievalMCPServer
 
     cache_kw = dict(enable_result_cache=bool(args.result_cache))
-    if args.full:
+    if args.config:
+        # bench any YAML profile (e.g. configs/perf.yaml) end-to-end
+        # through the serving stack
+        cfg = PipelineConfig.from_yaml(args.config)
+        cfg.enable_result_cache = (
+            cfg.enable_result_cache or bool(args.result_cache)
+        )
+    elif args.full:
         cfg = PipelineConfig(stage2_cache_doc_embeddings=True, **cache_kw)
     else:
         cfg = PipelineConfig(
@@ -224,13 +231,17 @@ async def _bench(args) -> dict:
         "add_p50_ms": round(pct(add_lat, 0.5) * 1e3, 1),
         "final_doc_count": pipeline.get_document_count(),
         "zipf": args.zipf,
-        "result_cache": bool(args.result_cache),
+        "result_cache": bool(cfg.enable_result_cache),
         "cache_stats": dict(pipeline.result_cache_stats),
     }
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None,
+                    help="bench a YAML pipeline profile "
+                         "(e.g. configs/perf.yaml) instead of the "
+                         "built-in full/tiny configs")
     ap.add_argument("--full", action="store_true",
                     help="full-size architectures (default: tiny)")
     ap.add_argument("--docs", type=int, default=256)
@@ -244,7 +255,14 @@ def main():
     ap.add_argument("--query-pool", type=int, default=64)
     ap.add_argument("--result-cache", action="store_true",
                     help="enable the pipeline result cache")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (dev smokes; the axon "
+                         "sitecustomize makes env vars too late)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     print(json.dumps(asyncio.run(_bench(args))), flush=True)
 
 
