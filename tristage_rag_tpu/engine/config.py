@@ -153,6 +153,12 @@ class PipelineConfig:
     index_search_impl: str = "auto"
     index_recall_target: float = 0.95
     mesh_data_parallel: int = 0  # 0 = use all local devices on one axis
+    # Multi-slice/DCN (SURVEY.md §5.8): >1 builds a 2-D ("dcn", "data")
+    # mesh — corpus/caches shard over "data" (ICI, all engine
+    # collectives), query batches shard over "dcn" (slice-parallel
+    # serving; no cross-slice collectives in the funnel). With
+    # mesh_dcn_parallel=G, mesh_data_parallel is devices PER SLICE.
+    mesh_dcn_parallel: int = 1
     seed: int = 0
     # Single-dispatch tri-stage search (engine/fused.py). Activates when
     # its device caches are populated (requires
@@ -232,6 +238,7 @@ class PipelineConfig:
             ("index_search_impl", "index_search_impl"),
             ("index_recall_target", "index_recall_target"),
             ("mesh_data_parallel", "mesh_data_parallel"),
+            ("mesh_dcn_parallel", "mesh_dcn_parallel"),
             ("seed", "seed"),
             ("enable_fused_search", "enable_fused_search"),
             ("enable_result_cache", "enable_result_cache"),

@@ -44,6 +44,7 @@ from tristage_rag_tpu.engine.config import PipelineConfig
 from tristage_rag_tpu.index.doc_tokens import DocTokenCache
 from tristage_rag_tpu.index.token_cache import dequantize_gather
 from tristage_rag_tpu.models.heads import apply_score_activation
+from tristage_rag_tpu.parallel.mesh import DCN_AXIS, dcn_groups
 from tristage_rag_tpu.ops.device_fusion import (
     rrf_fuse_device,
     weighted_fuse_device,
@@ -151,6 +152,7 @@ class FusedSearcher:
         self.stage3 = stage3
         self.mesh = stage1.mesh
         self.data_axis = getattr(stage1.index, "data_axis", "data")
+        self.ndcn = dcn_groups(self.mesh)  # query-batch groups (§5.8)
         self.q_reserve = config.stage3_query_reserve
         self.doc_tokens = DocTokenCache(
             seq_len=max(config.stage3_max_length - self.q_reserve, 8),
@@ -503,6 +505,27 @@ class FusedSearcher:
             P_(), P_(),                          # bm25 lists
             s2_specs, P_(axis, None), P_(axis),  # device caches
         )
+        # Hybrid ("dcn", "data") mesh (SURVEY.md §5.8): the batched
+        # program shards the QUERY axis over "dcn" — each slice runs
+        # the full funnel on B/ndcn queries against its own replica of
+        # the (ICI-row-sharded) corpus/caches, and NO collective in the
+        # tail names "dcn", so nothing crosses slices. The single-query
+        # program keeps queries replicated (its output must be too).
+        dcn = DCN_AXIS if DCN_AXIS in mesh.axis_names else None
+        if dcn is not None:
+            in_specs_batch = (
+                in_specs[:3]
+                + (P_(dcn, None), P_(dcn, None), P_(dcn, None))  # s1 batch
+                + (P_(dcn, None), P_(dcn, None))                 # s2 batch
+                + (P_(dcn, None), P_(dcn))                       # q3 row/len
+                + in_specs[10:14]
+                + (P_(dcn, None), P_(dcn, None))                 # bm25 lists
+                + in_specs[16:]
+            )
+            out_specs_batch = P_(dcn)
+        else:
+            in_specs_batch = in_specs
+            out_specs_batch = P_()
 
         def shard_mapped(local, args):
             return jax.shard_map(
@@ -553,8 +576,8 @@ class FusedSearcher:
                 ))
 
             return jax.shard_map(
-                local_batch, mesh=mesh, in_specs=in_specs, out_specs=P_(),
-                check_vma=False,
+                local_batch, mesh=mesh, in_specs=in_specs_batch,
+                out_specs=out_specs_batch, check_vma=False,
             )(
                 s1p, s2p, s3p,
                 b_s1_ids, b_s1_mask, b_s1_types, b_s2_ids, b_s2_mask,
@@ -757,7 +780,14 @@ class FusedSearcher:
         for b in (1, 2, 4, 8, 16, 32, 64, 128):
             if b >= n_real:
                 break
-        queries = list(queries) + [""] * (b - n_real)
+        # Hybrid mesh: the batch axis shard_maps over "dcn", so the
+        # padded batch must divide into ndcn groups (buckets are powers
+        # of two; rounds up for tiny batches, non-power-of-two slice
+        # counts, and >largest-bucket overflow batches).
+        if self.ndcn > 1:
+            b = max(b, n_real)
+            b = ((b + self.ndcn - 1) // self.ndcn) * self.ndcn
+        queries = list(queries) + [""] * max(b - n_real, 0)
 
         p = self._prepare(queries)
         payloads = np.asarray(self._fn_batch(

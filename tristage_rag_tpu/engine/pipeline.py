@@ -24,7 +24,11 @@ from tristage_rag_tpu.engine.config import PipelineConfig
 from tristage_rag_tpu.engine.stage1 import Stage1Retriever
 from tristage_rag_tpu.engine.stage2 import ColBERTScorer
 from tristage_rag_tpu.engine.stage3 import CrossEncoderReranker
-from tristage_rag_tpu.parallel.mesh import create_mesh, mesh_info
+from tristage_rag_tpu.parallel.mesh import (
+    create_hybrid_mesh,
+    create_mesh,
+    mesh_info,
+)
 from tristage_rag_tpu.utils.profiling import StageTimer
 
 logger = logging.getLogger(__name__)
@@ -44,7 +48,12 @@ class RetrievalPipeline:
             config = PipelineConfig.from_yaml(config)
         self.config = config
         self._setup_logging()
-        self.mesh = create_mesh(config.mesh_data_parallel)
+        if getattr(config, "mesh_dcn_parallel", 1) > 1:
+            self.mesh = create_hybrid_mesh(
+                config.mesh_dcn_parallel, config.mesh_data_parallel
+            )
+        else:
+            self.mesh = create_mesh(config.mesh_data_parallel)
         self.stage1: Optional[Stage1Retriever] = None
         self.stage2: Optional[ColBERTScorer] = None
         self.stage3: Optional[CrossEncoderReranker] = None

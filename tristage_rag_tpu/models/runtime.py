@@ -201,6 +201,12 @@ class EncoderRuntime:
             raise ValueError(f"unknown runtime kind {kind!r}")
         self.mesh = mesh
         self.dp_axis = dp_axis
+        # Encoder forwards are pure data parallelism (params replicated,
+        # no cross-batch collectives), so on a hybrid ("dcn", "data")
+        # mesh the batch shards over EVERY axis — all devices, both
+        # interconnect tiers, zero communication (SURVEY.md §5.8).
+        self._dp_axes = tuple(mesh.axis_names) if mesh is not None else ()
+        self._dp_size = mesh.size if mesh is not None else 1
         # ST-style encode prompts ({"query": ..., "document": ...});
         # populated by the factory from checkpoint config.
         self.prompts: dict[str, str] = {"query": "", "document": ""}
@@ -308,7 +314,7 @@ class EncoderRuntime:
         for b in batches:
             bucket = batch_bucket(b.input_ids.shape[0])
             if self.mesh is not None:
-                dp = self.mesh.shape[self.dp_axis]
+                dp = self._dp_size
                 bucket = ((max(bucket, dp) + dp - 1) // dp) * dp
             b = pad_batch(b, bucket)
             st = jax.device_get(
@@ -383,7 +389,7 @@ class EncoderRuntime:
     def _place_batch(self, arr: np.ndarray) -> jax.Array:
         if self.mesh is None:
             return jnp.asarray(arr)
-        sh = NamedSharding(self.mesh, P(self.dp_axis, None))
+        sh = NamedSharding(self.mesh, P(self._dp_axes, None))
         return jax.device_put(arr, sh)
 
     def forward(self, b: Batch) -> jax.Array:
@@ -396,7 +402,7 @@ class EncoderRuntime:
         n = b.input_ids.shape[0]
         bucket = batch_bucket(n)
         if self.mesh is not None:
-            dp = self.mesh.shape[self.dp_axis]
+            dp = self._dp_size
             bucket = max(bucket, dp)
             bucket = ((bucket + dp - 1) // dp) * dp
         b = pad_batch(b, bucket)

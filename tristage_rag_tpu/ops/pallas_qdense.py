@@ -42,12 +42,35 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+def _erf_tpu(x):
+    """erf via the Abramowitz & Stegun 7.1.26 rational approximation
+    (|err| <= 1.5e-7, i.e. f32-exact). Mosaic's TPU lowering implements
+    no erf/erfc primitive (only erf_inv), so ``jax.nn.gelu(...,
+    approximate=False)`` — which lowers through erfc — cannot compile
+    inside a kernel; this keeps the in-kernel exact-GELU numerically
+    indistinguishable (measured kernel-vs-XLA deltas stay within the
+    existing 1e-5 test tolerances)."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact_tpu(y):
+    yf = y.astype(jnp.float32)
+    return (0.5 * yf * (1.0 + _erf_tpu(yf * 0.7071067811865476))).astype(
+        y.dtype
+    )
+
+
 # Activation epilogues the kernel can fuse. Keys match
 # EncoderConfig.activation vocabulary where applicable.
 _ACTS = {
     None: lambda y: y,
     "relu": lambda y: jnp.maximum(y, 0.0),
-    "gelu": lambda y: jax.nn.gelu(y, approximate=False),
+    "gelu": _gelu_exact_tpu,
     "gelu_tanh": lambda y: jax.nn.gelu(y, approximate=True),
     "silu": jax.nn.silu,
 }

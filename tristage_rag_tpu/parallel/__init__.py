@@ -1,3 +1,17 @@
-from tristage_rag_tpu.parallel.mesh import DATA_AXIS, create_mesh, mesh_info
+from tristage_rag_tpu.parallel.mesh import (
+    DATA_AXIS,
+    DCN_AXIS,
+    create_hybrid_mesh,
+    create_mesh,
+    dcn_groups,
+    mesh_info,
+)
 
-__all__ = ["DATA_AXIS", "create_mesh", "mesh_info"]
+__all__ = [
+    "DATA_AXIS",
+    "DCN_AXIS",
+    "create_hybrid_mesh",
+    "create_mesh",
+    "dcn_groups",
+    "mesh_info",
+]
