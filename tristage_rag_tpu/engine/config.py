@@ -152,6 +152,17 @@ class PipelineConfig:
     # force one. recall_target feeds approx_max_k.
     index_search_impl: str = "auto"
     index_recall_target: float = 0.95
+    # Clustered (IVF-equivalent) stage-1: index_search_impl "clustered"
+    # k-means-orders the corpus into fixed blocks and scans only the
+    # n_probe best blocks per query tile (the reference's IVF nlist/
+    # nprobe, src/stage1_retriever.py:264-273). block_size is the scan
+    # granule; n_probe the recall knob (probe fraction ~= n_probe *
+    # block_size / corpus); tile_q queries share one probe set.
+    index_cluster_block_size: int = 1024
+    index_cluster_n_probe: int = 32
+    index_cluster_tile_q: int = 8
+    index_cluster_iters: int = 10
+    index_cluster_factor: int = 4
     mesh_data_parallel: int = 0  # 0 = use all local devices on one axis
     # Multi-slice/DCN (SURVEY.md §5.8): >1 builds a 2-D ("dcn", "data")
     # mesh — corpus/caches shard over "data" (ICI, all engine
@@ -237,6 +248,11 @@ class PipelineConfig:
             ("index_dtype", "index_dtype"),
             ("index_search_impl", "index_search_impl"),
             ("index_recall_target", "index_recall_target"),
+            ("index_cluster_block_size", "index_cluster_block_size"),
+            ("index_cluster_n_probe", "index_cluster_n_probe"),
+            ("index_cluster_tile_q", "index_cluster_tile_q"),
+            ("index_cluster_iters", "index_cluster_iters"),
+            ("index_cluster_factor", "index_cluster_factor"),
             ("mesh_data_parallel", "mesh_data_parallel"),
             ("mesh_dcn_parallel", "mesh_dcn_parallel"),
             ("seed", "seed"),

@@ -31,6 +31,19 @@ from tristage_rag_tpu.ops.fusion import reciprocal_rank_fusion, weighted_fusion
 logger = logging.getLogger(__name__)
 
 
+def _cluster_kwargs(config) -> dict[str, int]:
+    """Clustered-index knobs (index_search_impl: "clustered")."""
+    return {
+        "cluster_block_size": getattr(
+            config, "index_cluster_block_size", 1024
+        ),
+        "cluster_n_probe": getattr(config, "index_cluster_n_probe", 32),
+        "cluster_tile_q": getattr(config, "index_cluster_tile_q", 8),
+        "cluster_iters": getattr(config, "index_cluster_iters", 10),
+        "cluster_factor": getattr(config, "index_cluster_factor", 4),
+    }
+
+
 class Stage1Retriever:
     def __init__(
         self,
@@ -112,6 +125,7 @@ class Stage1Retriever:
                 recall_target=getattr(
                     self.config, "index_recall_target", 0.95
                 ),
+                **_cluster_kwargs(self.config),
             )
         self.index.add(emb)
         if self.bm25 is not None:
@@ -198,11 +212,13 @@ class Stage1Retriever:
         route). Saves a device round-trip per query batch — on
         tunneled dev TPUs that is ~30 ms of the stage-1 budget."""
         corpus, count, bias, scale, impl = self.index.search_state()
-        # Route on the RAW impl: search_state downgrades pallas+int8 to
-        # "exact" for the fused composites (which have no int8-kernel
-        # variant), but a forced-pallas config should reach the int8
-        # kernel through index.search()'s two-step route.
-        if self.mesh is not None or self.index._impl() == "pallas":
+        # Route on the RAW impl: search_state downgrades pallas+int8 and
+        # clustered to plain scans for the fused composites, but forced
+        # pallas/clustered configs should reach their kernels through
+        # index.search()'s two-step route.
+        if self.mesh is not None or self.index._impl() in (
+            "pallas", "clustered",
+        ):
             q = self.encode(list(queries), kind="query")
             return self.index.search(q, top_k)
         if self._fused_fn is None:
@@ -306,6 +322,7 @@ class Stage1Retriever:
             d / "stage1_dense", mesh=self.mesh,
             search_impl=getattr(self.config, "index_search_impl", "auto"),
             recall_target=getattr(self.config, "index_recall_target", 0.95),
+            **_cluster_kwargs(self.config),
         )
         # restore the host-side filter that keeps tombstoned docs
         # out of BM25 results too

@@ -34,6 +34,10 @@ from tristage_rag_tpu.ops.topk import masked_approx_topk, masked_topk, NEG_INF
 # top-k (recall 0.95; 77x faster at 1M docs — see ops/topk.py).
 APPROX_THRESHOLD = 1 << 18
 
+# Below this many blocks there is nothing to skip — the clustered path
+# falls back to the exact scan.
+MIN_CLUSTER_BLOCKS = 4
+
 MIN_CAPACITY = 1024
 
 
@@ -116,6 +120,38 @@ def _sharded_topk(
     )(queries, corpus, count, mask, scale)
 
 
+class _ClusterView:
+    """Packed clustered view of the corpus (ops/blockskip.py layout).
+
+    Holds the cluster-ordered block copy + probe centroids. ``pos``
+    maps an original row id to its flat packed slot so tombstones laid
+    after the build can be mirrored into ``bias`` without a repack.
+    """
+
+    def __init__(self, blocked, row_ids, centroids, bias, scales,
+                 order: np.ndarray, built_count: int, block_size: int):
+        self.blocked = blocked          # [nb, bs, d] device
+        self.row_ids = jnp.asarray(row_ids)  # [nb, bs] i32, -1 pad
+        self.centroids = centroids      # [nb, d] f32 device
+        self.bias = bias                # [nb, bs] f32 device or None
+        self.scales = scales            # [nb, bs] f32 device or None
+        self.order = order              # [built_count] np permutation
+        self.built_count = built_count
+        self.block_size = block_size
+        pos = np.empty(built_count, dtype=np.int64)
+        pos[order] = np.arange(built_count, dtype=np.int64)
+        self.pos = pos
+
+    def tombstone(self, ids) -> None:
+        nb, bs = self.row_ids.shape
+        if self.bias is None:
+            self.bias = jnp.zeros((nb, bs), dtype=jnp.float32)
+        slots = self.pos[np.asarray(ids, dtype=np.int64)]
+        flat = self.bias.reshape(-1)
+        flat = flat.at[jnp.asarray(slots)].set(float(NEG_INF))
+        self.bias = flat.reshape(nb, bs)
+
+
 class DenseIndex:
     """Growable exact inner-product index over a device buffer."""
 
@@ -126,8 +162,14 @@ class DenseIndex:
         mesh: Optional[Mesh] = None,
         data_axis: str = "data",
         capacity: int = MIN_CAPACITY,
-        search_impl: str = "auto",  # "auto" | "exact" | "approx" | "pallas"
+        # "auto" | "exact" | "approx" | "pallas" | "clustered"
+        search_impl: str = "auto",
         recall_target: float = 0.95,
+        cluster_block_size: int = 1024,
+        cluster_n_probe: int = 32,
+        cluster_tile_q: int = 8,
+        cluster_iters: int = 10,
+        cluster_factor: int = 4,
     ):
         self.dim = dim
         self.dtype = jnp.dtype(dtype)
@@ -135,6 +177,15 @@ class DenseIndex:
         self.data_axis = data_axis
         self.search_impl = search_impl
         self.recall_target = recall_target
+        self.cluster_block_size = int(cluster_block_size)
+        self.cluster_n_probe = int(cluster_n_probe)
+        self.cluster_tile_q = int(cluster_tile_q)
+        self.cluster_iters = int(cluster_iters)
+        self.cluster_factor = int(cluster_factor)
+        # Clustered (IVF-equivalent) view: built lazily by
+        # build_clusters()/first clustered search; staled by any add
+        # (built_count != count) and rebuilt on the next search.
+        self._cluster = None
         self._shards = 1 if mesh is None else mesh.shape[data_axis]
         self.capacity = _round_capacity(capacity, self._shards * 8)
         self.count = 0
@@ -233,7 +284,104 @@ class DenseIndex:
             return "exact"
         if impl in ("approx", "pallas"):
             return impl
+        if impl == "clustered":
+            # IVF-equivalent block skipping needs enough blocks to skip
+            # and (v1) a single device; otherwise behave like "auto".
+            single = self.mesh is None or self._shards == 1
+            enough = self.count >= MIN_CLUSTER_BLOCKS * self.cluster_block_size
+            if single and enough:
+                return "clustered"
         return "approx" if self.count >= APPROX_THRESHOLD else "exact"
+
+    # ---- clustered (IVF-equivalent) view ---------------------------------
+
+    def build_clusters(self, order: Optional[np.ndarray] = None) -> None:
+        """(Re)build the clustered block view of the current corpus.
+
+        TPU-native FAISS-IVF equivalent (reference trains IVF nlist=100
+        and probes nprobe=10, src/stage1_retriever.py:264-273): device
+        spherical k-means orders the corpus, rows pack into fixed
+        ``cluster_block_size`` blocks, and searches scan only the
+        ``cluster_n_probe`` blocks whose centroid matches the query
+        tile (ops/blockskip.py). ``order`` short-circuits k-means with
+        a precomputed permutation (persistence reload path).
+        """
+        from tristage_rag_tpu.ops.blockskip import (
+            block_centroids, pack_blocks,
+        )
+
+        n = self.count
+        if n < MIN_CLUSTER_BLOCKS * self.cluster_block_size:
+            self._cluster = None
+            return
+        rows = self._buf[:n]
+        if order is None:
+            from tristage_rag_tpu.ops.cluster import (
+                cluster_pack_order, spherical_kmeans,
+            )
+
+            if self.quantized:
+                x = rows.astype(jnp.bfloat16) * self._scales[:n, None].astype(
+                    jnp.bfloat16
+                )
+            else:
+                x = rows.astype(jnp.bfloat16)
+            nb = -(-n // self.cluster_block_size)
+            n_clusters = min(n, max(nb, self.cluster_factor * nb))
+            cents, assign = spherical_kmeans(
+                x, n_clusters, n_iter=self.cluster_iters, seed=0
+            )
+            order = cluster_pack_order(np.asarray(cents), assign)
+        else:
+            order = np.asarray(order, dtype=np.int64)
+            if order.shape != (n,) or not np.array_equal(
+                np.sort(order), np.arange(n)
+            ):
+                raise ValueError(
+                    "order must be a permutation of the current corpus"
+                )
+        blocked, row_ids = pack_blocks(rows, order, self.cluster_block_size)
+        scales_blk = None
+        if self.quantized:
+            packed_scales, _ = pack_blocks(
+                self._scales[:n, None], order, self.cluster_block_size
+            )
+            scales_blk = packed_scales[..., 0]
+        centroids = block_centroids(
+            blocked.astype(jnp.float32)
+            if scales_blk is None
+            else blocked.astype(jnp.float32) * scales_blk[..., None],
+            row_ids,
+        )
+        view = _ClusterView(
+            blocked, row_ids, centroids, None, scales_blk,
+            order, n, self.cluster_block_size,
+        )
+        if self._deleted:
+            view.tombstone(sorted(self._deleted))
+        self._cluster = view
+
+    def _clustered_search(self, q: jnp.ndarray, k: int):
+        from tristage_rag_tpu.ops.blockskip import blockskip_topk
+
+        if self._cluster is None or self._cluster.built_count != self.count:
+            self.build_clusters()
+        cv = self._cluster
+        if cv is None:  # corpus shrank below the clustering floor
+            return None
+        nb = cv.row_ids.shape[0]
+        if k > nb * cv.block_size:
+            return None  # k exceeds even a full probe — exact fallback
+        # k must fit the probed pool: grow the probe set rather than
+        # silently returning fewer results.
+        n_probe = min(
+            nb, max(self.cluster_n_probe, -(-k // cv.block_size) + 1)
+        )
+        return blockskip_topk(
+            q, cv.blocked, cv.row_ids, cv.centroids,
+            k=k, n_probe=n_probe, tile_q=self.cluster_tile_q,
+            bias=cv.bias, scales=cv.scales,
+        )
 
     # ---- public API ------------------------------------------------------
 
@@ -290,6 +438,12 @@ class DenseIndex:
             return 0
         self._deleted.update(fresh)
         self._apply_tombstones(fresh)
+        if self._cluster is not None:
+            # mirror into the packed view for ids it has slots for;
+            # later rows are not in the view and force a rebuild anyway
+            in_view = [i for i in fresh if i < self._cluster.built_count]
+            if in_view:
+                self._cluster.tombstone(in_view)
         return len(fresh)
 
     @property
@@ -315,6 +469,7 @@ class DenseIndex:
             else None
         )
         self._deleted = set()
+        self._cluster = None
         n = rows.shape[0]
         self.count = 0
         self._buf = self._alloc(self.capacity)
@@ -335,6 +490,11 @@ class DenseIndex:
         scale is None unless quantized."""
         bias = self._del_mask if self._deleted else None
         impl = self._impl()
+        if impl == "clustered":
+            # The fused-funnel composites score against the flat buffer;
+            # clustered probing is a two-step-path optimization (like
+            # pallas+int8 below). Keep composites on the masked scan.
+            impl = "approx" if self.count >= APPROX_THRESHOLD else "exact"
         if impl == "pallas" and self.quantized:
             # The fused-funnel/fused-dispatch composites (the callers
             # of this method) have no int8-kernel variant yet; keep
@@ -359,6 +519,14 @@ class DenseIndex:
                 impl="approx" if impl == "approx" else "exact",
                 recall_target=self.recall_target,
             )
+        elif impl == "clustered":
+            out = self._clustered_search(q, k_eff)
+            if out is None:  # below clustering floor — exact fallback
+                out = masked_topk(
+                    q, self._buf, jnp.int32(self.count), k=k_eff,
+                    bias=bias, scale=self._scales,
+                )
+            s, i = out
         elif impl == "pallas":
             from tristage_rag_tpu.ops.pallas_topk import fused_matmul_topk
 
@@ -418,6 +586,7 @@ class DenseIndex:
 
     def clear(self) -> None:
         self.count = 0
+        self._cluster = None
         if self._deleted:
             self._deleted = set()
             self._del_mask = self._alloc_mask(self.capacity)
@@ -427,15 +596,14 @@ class DenseIndex:
     def save(self, path: str | Path) -> None:
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
+        arrays = {}
         if self.quantized:
-            np.savez_compressed(
-                path.with_suffix(".npz"),
-                embeddings=np.asarray(self._buf[: self.count]),
-                scales=np.asarray(self._scales[: self.count]),
-            )
+            arrays["embeddings"] = np.asarray(self._buf[: self.count])
+            arrays["scales"] = np.asarray(self._scales[: self.count])
         else:
-            valid = np.asarray(self._buf[: self.count], dtype=np.float32)
-            np.savez_compressed(path.with_suffix(".npz"), embeddings=valid)
+            arrays["embeddings"] = np.asarray(
+                self._buf[: self.count], dtype=np.float32
+            )
         meta = {
             "dim": self.dim,
             "count": self.count,
@@ -443,6 +611,16 @@ class DenseIndex:
             "deleted": sorted(self._deleted),
             "format": "tristage-dense-v1",
         }
+        # Persist the clustered ordering (not the packed copy — it is
+        # re-derived by one device gather on load, and k-means is the
+        # only expensive part).
+        if (
+            self._cluster is not None
+            and self._cluster.built_count == self.count
+        ):
+            arrays["cluster_order"] = self._cluster.order
+            meta["cluster_block_size"] = self._cluster.block_size
+        np.savez_compressed(path.with_suffix(".npz"), **arrays)
         path.with_suffix(".json").write_text(json.dumps(meta))
 
     @classmethod
@@ -453,12 +631,16 @@ class DenseIndex:
         data_axis: str = "data",
         search_impl: str = "auto",
         recall_target: float = 0.95,
+        **cluster_kwargs,
     ) -> "DenseIndex":
         path = Path(path)
         meta = json.loads(path.with_suffix(".json").read_text())
         with np.load(path.with_suffix(".npz")) as z:
             emb = z["embeddings"]
             scales = z["scales"] if "scales" in z.files else None
+            cluster_order = (
+                z["cluster_order"] if "cluster_order" in z.files else None
+            )
         idx = cls(
             dim=meta["dim"],
             dtype=meta["dtype"],
@@ -467,6 +649,7 @@ class DenseIndex:
             capacity=max(meta["count"], MIN_CAPACITY),
             search_impl=search_impl,
             recall_target=recall_target,
+            **cluster_kwargs,
         )
         if idx.quantized and scales is not None:
             # restore raw int8 values + scales (no double quantization)
@@ -478,6 +661,13 @@ class DenseIndex:
                 idx.count = n
         else:
             idx.add(emb)
+        if (
+            cluster_order is not None
+            and mesh is None
+            and meta.get("cluster_block_size") == idx.cluster_block_size
+            and idx.count >= MIN_CLUSTER_BLOCKS * idx.cluster_block_size
+        ):
+            idx.build_clusters(order=cluster_order)
         if meta.get("deleted"):
             idx.delete(meta["deleted"])
         return idx

@@ -1,0 +1,175 @@
+"""Clustered block-skip top-k — the FAISS-IVF equivalent, TPU-shaped.
+
+The reference switches stage-1 from ``IndexFlatIP`` to ``IndexIVFFlat``
+(nlist=100, nprobe=10) beyond 1k docs (src/stage1_retriever.py:256-283):
+only the partitions nearest the query are scanned. The TPU-native
+translation keeps everything static-shaped:
+
+* the corpus is reordered by k-means cluster (ops/cluster.py) and packed
+  into fixed-size blocks ``[n_blocks, block_size, d]`` — a block is the
+  DMA/matmul granule, clusters are the semantic granule; packing in
+  cluster order makes blocks cluster-coherent without dynamic per-
+  cluster shapes;
+* at query time, a cheap ``[B, n_blocks]`` centroid matmul picks the
+  top ``n_probe`` blocks per query *tile* (queries grouped in tiles of
+  ``tile_q`` share one probe set — max-pooled centroid scores), then a
+  sequential ``lax.map`` over tiles gathers just those blocks and runs
+  the exact masked matmul + top-k on them.
+
+HBM/FLOPs scale with ``n_probe * block_size`` per tile instead of the
+whole corpus — the win is largest exactly where the full-scan matmul is
+weakest: low-batch serving (B=1 reads ~probe-fraction of the corpus
+instead of all of it). At n_probe/n_blocks = 10% this is the same scan
+budget as the reference's nprobe=10/nlist=100, with the recall knob
+explicit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tristage_rag_tpu.ops.topk import NEG_INF
+
+
+def pack_blocks(emb: jax.Array, order: np.ndarray, block_size: int):
+    """Pack cluster-ordered corpus rows into fixed blocks.
+
+    Args:
+      emb: [n, d] corpus rows (device or host; any dtype incl. int8).
+      order: [n] permutation — row order[i] of ``emb`` becomes packed
+        slot i (cluster-sorted, ops/cluster.py assignments).
+      block_size: rows per block.
+
+    Returns:
+      (blocked [n_blocks, block_size, d] same dtype, row_ids
+      [n_blocks, block_size] int32 original row ids with -1 padding).
+    """
+    emb = jnp.asarray(emb)
+    n, d = emb.shape
+    if order.shape != (n,):
+        raise ValueError(f"order must be [{n}], got {order.shape}")
+    nb = max(1, -(-n // block_size))
+    pad = nb * block_size - n
+    packed = jnp.take(emb, jnp.asarray(order, dtype=jnp.int32), axis=0)
+    if pad:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((pad, d), dtype=emb.dtype)], axis=0
+        )
+    row_ids = np.full((nb * block_size,), -1, dtype=np.int32)
+    row_ids[:n] = order.astype(np.int32)
+    return (
+        packed.reshape(nb, block_size, d),
+        row_ids.reshape(nb, block_size),
+    )
+
+
+def block_centroids(blocked: jax.Array, row_ids) -> jax.Array:
+    """Per-block L2-normalized mean of valid rows — the probe targets.
+
+    Blocks are cluster-coherent (packed in cluster order), so the block
+    mean tracks the k-means centroid; using the *block* mean (not the
+    cluster centroid) keeps probe scores faithful when a block straddles
+    two adjacent clusters."""
+    valid = (jnp.asarray(row_ids) >= 0).astype(jnp.float32)
+    x = blocked.astype(jnp.float32)
+    sums = jnp.einsum("nbd,nb->nd", x, valid)
+    counts = jnp.maximum(valid.sum(axis=1), 1.0)
+    mean = sums / counts[:, None]
+    norm = jnp.linalg.norm(mean, axis=1, keepdims=True)
+    return mean / jnp.maximum(norm, 1e-12)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_probe", "tile_q")
+)
+def blockskip_topk(
+    queries: jax.Array,
+    blocked: jax.Array,
+    row_ids: jax.Array,
+    centroids: jax.Array,
+    k: int,
+    n_probe: int,
+    tile_q: int = 8,
+    bias=None,
+    scales=None,
+):
+    """Probed top-k over a blocked corpus.
+
+    Args:
+      queries: [B, d] query embeddings.
+      blocked: [n_blocks, block_size, d] packed corpus (f32/bf16/int8).
+      row_ids: [n_blocks, block_size] int32 original ids, -1 = padding.
+      centroids: [n_blocks, d] f32 probe targets (block_centroids).
+      k: results per query (must fit the probed pool,
+        k <= n_probe * block_size).
+      n_probe: blocks scanned per query tile (recall knob — the
+        reference's nprobe, stage1_retriever.py:268).
+      tile_q: queries per probe tile. Tiles share one probe set
+        (max-pooled centroid scores), trading a little recall for
+        batched gathers; tile_q=1 probes per query.
+      bias: optional [n_blocks, block_size] f32 additive bias in packed
+        layout (tombstones use -inf).
+      scales: optional [n_blocks, block_size] f32 per-row dequant
+        scales for int8 blocked corpora.
+
+    Returns:
+      (scores [B, k] f32, ids [B, k] int32 original row ids, -1 pad).
+    """
+    b, d = queries.shape
+    nb, bs, _ = blocked.shape
+    n_probe = min(n_probe, nb)
+    if k > n_probe * bs:
+        raise ValueError(
+            f"k={k} exceeds probed pool n_probe*block_size="
+            f"{n_probe * bs}; raise n_probe or block_size"
+        )
+    tile_q = max(1, min(tile_q, b))
+    q32 = queries.astype(jnp.float32)
+    b_pad = ((b + tile_q - 1) // tile_q) * tile_q
+    if b_pad != b:
+        q32 = jnp.concatenate(
+            [q32, jnp.zeros((b_pad - b, d), jnp.float32)], axis=0
+        )
+    t = b_pad // tile_q
+
+    cscores = jnp.einsum(
+        "qd,nd->qn", q32, centroids, preferred_element_type=jnp.float32
+    )
+    tile_scores = cscores.reshape(t, tile_q, nb).max(axis=1)
+    _, sel = jax.lax.top_k(tile_scores, n_probe)  # [t, n_probe]
+
+    compute_t = jnp.bfloat16 if blocked.dtype != jnp.float32 else jnp.float32
+    qt_all = q32.reshape(t, tile_q, d)
+
+    def one_tile(args):
+        qt, sel_t = args  # [tile_q, d], [n_probe]
+        blk = jnp.take(blocked, sel_t, axis=0)  # [P, bs, d]
+        ids = jnp.take(row_ids, sel_t, axis=0)  # [P, bs]
+        s = jnp.einsum(
+            "qd,pbd->qpb",
+            qt.astype(compute_t),
+            blk.astype(compute_t),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if scales is not None:
+            s = s * jnp.take(scales, sel_t, axis=0)[None]
+        if bias is not None:
+            s = s + jnp.take(bias, sel_t, axis=0)[None]
+        s = jnp.where(ids[None] >= 0, s, NEG_INF)
+        flat = s.reshape(tile_q, n_probe * bs)
+        ts, pos = jax.lax.top_k(flat, k)
+        ti = ids.reshape(-1)[pos]
+        ti = jnp.where(ts > NEG_INF / 2, ti, -1)
+        return ts, ti
+
+    # Sequential over tiles: bounds live memory to one probed pool
+    # (n_probe * block_size * d) regardless of batch size.
+    scores, ids = jax.lax.map(one_tile, (qt_all, sel))
+    scores = scores.reshape(b_pad, k)[:b]
+    ids = ids.reshape(b_pad, k)[:b]
+    return scores, ids

@@ -1,0 +1,188 @@
+"""Device-side spherical k-means for the clustered stage-1 index.
+
+The reference covers large corpora with FAISS ``IndexIVFFlat``
+(nlist=100, nprobe=10 — src/stage1_retriever.py:264-273): k-means
+centroids partition the corpus and queries only scan the nearest
+partitions. This module is the TPU-native trainer for that partition:
+Lloyd's iterations run entirely on device as chunked MXU matmuls
+(assignment = one [chunk, C] similarity matmul; update = one
+one-hot-weighted [C, d] matmul), so training a 1M x 768 corpus into
+~1k centroids is a few hundred ms of device time instead of a
+scikit-learn CPU crawl.
+
+Spherical variant: inputs are L2-normalized (the stage-1 corpus
+contract), assignment is by inner product, and centroids are
+re-normalized every update — so centroid scores are directly comparable
+to document scores at probe time (ops/blockskip.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pad_rows(x: jnp.ndarray, multiple: int) -> tuple[jnp.ndarray, int]:
+    n = x.shape[0]
+    padded = ((n + multiple - 1) // multiple) * multiple
+    if padded != n:
+        x = jnp.concatenate(
+            [x, jnp.zeros((padded - n, x.shape[1]), dtype=x.dtype)], axis=0
+        )
+    return x, n
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "chunk"))
+def _kmeans_device(x, valid, centroids0, n_iter: int, chunk: int):
+    """x: [n_pad, d] (zero-padded), valid: [n_pad] bool, centroids0:
+    [C, d]. Returns (centroids [C, d] f32 L2-normalized, assign [n_pad]
+    i32; padded rows get assignment -1)."""
+    n_pad, d = x.shape
+    n_chunks = n_pad // chunk
+    xc = x.reshape(n_chunks, chunk, d)
+    vc = valid.reshape(n_chunks, chunk)
+    compute_t = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+    def assign_chunk(cent, xi, vi):
+        sims = jnp.einsum(
+            "nd,cd->nc",
+            xi.astype(compute_t),
+            cent.astype(compute_t),
+            preferred_element_type=jnp.float32,
+        )
+        a = jnp.argmax(sims, axis=1).astype(jnp.int32)
+        return jnp.where(vi, a, -1)
+
+    def step(cent, _):
+        c = cent.shape[0]
+
+        def chunk_step(carry, inp):
+            sums, counts = carry
+            xi, vi = inp
+            a = assign_chunk(cent, xi, vi)
+            # one-hot weights are exactly 0/1, so a bf16 one-hot with
+            # f32 accumulation loses nothing and halves the [chunk, C]
+            # transient
+            onehot = (
+                jax.nn.one_hot(a, c, dtype=compute_t)
+                * vi[:, None].astype(compute_t)
+            )
+            sums = sums + jnp.einsum(
+                "nc,nd->cd", onehot, xi.astype(compute_t),
+                preferred_element_type=jnp.float32,
+            )
+            counts = counts + onehot.astype(jnp.float32).sum(axis=0)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            chunk_step,
+            (jnp.zeros((c, d), jnp.float32), jnp.zeros((c,), jnp.float32)),
+            (xc, vc),
+        )
+        mean = sums / jnp.maximum(counts, 1.0)[:, None]
+        norm = jnp.linalg.norm(mean, axis=1, keepdims=True)
+        new = mean / jnp.maximum(norm, 1e-12)
+        # empty cluster: keep its previous centroid (it can re-acquire
+        # members as neighbours move)
+        new = jnp.where((counts > 0)[:, None], new, cent)
+        return new.astype(jnp.float32), None
+
+    centroids, _ = jax.lax.scan(step, centroids0.astype(jnp.float32), None,
+                                length=n_iter)
+
+    def final_chunk(_, inp):
+        xi, vi = inp
+        return None, assign_chunk(centroids, xi, vi)
+
+    _, assign = jax.lax.scan(final_chunk, None, (xc, vc))
+    return centroids, assign.reshape(-1)
+
+
+def spherical_kmeans(
+    x,
+    n_clusters: int,
+    n_iter: int = 10,
+    seed: int = 0,
+    chunk: int = 32768,
+):
+    """Train spherical k-means on device.
+
+    Args:
+      x: [n, d] L2-normalized rows (numpy or jax; f32/bf16).
+      n_clusters: number of centroids (clipped to n).
+      n_iter: Lloyd iterations.
+      seed: centroid-init RNG seed (init = random distinct rows).
+      chunk: rows per assignment matmul — bounds the [chunk, C]
+        similarity/one-hot transients (32k x 4k bf16 = 256 MB).
+
+    Returns:
+      (centroids [C, d] f32 L2-normalized, assignments [n] np.int32)
+    """
+    x = jnp.asarray(x)
+    if x.ndim != 2:
+        raise ValueError(f"expected [n, d] rows, got {x.shape}")
+    n = x.shape[0]
+    c = max(1, min(int(n_clusters), n))
+    chunk = max(1, min(chunk, n, 1 << 20))
+    key = jax.random.PRNGKey(seed)
+    init_rows = np.asarray(
+        jax.random.permutation(key, n)[:c], dtype=np.int64
+    )
+    centroids0 = jnp.take(x, jnp.asarray(init_rows), axis=0).astype(
+        jnp.float32
+    )
+    xp, n_real = _pad_rows(x, chunk)
+    valid = jnp.arange(xp.shape[0], dtype=jnp.int32) < n_real
+    centroids, assign = _kmeans_device(xp, valid, centroids0, n_iter, chunk)
+    return centroids, np.asarray(assign[:n], dtype=np.int32)
+
+
+def chain_order(centroids) -> np.ndarray:
+    """Greedy nearest-neighbour ordering of centroids.
+
+    Cluster ids are arbitrary, so packing rows "in cluster order"
+    (ops/blockskip.py) would otherwise put unrelated clusters in the
+    same block whenever clusters are smaller than blocks — the block
+    mean then points nowhere and probe recall collapses to the scan
+    fraction. Walking the centroid graph greedily (start anywhere,
+    always hop to the nearest unvisited centroid) makes adjacent
+    clusters geometrically close, so blocks that span several clusters
+    stay coherent. O(C^2) host-side; C is a few thousand.
+
+    Returns a permutation of cluster ids: position -> cluster id.
+    """
+    c = np.asarray(centroids, dtype=np.float32)
+    n = c.shape[0]
+    if n <= 2:
+        return np.arange(n, dtype=np.int64)
+    sims = c @ c.T
+    np.fill_diagonal(sims, -np.inf)
+    order = np.empty(n, dtype=np.int64)
+    visited = np.zeros(n, dtype=bool)
+    cur = 0
+    order[0] = 0
+    visited[0] = True
+    for i in range(1, n):
+        row = np.where(visited, -np.inf, sims[cur])
+        cur = int(np.argmax(row))
+        order[i] = cur
+        visited[cur] = True
+    return order
+
+
+def cluster_pack_order(centroids, assign: np.ndarray) -> np.ndarray:
+    """Row packing order: chain-ordered clusters, stable within each.
+
+    The permutation ops/blockskip.py::pack_blocks consumes — rows of
+    the same cluster stay contiguous, and consecutive clusters are
+    nearest neighbours (chain_order), so fixed-size blocks cut across
+    cluster boundaries without losing coherence."""
+    corder = chain_order(centroids)
+    rank = np.empty(corder.shape[0], dtype=np.int64)
+    rank[corder] = np.arange(corder.shape[0], dtype=np.int64)
+    return np.argsort(
+        rank[np.asarray(assign, dtype=np.int64)], kind="stable"
+    ).astype(np.int64)
