@@ -12,8 +12,8 @@ work does):
   3. stage-3 doc token-id cache fill (host tokenize -> device scatter)
 
 Usage:
-  python scripts/bench_indexing.py --docs 2000                # default cfg
-  python scripts/bench_indexing.py --docs 2000 --tuned        # bigger batches
+  python scripts/bench_indexing.py --docs 2048                # default cfg
+  python scripts/bench_indexing.py --docs 2048 --tuned        # bigger batches
   python scripts/bench_indexing.py --tiny                     # CPU smoke
 Prints one JSON line per phase and a total docs/s line.
 """
@@ -61,7 +61,7 @@ def dependent_fetch(*arrays) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=2000)
+    ap.add_argument("--docs", type=int, default=2048)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--tuned", action="store_true",
                     help="bigger encode batches + shorter s1 padding")

@@ -6,7 +6,7 @@ cache; with it the saved buffers restore directly. This measures both
 legs on the same saved index (build once, reload twice) and prints one
 JSON line per leg.
 
-Run (TPU): PYTHONPATH=/root/repo python -u scripts/bench_restart.py --docs 2000
+Run (TPU): PYTHONPATH=/root/repo python -u scripts/bench_restart.py --docs 2048
 Run (CPU dev): ... --tiny --docs 300
 """
 
@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=2000)
+    ap.add_argument("--docs", type=int, default=2048)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--int8-cache", action="store_true",
                     help="stage2_cache_int8 (halves the npz too)")

@@ -47,10 +47,10 @@ run bench_pallas 5400 env BENCH_PALLAS=1 python -u bench.py
 
 # 5. staged-path MaxSim kernel row.
 run tristage_maxsim 5400 python -u scripts/bench_tristage.py \
-    --docs 2000 --reps 30 --staged-also --maxsim pallas
+    --docs 2048 --reps 30 --staged-also --maxsim pallas
 
 # 6. restart cost: persisted-cache restore vs corpus re-encode.
-run restart 3600 python -u scripts/bench_restart.py --docs 2000
+run restart 3600 python -u scripts/bench_restart.py --docs 2048
 
 # 7. op-level attribution traces (only worth reading if something above
 #    surprises).
