@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--probes", type=int, nargs="+",
                     default=[16, 32, 64, 128])
     ap.add_argument("--tile-q", type=int, default=8)
+    ap.add_argument(
+        "--kernel", default="xla", choices=["xla", "pallas"],
+        help="probed-pool scoring path: xla gather+dot, or the "
+        "scalar-prefetch Pallas gather-matmul",
+    )
     ap.add_argument("--recall-queries", type=int, default=64)
     ap.add_argument(
         "--corpus", default="clustered", choices=["clustered", "random"],
@@ -160,12 +165,14 @@ def main():
             def clustered_step(qq, dd, p=p):
                 return blockskip_topk(
                     qq, dd, row_ids_j, cents, k=k, n_probe=p,
-                    tile_q=args.tile_q,
+                    tile_q=args.tile_q, impl=args.kernel,
+                    interpret=args.kernel == "pallas" and args.cpu,
                 )
 
             rec = recall_of(clustered_step(rq, blocked)[1])
             row = {
-                "path": "clustered", "batch": b, "n_probe": p,
+                "path": "clustered", "kernel": args.kernel,
+                "batch": b, "n_probe": p,
                 "scan_frac": round(p * args.block / n, 4),
                 "recall_at_k": round(rec, 4),
             }

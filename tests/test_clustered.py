@@ -196,6 +196,93 @@ class TestBlockskipTopk:
         assert target not in np.asarray(i)[0].tolist()
 
 
+class TestPallasBlockskip:
+    """Pallas gather-matmul (interpret mode) vs the XLA gather path."""
+
+    def _setup(self, rng, n=256, d=128, bs=32):
+        rows, _ = _clustered_corpus(rng, n_clusters=8, per=n // 8, d=d)
+        _, assign = spherical_kmeans(rows, 8, n_iter=10, seed=0)
+        order = np.argsort(assign, kind="stable").astype(np.int64)
+        blocked, row_ids = pack_blocks(rows, order, bs)
+        cents = block_centroids(blocked, row_ids)
+        return rows, blocked, row_ids, cents
+
+    def test_matches_xla_impl(self):
+        rng = np.random.default_rng(30)
+        rows, blocked, row_ids, cents = self._setup(rng)
+        q = rng.standard_normal((16, 128)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        kw = dict(k=10, n_probe=4, tile_q=8)
+        sx, ix = blockskip_topk(
+            jnp.asarray(q), blocked, row_ids, cents, **kw
+        )
+        sp, ip = blockskip_topk(
+            jnp.asarray(q), blocked, row_ids, cents, **kw,
+            impl="pallas", interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ix), np.asarray(ip))
+        np.testing.assert_allclose(
+            np.asarray(sx), np.asarray(sp), atol=2e-2
+        )
+
+    def test_full_probe_exact_and_batch_padding(self):
+        rng = np.random.default_rng(31)
+        rows, blocked, row_ids, cents = self._setup(rng)
+        q = rng.standard_normal((11, 128)).astype(np.float32)  # pads to 16
+        s, i = blockskip_topk(
+            jnp.asarray(q), blocked, row_ids, cents,
+            k=5, n_probe=row_ids.shape[0], tile_q=8,
+            impl="pallas", interpret=True,
+        )
+        es, ei = masked_topk(jnp.asarray(q), jnp.asarray(rows),
+                             jnp.int32(rows.shape[0]), k=5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ei))
+
+    def test_bias_and_int8(self):
+        rng = np.random.default_rng(32)
+        rows, blocked, row_ids, cents = self._setup(rng)
+        from tristage_rag_tpu.index.token_cache import symmetric_int8
+
+        codes, scales = symmetric_int8(jnp.asarray(rows))
+        blocked8, _ = pack_blocks(codes, np.asarray(row_ids).reshape(-1)[
+            np.asarray(row_ids).reshape(-1) >= 0], 32)
+        scales_blk, _ = pack_blocks(
+            np.asarray(scales)[:, None],
+            np.asarray(row_ids).reshape(-1)[
+                np.asarray(row_ids).reshape(-1) >= 0],
+            32,
+        )
+        target = int(np.asarray(row_ids)[0, 0])
+        q = jnp.asarray(rows[target:target + 1].repeat(32, axis=0))
+        bias = jnp.zeros(row_ids.shape, jnp.float32).at[0, 0].set(-1e30)
+        s, i = blockskip_topk(
+            q, blocked8, row_ids, cents,
+            k=5, n_probe=row_ids.shape[0], tile_q=32,
+            bias=bias, scales=scales_blk[..., 0],
+            impl="pallas", interpret=True,
+        )
+        assert target not in np.asarray(i)[0].tolist()
+
+    def test_dense_index_kernel_knob_and_fallback(self):
+        rng = np.random.default_rng(33)
+        rows, _ = _clustered_corpus(rng, n_clusters=8, per=32, d=16)
+        idx = DenseIndex(
+            dim=16, search_impl="clustered", cluster_block_size=32,
+            cluster_n_probe=8, cluster_kernel="pallas", cluster_tile_q=8,
+        )
+        idx.add(rows)
+        s, i = idx.search(rows[:4], k=3)
+        np.testing.assert_array_equal(i[:, 0], np.arange(4))
+        # tile_q=2 violates the kernel's sublane tiling -> xla fallback
+        idx2 = DenseIndex(
+            dim=16, search_impl="clustered", cluster_block_size=32,
+            cluster_n_probe=8, cluster_kernel="pallas", cluster_tile_q=2,
+        )
+        idx2.add(rows)
+        s2, i2 = idx2.search(rows[:4], k=3)
+        np.testing.assert_array_equal(i2[:, 0], np.arange(4))
+
+
 class TestDenseIndexClustered:
     def _index(self, rows, **kw):
         kw.setdefault("cluster_block_size", 32)

@@ -163,6 +163,12 @@ class PipelineConfig:
     index_cluster_tile_q: int = 8
     index_cluster_iters: int = 10
     index_cluster_factor: int = 4
+    # "pallas" streams only the selected blocks through VMEM (scalar-
+    # prefetch gather-matmul, one HBM read of the probed pool); "xla"
+    # gathers then dots (3x the pool traffic). tile_q must be a
+    # multiple of 8 (32 for int8) for the kernel; otherwise it
+    # degrades to xla.
+    index_cluster_kernel: str = "xla"
     mesh_data_parallel: int = 0  # 0 = use all local devices on one axis
     # Multi-slice/DCN (SURVEY.md §5.8): >1 builds a 2-D ("dcn", "data")
     # mesh — corpus/caches shard over "data" (ICI, all engine
@@ -253,6 +259,7 @@ class PipelineConfig:
             ("index_cluster_tile_q", "index_cluster_tile_q"),
             ("index_cluster_iters", "index_cluster_iters"),
             ("index_cluster_factor", "index_cluster_factor"),
+            ("index_cluster_kernel", "index_cluster_kernel"),
             ("mesh_data_parallel", "mesh_data_parallel"),
             ("mesh_dcn_parallel", "mesh_dcn_parallel"),
             ("seed", "seed"),

@@ -31,7 +31,7 @@ from tristage_rag_tpu.ops.fusion import reciprocal_rank_fusion, weighted_fusion
 logger = logging.getLogger(__name__)
 
 
-def _cluster_kwargs(config) -> dict[str, int]:
+def _cluster_kwargs(config) -> dict:
     """Clustered-index knobs (index_search_impl: "clustered")."""
     return {
         "cluster_block_size": getattr(
@@ -41,6 +41,7 @@ def _cluster_kwargs(config) -> dict[str, int]:
         "cluster_tile_q": getattr(config, "index_cluster_tile_q", 8),
         "cluster_iters": getattr(config, "index_cluster_iters", 10),
         "cluster_factor": getattr(config, "index_cluster_factor", 4),
+        "cluster_kernel": getattr(config, "index_cluster_kernel", "xla"),
     }
 
 

@@ -170,6 +170,7 @@ class DenseIndex:
         cluster_tile_q: int = 8,
         cluster_iters: int = 10,
         cluster_factor: int = 4,
+        cluster_kernel: str = "xla",  # "xla" | "pallas"
     ):
         self.dim = dim
         self.dtype = jnp.dtype(dtype)
@@ -182,6 +183,7 @@ class DenseIndex:
         self.cluster_tile_q = int(cluster_tile_q)
         self.cluster_iters = int(cluster_iters)
         self.cluster_factor = int(cluster_factor)
+        self.cluster_kernel = cluster_kernel
         # Clustered (IVF-equivalent) view: built lazily by
         # build_clusters()/first clustered search; staled by any add
         # (built_count != count) and rebuilt on the next search.
@@ -377,6 +379,18 @@ class DenseIndex:
         n_probe = min(
             nb, max(self.cluster_n_probe, -(-k // cv.block_size) + 1)
         )
+        if self.cluster_kernel == "pallas":
+            try:
+                return blockskip_topk(
+                    q, cv.blocked, cv.row_ids, cv.centroids,
+                    k=k, n_probe=n_probe, tile_q=self.cluster_tile_q,
+                    bias=cv.bias, scales=cv.scales, impl="pallas",
+                    interpret=jax.default_backend() == "cpu",
+                )
+            except ValueError:
+                # tile_q below the kernel's sublane tiling (8, or 32
+                # for int8) — degrade to the XLA gather path
+                pass
         return blockskip_topk(
             q, cv.blocked, cv.row_ids, cv.centroids,
             k=k, n_probe=n_probe, tile_q=self.cluster_tile_q,

@@ -84,7 +84,7 @@ def block_centroids(blocked: jax.Array, row_ids) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "n_probe", "tile_q")
+    jax.jit, static_argnames=("k", "n_probe", "tile_q", "impl", "interpret")
 )
 def blockskip_topk(
     queries: jax.Array,
@@ -96,6 +96,8 @@ def blockskip_topk(
     tile_q: int = 8,
     bias=None,
     scales=None,
+    impl: str = "xla",
+    interpret: bool = False,
 ):
     """Probed top-k over a blocked corpus.
 
@@ -115,6 +117,11 @@ def blockskip_topk(
         layout (tombstones use -inf).
       scales: optional [n_blocks, block_size] f32 per-row dequant
         scales for int8 blocked corpora.
+      impl: "xla" (gather + einsum under lax.map) or "pallas"
+        (scalar-prefetch gather-matmul, ops/pallas_blockskip.py — one
+        HBM read of the probed pool instead of gather+write+read;
+        needs tile_q % 8 == 0, or % 32 for int8).
+      interpret: run the Pallas kernel interpreted (CPU tests).
 
     Returns:
       (scores [B, k] f32, ids [B, k] int32 original row ids, -1 pad).
@@ -141,6 +148,43 @@ def blockskip_topk(
     )
     tile_scores = cscores.reshape(t, tile_q, nb).max(axis=1)
     _, sel = jax.lax.top_k(tile_scores, n_probe)  # [t, n_probe]
+
+    if impl == "pallas":
+        from tristage_rag_tpu.ops.pallas_blockskip import (
+            gathered_block_scores,
+        )
+
+        q_in = queries.astype(jnp.float32)
+        if b_pad != b:
+            q_in = jnp.concatenate(
+                [q_in, jnp.zeros((b_pad - b, d), jnp.float32)], axis=0
+            )
+        if blocked.dtype != jnp.int8:
+            q_in = q_in.astype(
+                jnp.bfloat16 if blocked.dtype != jnp.float32
+                else jnp.float32
+            )
+        s = gathered_block_scores(
+            q_in, blocked, sel, tile_q=tile_q, scales=scales,
+            interpret=interpret,
+        )  # [b_pad, P*bs]
+        ids_flat = jnp.take(row_ids, sel, axis=0).reshape(t, n_probe * bs)
+        s = s.reshape(t, tile_q, n_probe * bs)
+        s = jnp.where(ids_flat[:, None, :] >= 0, s, NEG_INF)
+        if bias is not None:
+            s = s + jnp.take(bias, sel, axis=0).reshape(
+                t, 1, n_probe * bs
+            )
+        ts, pos = jax.lax.top_k(s, k)  # [t, tile_q, k]
+        ti = jnp.take_along_axis(
+            jnp.broadcast_to(
+                ids_flat[:, None, :], (t, tile_q, n_probe * bs)
+            ),
+            pos,
+            axis=2,
+        )
+        ti = jnp.where(ts > NEG_INF / 2, ti, -1)
+        return ts.reshape(b_pad, k)[:b], ti.reshape(b_pad, k)[:b]
 
     compute_t = jnp.bfloat16 if blocked.dtype != jnp.float32 else jnp.float32
     qt_all = q32.reshape(t, tile_q, d)
