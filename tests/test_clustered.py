@@ -371,3 +371,128 @@ class TestDenseIndexClustered:
     def test_min_blocks_constant_guards(self):
         # the fallback threshold the tests above rely on
         assert MIN_CLUSTER_BLOCKS * 32 == 128
+
+
+class TestShardedClustered:
+    """Distributed-IVF: block-sharded clustered search over the mesh.
+
+    The blocked view shards over its block axis (round-robin
+    interleaved); each device probes its share of n_probe and the
+    merge is the same all-gather the sharded scan uses."""
+
+    def _mesh(self):
+        from tristage_rag_tpu.parallel.mesh import create_mesh
+
+        return create_mesh(8)
+
+    def _corpus(self, rng, n=1024, d=16):
+        # floor for 8 shards at bs=32: MIN_CLUSTER_BLOCKS*32*8 = 1024
+        rows, _ = _clustered_corpus(rng, n_clusters=16, per=n // 16, d=d)
+        return rows
+
+    def _index(self, rows, mesh, **kw):
+        kw.setdefault("cluster_block_size", 32)
+        kw.setdefault("cluster_n_probe", 32)
+        idx = DenseIndex(
+            dim=rows.shape[1], mesh=mesh, search_impl="clustered", **kw
+        )
+        idx.add(rows)
+        return idx
+
+    def test_impl_resolves_clustered_on_mesh(self):
+        rng = np.random.default_rng(40)
+        rows = self._corpus(rng)
+        idx = self._index(rows, self._mesh())
+        assert idx._impl() == "clustered"
+        # below the per-shard floor it behaves like auto
+        small = DenseIndex(
+            dim=16, mesh=self._mesh(), search_impl="clustered",
+            cluster_block_size=32,
+        )
+        small.add(rows[:512])
+        assert small._impl() == "exact"
+
+    def test_full_probe_matches_exact_single_device(self):
+        rng = np.random.default_rng(41)
+        rows = self._corpus(rng)
+        # n_probe = all blocks -> every shard scans everything: exact
+        idx = self._index(rows, self._mesh(), cluster_n_probe=256)
+        q = rows[:8]
+        s, i = idx.search(q, k=5)
+        exact = DenseIndex(dim=16)
+        exact.add(rows)
+        es, ei = exact.search(q, k=5)
+        np.testing.assert_array_equal(i, ei)
+        np.testing.assert_allclose(s, es, atol=1e-4)
+        # the view is genuinely block-sharded and padded to the mesh
+        assert idx._cluster.row_ids.shape[0] % 8 == 0
+
+    def test_partial_probe_recall_and_self_retrieval(self):
+        rng = np.random.default_rng(42)
+        rows = self._corpus(rng)
+        idx = self._index(rows, self._mesh(), cluster_n_probe=32)
+        q = rows[::100][:8]
+        s, i = idx.search(q, k=10)
+        np.testing.assert_array_equal(
+            i[:, 0], np.arange(0, 1024, 100)[:8]
+        )
+        exact = DenseIndex(dim=16)
+        exact.add(rows)
+        _, ei = exact.search(q, k=10)
+        overlap = np.mean([
+            len(set(i[r]) & set(ei[r])) / 10 for r in range(len(q))
+        ])
+        assert overlap >= 0.9, overlap
+
+    def test_delete_and_add_rebuild(self):
+        rng = np.random.default_rng(43)
+        rows = self._corpus(rng)
+        idx = self._index(rows, self._mesh(), cluster_n_probe=64)
+        target = int(idx.search(rows[5:6], k=1)[1][0, 0])
+        idx.delete([target])
+        _, i = idx.search(rows[5:6], k=5)
+        assert target not in i[0].tolist()
+        extra = rng.standard_normal((64, 16)).astype(np.float32)
+        extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+        idx.add(extra)
+        _, i2 = idx.search(extra[:1], k=1)
+        assert idx._cluster.built_count == idx.count
+        assert int(i2[0, 0]) == rows.shape[0]
+        _, i3 = idx.search(rows[5:6], k=5)
+        assert target not in i3[0].tolist()
+
+    def test_int8_sharded_clustered(self):
+        rng = np.random.default_rng(44)
+        rows = self._corpus(rng)
+        idx = self._index(
+            rows, self._mesh(), dtype="int8", cluster_n_probe=64
+        )
+        assert idx._impl() == "clustered"
+        s, i = idx.search(rows[:4], k=3)
+        np.testing.assert_array_equal(i[:, 0], np.arange(4))
+        assert idx._cluster.scales is not None
+
+    def test_pallas_kernel_on_mesh(self):
+        rng = np.random.default_rng(45)
+        rows = self._corpus(rng)
+        idx = self._index(
+            rows, self._mesh(), cluster_n_probe=256,
+            cluster_kernel="pallas", cluster_tile_q=8,
+        )
+        q = rows[:8]
+        s, i = idx.search(q, k=5)
+        exact = DenseIndex(dim=16)
+        exact.add(rows)
+        _, ei = exact.search(q, k=5)
+        np.testing.assert_array_equal(i, ei)
+
+    def test_k_too_large_falls_back_to_sharded_scan(self):
+        rng = np.random.default_rng(46)
+        rows = self._corpus(rng)
+        # k > a shard's whole pool (4 blocks * 32 rows = 128)
+        idx = self._index(rows, self._mesh(), cluster_n_probe=8)
+        s, i = idx.search(rows[:2], k=200)
+        exact = DenseIndex(dim=16)
+        exact.add(rows)
+        _, ei = exact.search(rows[:2], k=200)
+        np.testing.assert_array_equal(i, ei)

@@ -157,7 +157,10 @@ class PipelineConfig:
     # n_probe best blocks per query tile (the reference's IVF nlist/
     # nprobe, src/stage1_retriever.py:264-273). block_size is the scan
     # granule; n_probe the recall knob (probe fraction ~= n_probe *
-    # block_size / corpus); tile_q queries share one probe set.
+    # block_size / corpus); tile_q queries share one probe set. On a
+    # mesh the blocked view shards over blocks and each device probes
+    # ceil(n_probe / n_shards) locally (distributed IVF, all-gather
+    # merge).
     index_cluster_block_size: int = 1024
     index_cluster_n_probe: int = 32
     index_cluster_tile_q: int = 8

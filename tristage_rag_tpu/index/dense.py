@@ -120,16 +120,79 @@ def _sharded_topk(
     )(queries, corpus, count, mask, scale)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "n_probe", "tile_q", "mesh", "axis", "impl", "interpret",
+        "has_bias", "has_scales",
+    ),
+)
+def _sharded_blockskip(
+    queries, blocked, row_ids, centroids, bias, scales,
+    k: int, n_probe: int, tile_q: int, mesh: Mesh, axis: str,
+    impl: str, interpret: bool, has_bias: bool, has_scales: bool,
+):
+    """Block-sharded clustered top-k: local probe + all-gather merge.
+
+    The blocked view rides the mesh with its BLOCK axis sharded
+    (round-robin interleaved at build, so the cluster-sorted block
+    order — similar clusters adjacent — spreads a query's winning
+    blocks evenly over devices). Each device probes ``n_probe`` of its
+    local blocks with the single-device kernel (ops/blockskip.py, XLA
+    or Pallas per ``impl``), takes a local top-k over global row ids,
+    and the merge is the same all-gather + exact top-k the sharded
+    scan uses — collectives ride ICI, the probed pools never leave
+    their device. Distributed-IVF semantics: per-shard nprobe, global
+    merge (the reference's single-GPU FAISS IVF has no analogue;
+    nlist/nprobe map per stage1_retriever.py:264-273).
+    """
+    from tristage_rag_tpu.ops.blockskip import blockskip_topk
+
+    def local(q, blk, rid, cen, bi, sc):
+        s, i = blockskip_topk(
+            q, blk, rid, cen, k=k, n_probe=n_probe, tile_q=tile_q,
+            bias=bi if has_bias else None,
+            scales=sc if has_scales else None,
+            impl=impl, interpret=interpret,
+        )
+        s_all = jax.lax.all_gather(s, axis)  # [ndev, B, k]
+        i_all = jax.lax.all_gather(i, axis)
+        b = q.shape[0]
+        s_flat = jnp.moveaxis(s_all, 0, 1).reshape(b, -1)
+        i_flat = jnp.moveaxis(i_all, 0, 1).reshape(b, -1)
+        top_s, pos = jax.lax.top_k(s_flat, k)
+        top_i = jnp.take_along_axis(i_flat, pos, axis=1)
+        top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+        return top_s, top_i
+
+    # shard_map operands must be arrays: absent bias/scales ride as
+    # zero-size dummies, gated out by the static has_* flags.
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(axis, None, None), P(axis, None), P(axis, None),
+            P(axis, None), P(axis, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, blocked, row_ids, centroids, bias, scales)
+
+
 class _ClusterView:
     """Packed clustered view of the corpus (ops/blockskip.py layout).
 
     Holds the cluster-ordered block copy + probe centroids. ``pos``
     maps an original row id to its flat packed slot so tombstones laid
     after the build can be mirrored into ``bias`` without a repack.
+    On a mesh the block axis is sharded (round-robin interleaved so a
+    query's winning blocks spread evenly over devices) and ``bias``
+    keeps the same sharding.
     """
 
     def __init__(self, blocked, row_ids, centroids, bias, scales,
-                 order: np.ndarray, built_count: int, block_size: int):
+                 order: np.ndarray, built_count: int, block_size: int,
+                 bias_sharding: Optional[NamedSharding] = None):
         self.blocked = blocked          # [nb, bs, d] device
         self.row_ids = jnp.asarray(row_ids)  # [nb, bs] i32, -1 pad
         self.centroids = centroids      # [nb, d] f32 device
@@ -138,8 +201,13 @@ class _ClusterView:
         self.order = order              # [built_count] np permutation
         self.built_count = built_count
         self.block_size = block_size
+        self.bias_sharding = bias_sharding
+        # Derive id -> packed slot from row_ids (layout-agnostic: holds
+        # for both the contiguous and the shard-interleaved block order).
+        rid = np.asarray(row_ids).reshape(-1)
+        valid = rid >= 0
         pos = np.empty(built_count, dtype=np.int64)
-        pos[order] = np.arange(built_count, dtype=np.int64)
+        pos[rid[valid]] = np.nonzero(valid)[0]
         self.pos = pos
 
     def tombstone(self, ids) -> None:
@@ -149,7 +217,10 @@ class _ClusterView:
         slots = self.pos[np.asarray(ids, dtype=np.int64)]
         flat = self.bias.reshape(-1)
         flat = flat.at[jnp.asarray(slots)].set(float(NEG_INF))
-        self.bias = flat.reshape(nb, bs)
+        bias = flat.reshape(nb, bs)
+        if self.bias_sharding is not None:
+            bias = jax.device_put(bias, self.bias_sharding)
+        self.bias = bias
 
 
 class DenseIndex:
@@ -288,10 +359,11 @@ class DenseIndex:
             return impl
         if impl == "clustered":
             # IVF-equivalent block skipping needs enough blocks to skip
-            # and (v1) a single device; otherwise behave like "auto".
-            single = self.mesh is None or self._shards == 1
-            enough = self.count >= MIN_CLUSTER_BLOCKS * self.cluster_block_size
-            if single and enough:
+            # (per shard, on a mesh); otherwise behave like "auto".
+            enough = self.count >= (
+                MIN_CLUSTER_BLOCKS * self.cluster_block_size * self._shards
+            )
+            if enough:
                 return "clustered"
         return "approx" if self.count >= APPROX_THRESHOLD else "exact"
 
@@ -313,7 +385,7 @@ class DenseIndex:
         )
 
         n = self.count
-        if n < MIN_CLUSTER_BLOCKS * self.cluster_block_size:
+        if n < MIN_CLUSTER_BLOCKS * self.cluster_block_size * self._shards:
             self._cluster = None
             return
         rows = self._buf[:n]
@@ -349,19 +421,105 @@ class DenseIndex:
                 self._scales[:n, None], order, self.cluster_block_size
             )
             scales_blk = packed_scales[..., 0]
+        bias_sharding = None
+        if self.mesh is not None and self._shards > 1:
+            # Shard the view over its BLOCK axis, round-robin
+            # interleaved: cluster-sorted packing puts similar clusters
+            # in adjacent blocks, so contiguous splitting would hand a
+            # query's whole winning neighbourhood to one device while
+            # the per-shard probe budget is fixed. Interleaving spreads
+            # it evenly — distributed-IVF layout, derived at build so
+            # reloads under a different mesh shape re-derive it.
+            S = self._shards
+            nb = blocked.shape[0]
+            nbl = -(-nb // S)
+            pad = nbl * S - nb
+            if pad:
+                bs = self.cluster_block_size
+                blocked = jnp.concatenate(
+                    [blocked, jnp.zeros((pad, bs, self.dim), blocked.dtype)]
+                )
+                row_ids = np.concatenate(
+                    [np.asarray(row_ids),
+                     np.full((pad, bs), -1, np.int32)]
+                )
+                if scales_blk is not None:
+                    scales_blk = jnp.concatenate(
+                        [scales_blk, jnp.zeros((pad, bs), scales_blk.dtype)]
+                    )
+            # new block j = s * nbl + i holds old block i * S + s
+            perm = np.arange(nbl * S).reshape(nbl, S).T.reshape(-1)
+            perm_j = jnp.asarray(perm, dtype=jnp.int32)
+            sh3 = NamedSharding(self.mesh, P(self.data_axis, None, None))
+            sh2 = NamedSharding(self.mesh, P(self.data_axis, None))
+            blocked = jax.device_put(jnp.take(blocked, perm_j, axis=0), sh3)
+            row_ids = np.asarray(row_ids)[perm]
+            if scales_blk is not None:
+                scales_blk = jax.device_put(
+                    jnp.take(scales_blk, perm_j, axis=0), sh2
+                )
+            bias_sharding = sh2
         centroids = block_centroids(
             blocked.astype(jnp.float32)
             if scales_blk is None
             else blocked.astype(jnp.float32) * scales_blk[..., None],
             row_ids,
         )
+        if bias_sharding is not None:
+            centroids = jax.device_put(centroids, bias_sharding)
         view = _ClusterView(
             blocked, row_ids, centroids, None, scales_blk,
             order, n, self.cluster_block_size,
+            bias_sharding=bias_sharding,
         )
+        if bias_sharding is not None:
+            view.row_ids = jax.device_put(view.row_ids, bias_sharding)
         if self._deleted:
             view.tombstone(sorted(self._deleted))
         self._cluster = view
+
+    def _clustered_search_sharded(self, q: jnp.ndarray, k: int):
+        """Distributed-IVF search over the block-sharded view; None =
+        caller falls back to the sharded scan."""
+        if self._cluster is None or self._cluster.built_count != self.count:
+            self.build_clusters()
+        cv = self._cluster
+        if cv is None:
+            return None
+        nb = cv.row_ids.shape[0]
+        S = self._shards
+        nbl = nb // S  # build pads nb to a multiple of S
+        # Per-shard probe budget: n_probe is the GLOBAL scan knob (same
+        # meaning as single-device); each shard probes its share, raised
+        # so k always fits the local probed pool.
+        np_local = max(
+            -(-self.cluster_n_probe // S), -(-k // cv.block_size) + 1
+        )
+        if np_local > nbl:
+            return None  # k (or the probe floor) exceeds a shard's blocks
+        impl = "xla"
+        interpret = False
+        if self.cluster_kernel == "pallas":
+            # blockskip clamps tile_q to the batch, so the EFFECTIVE
+            # tile must satisfy the kernel's sublane tiling.
+            eff_tile = min(self.cluster_tile_q, q.shape[0])
+            min_tile = 32 if cv.scales is not None else 8
+            if eff_tile % min_tile == 0:
+                impl = "pallas"
+                interpret = jax.default_backend() == "cpu"
+        bs = cv.block_size
+        bias = cv.bias
+        scales = cv.scales
+        dummy = jnp.zeros((0, bs), jnp.float32)
+        return _sharded_blockskip(
+            q, cv.blocked, cv.row_ids, cv.centroids,
+            bias if bias is not None else dummy,
+            scales if scales is not None else dummy,
+            k=k, n_probe=np_local, tile_q=self.cluster_tile_q,
+            mesh=self.mesh, axis=self.data_axis,
+            impl=impl, interpret=interpret,
+            has_bias=bias is not None, has_scales=scales is not None,
+        )
 
     def _clustered_search(self, q: jnp.ndarray, k: int):
         from tristage_rag_tpu.ops.blockskip import blockskip_topk
@@ -526,13 +684,25 @@ class DenseIndex:
         bias = self._del_mask if self._deleted else None
         impl = self._impl()
         if self.mesh is not None and self._shards > 1:
-            cnt = jnp.asarray([self.count], dtype=jnp.int32)
-            s, i = _sharded_topk(
-                q, self._buf, cnt, self._del_mask, self._scales, k_eff,
-                self.mesh, self.data_axis,
-                impl="approx" if impl == "approx" else "exact",
-                recall_target=self.recall_target,
+            out = (
+                self._clustered_search_sharded(q, k_eff)
+                if impl == "clustered"
+                else None
             )
+            if out is None:
+                if impl == "clustered":  # fallback mirrors "auto"
+                    impl = (
+                        "approx" if self.count >= APPROX_THRESHOLD
+                        else "exact"
+                    )
+                cnt = jnp.asarray([self.count], dtype=jnp.int32)
+                out = _sharded_topk(
+                    q, self._buf, cnt, self._del_mask, self._scales, k_eff,
+                    self.mesh, self.data_axis,
+                    impl="approx" if impl == "approx" else "exact",
+                    recall_target=self.recall_target,
+                )
+            s, i = out
         elif impl == "clustered":
             out = self._clustered_search(q, k_eff)
             if out is None:  # below clustering floor — exact fallback

@@ -147,6 +147,11 @@ def blockskip_topk(
         "qd,nd->qn", q32, centroids, preferred_element_type=jnp.float32
     )
     tile_scores = cscores.reshape(t, tile_q, nb).max(axis=1)
+    # All-padding blocks (sharded views pad nb to the shard count) have
+    # zero centroids — score 0 would out-probe real blocks with
+    # negative scores, wasting the probe budget. Mask them out.
+    block_valid = (jnp.asarray(row_ids) >= 0).any(axis=1)  # [nb]
+    tile_scores = jnp.where(block_valid[None], tile_scores, NEG_INF)
     _, sel = jax.lax.top_k(tile_scores, n_probe)  # [t, n_probe]
 
     if impl == "pallas":
