@@ -273,7 +273,8 @@ class TestPallasBlockskip:
         idx.add(rows)
         s, i = idx.search(rows[:4], k=3)
         np.testing.assert_array_equal(i[:, 0], np.arange(4))
-        # tile_q=2 violates the kernel's sublane tiling -> xla fallback
+        # tile_q=2 is below the kernel's sublane tiling — blockskip
+        # pads the tile up to 8 internally (no xla fallback needed)
         idx2 = DenseIndex(
             dim=16, search_impl="clustered", cluster_block_size=32,
             cluster_n_probe=8, cluster_kernel="pallas", cluster_tile_q=2,
@@ -281,6 +282,36 @@ class TestPallasBlockskip:
         idx2.add(rows)
         s2, i2 = idx2.search(rows[:4], k=3)
         np.testing.assert_array_equal(i2[:, 0], np.arange(4))
+
+    def test_pallas_batch_one(self):
+        # the interactive-serving case that crashed on real TPU: batch 1
+        # clamps tile_q to 1, which the kernel's sublane tiling refuses
+        # — blockskip must pad the batch up, and the zero pad queries
+        # must not steer the shared probe (their 0 centroid scores
+        # would out-rank real negative block scores in the max-pool).
+        rng = np.random.default_rng(34)
+        rows, blocked, row_ids, cents = self._setup(rng)
+        for impl in ("pallas", "xla"):
+            s, i = blockskip_topk(
+                jnp.asarray(rows[5:6]), blocked, row_ids, cents,
+                k=5, n_probe=row_ids.shape[0], tile_q=8, impl=impl,
+                interpret=impl == "pallas",
+            )
+            assert s.shape == (1, 5) and i.shape == (1, 5)
+            assert int(i[0, 0]) == 5, (impl, i)
+        # padded-tile probe parity: a 3-query batch (pallas pads the
+        # tile to 8; xla clamps it to 3 — both one tile max-pooling the
+        # SAME 3 real queries) must return identical ids
+        q3 = jnp.asarray(rows[64:67])
+        sp, ip = blockskip_topk(
+            q3, blocked, row_ids, cents, k=5, n_probe=2,
+            tile_q=8, impl="pallas", interpret=True,
+        )
+        sx, ix = blockskip_topk(
+            q3, blocked, row_ids, cents, k=5, n_probe=2, tile_q=8,
+        )
+        np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(sx), atol=2e-2)
 
 
 class TestDenseIndexClustered:

@@ -500,13 +500,10 @@ class DenseIndex:
         impl = "xla"
         interpret = False
         if self.cluster_kernel == "pallas":
-            # blockskip clamps tile_q to the batch, so the EFFECTIVE
-            # tile must satisfy the kernel's sublane tiling.
-            eff_tile = min(self.cluster_tile_q, q.shape[0])
-            min_tile = 32 if cv.scales is not None else 8
-            if eff_tile % min_tile == 0:
-                impl = "pallas"
-                interpret = jax.default_backend() == "cpu"
+            # blockskip pads small batches up to the kernel's sublane
+            # tiling itself, so any batch routes through the kernel.
+            impl = "pallas"
+            interpret = jax.default_backend() == "cpu"
         bs = cv.block_size
         bias = cv.bias
         scales = cv.scales
@@ -538,17 +535,14 @@ class DenseIndex:
             nb, max(self.cluster_n_probe, -(-k // cv.block_size) + 1)
         )
         if self.cluster_kernel == "pallas":
-            try:
-                return blockskip_topk(
-                    q, cv.blocked, cv.row_ids, cv.centroids,
-                    k=k, n_probe=n_probe, tile_q=self.cluster_tile_q,
-                    bias=cv.bias, scales=cv.scales, impl="pallas",
-                    interpret=jax.default_backend() == "cpu",
-                )
-            except ValueError:
-                # tile_q below the kernel's sublane tiling (8, or 32
-                # for int8) — degrade to the XLA gather path
-                pass
+            # blockskip pads small batches up to the kernel's sublane
+            # tiling itself, so any batch routes through the kernel.
+            return blockskip_topk(
+                q, cv.blocked, cv.row_ids, cv.centroids,
+                k=k, n_probe=n_probe, tile_q=self.cluster_tile_q,
+                bias=cv.bias, scales=cv.scales, impl="pallas",
+                interpret=jax.default_backend() == "cpu",
+            )
         return blockskip_topk(
             q, cv.blocked, cv.row_ids, cv.centroids,
             k=k, n_probe=n_probe, tile_q=self.cluster_tile_q,

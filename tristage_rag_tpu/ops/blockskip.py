@@ -135,6 +135,13 @@ def blockskip_topk(
             f"{n_probe * bs}; raise n_probe or block_size"
         )
     tile_q = max(1, min(tile_q, b))
+    if impl == "pallas":
+        # The Pallas gather-matmul needs the tile to satisfy sublane
+        # tiling (8 rows f32/bf16, 32 int8); pad small batches up to it
+        # instead of refusing them — batch-1 interactive serving is
+        # exactly where block skipping matters most.
+        min_tile = 32 if blocked.dtype == jnp.int8 else 8
+        tile_q = -(-tile_q // min_tile) * min_tile
     q32 = queries.astype(jnp.float32)
     b_pad = ((b + tile_q - 1) // tile_q) * tile_q
     if b_pad != b:
@@ -146,6 +153,11 @@ def blockskip_topk(
     cscores = jnp.einsum(
         "qd,nd->qn", q32, centroids, preferred_element_type=jnp.float32
     )
+    if b_pad != b:
+        # Pad queries must not steer the shared tile probe: their zero
+        # centroid scores would out-rank real negative block scores in
+        # the max-pool below.
+        cscores = cscores.at[b:].set(NEG_INF)
     tile_scores = cscores.reshape(t, tile_q, nb).max(axis=1)
     # All-padding blocks (sharded views pad nb to the shard count) have
     # zero centroids — score 0 would out-probe real blocks with

@@ -52,24 +52,26 @@ def _maxsim_kernel(
     # supported direction when Ld is a multiple of 128).
     sim3 = sim.reshape(lq, bc, ld)
     per_q_max = jnp.max(sim3, axis=2)  # [Lq, BC]
-    qmask = qmask_ref[0, :]  # [Lq]
-    has_doc = jnp.max(dmask_ref[:], axis=1) > 0  # [BC]
-    valid_q = qmask > 0
-    per_q_max = jnp.where(
-        valid_q[:, None] & has_doc[None, :], per_q_max, 0.0
-    )
+    qmask = qmask_ref[0, :]  # [Lq] f32
+    dmax = jnp.max(dmask_ref[:], axis=1)  # [BC] f32
+    # Mosaic refuses dim-insertion reshapes on i1 vectors ("Insertion
+    # of minor dim that is not a no-op only supported for 32-bit
+    # types"), so bool[:, None] patterns crash real-TPU compiles
+    # (interpret mode masks it). Build the [Lq, BC] pair mask in f32
+    # and compare at full shape instead.
+    pair_f = qmask[:, None] * dmax[None, :]  # [Lq, BC] f32
+    per_q_max = jnp.where(pair_f > 0, per_q_max, 0.0)
     nq = jnp.maximum(jnp.sum(qmask), 1.0)
     if method == "colbert":
-        logits = jnp.where(
-            valid_q[:, None] & has_doc[None, :], per_q_max, neg
-        )
+        logits = jnp.where(pair_f > 0, per_q_max, neg)
         mx = jnp.max(logits, axis=0, keepdims=True)
-        ex = jnp.where(valid_q[:, None], jnp.exp(logits - mx), 0.0)
+        qb = jnp.broadcast_to(qmask[:, None], logits.shape)  # f32
+        ex = jnp.where(qb > 0, jnp.exp(logits - mx), 0.0)
         w = ex / jnp.maximum(jnp.sum(ex, axis=0, keepdims=True), 1e-9)
         scores = jnp.sum(w * per_q_max, axis=0)
     else:
         scores = jnp.sum(per_q_max, axis=0) / nq
-    scores = jnp.where(has_doc, scores, 0.0)  # [BC]
+    scores = jnp.where(dmax > 0, scores, 0.0)  # [BC]
     out_ref[0] = jnp.broadcast_to(scores[None, :], (8, bc))
 
 
