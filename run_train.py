@@ -220,19 +220,32 @@ def main() -> int:
     # onto the training mesh shardings (the inference runtime placed
     # them single-device/replicated).
     if runtime.params is not None:
+        # Master weights stay f32: the serving runtime pre-casts its
+        # embedding tables to the compute dtype (bf16 on TPU), which
+        # must not leak into the optimizer state.
+        def _master(x):
+            x = np.asarray(x)
+            # jnp.issubdtype, not np: bfloat16 (ml_dtypes) is not an
+            # np.floating subtype
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                return x.astype(np.float32)
+            return x
+
         if mesh is not None:
             from tristage_rag_tpu.train.contrastive import make_param_shardings
 
             sh = make_param_shardings(runtime.params, mesh, "tp")
             state["params"] = jax.tree.map(
-                lambda x, s: jax.device_put(np.asarray(x), s),
+                lambda x, s: jax.device_put(_master(x), s),
                 runtime.params, sh,
             )
         else:
             # copy via host: the train step donates its state, and a
             # same-device device_put aliases — donation would delete
             # runtime.params
-            state["params"] = jax.device_put(jax.device_get(runtime.params))
+            state["params"] = jax.device_put(
+                jax.tree.map(_master, jax.device_get(runtime.params))
+            )
 
     ckpt = TrainCheckpointer(args.ckpt_dir)
     if args.resume and ckpt.latest_step() is not None:

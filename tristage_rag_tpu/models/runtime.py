@@ -375,7 +375,36 @@ class EncoderRuntime:
         self._jit_apply = jax.jit(self._apply)
         return count
 
+    # Embedding tables flax's nn.Embed promotes to the compute dtype
+    # before its take — i.e. the WHOLE table converts on EVERY dispatch
+    # when stored f32. Measured on the bf16 fused funnel trace: 1.9 ms
+    # per dispatch (28%!) for Gemma3's 262k x 640 tok_embed alone
+    # (BENCH_NOTES round 3). Pre-cast once at placement instead —
+    # bit-identical, the per-dispatch promote applied the same
+    # f32->compute rounding.
+    _EMBED_TABLES = ("tok_embed", "pos_embed", "type_embed")
+
+    def _precast_embed_tables(self, params):
+        dt = jnp.dtype(self.cfg.dtype)
+        if dt == jnp.float32:
+            return params
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        flat = dict(flatten_dict(params))
+        changed = False
+        for path, leaf in flat.items():
+            if (
+                len(path) >= 2
+                and path[-1] == "embedding"
+                and path[-2] in self._EMBED_TABLES
+                and getattr(leaf, "dtype", None) == jnp.float32
+            ):
+                flat[path] = leaf.astype(dt)
+                changed = True
+        return unflatten_dict(flat) if changed else params
+
     def _place_params(self, params):
+        params = self._precast_embed_tables(params)
         if self.mesh is None:
             return jax.device_put(params)
         repl = NamedSharding(self.mesh, P())
