@@ -283,6 +283,28 @@ class TestPallasBlockskip:
         s2, i2 = idx2.search(rows[:4], k=3)
         np.testing.assert_array_equal(i2[:, 0], np.arange(4))
 
+    def test_auto_kernel_resolution(self):
+        # "auto" (the default) resolves per-backend: xla on CPU (the
+        # kernel would run in interpret mode there), pallas on
+        # accelerators (measured 21-33x the XLA probe path on TPU).
+        idx = DenseIndex(dim=16, search_impl="clustered")
+        assert idx.cluster_kernel == "auto"
+        assert idx._resolved_cluster_kernel() == "xla"  # CPU suite
+        idx.cluster_kernel = "pallas"
+        assert idx._resolved_cluster_kernel() == "pallas"
+        idx.cluster_kernel = "xla"
+        assert idx._resolved_cluster_kernel() == "xla"
+        # auto must still search correctly end-to-end on this backend
+        rng = np.random.default_rng(35)
+        rows, _ = _clustered_corpus(rng, n_clusters=8, per=32, d=16)
+        idx = DenseIndex(
+            dim=16, search_impl="clustered", cluster_block_size=32,
+            cluster_n_probe=8, cluster_kernel="auto", cluster_tile_q=8,
+        )
+        idx.add(rows)
+        s, i = idx.search(rows[:4], k=3)
+        np.testing.assert_array_equal(np.asarray(i)[:, 0], np.arange(4))
+
     def test_pallas_batch_one(self):
         # the interactive-serving case that crashed on real TPU: batch 1
         # clamps tile_q to 1, which the kernel's sublane tiling refuses

@@ -168,10 +168,13 @@ class PipelineConfig:
     index_cluster_factor: int = 4
     # "pallas" streams only the selected blocks through VMEM (scalar-
     # prefetch gather-matmul, one HBM read of the probed pool); "xla"
-    # gathers then dots (3x the pool traffic). tile_q must be a
+    # gathers then dots (3x the pool traffic). "auto" (default) picks
+    # pallas on accelerators and xla on CPU — the measured TPU sweep
+    # (BENCH_NOTES, 1M x 384) has the kernel winning every batch/
+    # recall point, 21-33x the XLA probe path. tile_q must be a
     # multiple of 8 (32 for int8) for the kernel; otherwise it
     # degrades to xla.
-    index_cluster_kernel: str = "xla"
+    index_cluster_kernel: str = "auto"
     mesh_data_parallel: int = 0  # 0 = use all local devices on one axis
     # Multi-slice/DCN (SURVEY.md §5.8): >1 builds a 2-D ("dcn", "data")
     # mesh — corpus/caches shard over "data" (ICI, all engine

@@ -41,7 +41,7 @@ def _cluster_kwargs(config) -> dict:
         "cluster_tile_q": getattr(config, "index_cluster_tile_q", 8),
         "cluster_iters": getattr(config, "index_cluster_iters", 10),
         "cluster_factor": getattr(config, "index_cluster_factor", 4),
-        "cluster_kernel": getattr(config, "index_cluster_kernel", "xla"),
+        "cluster_kernel": getattr(config, "index_cluster_kernel", "auto"),
     }
 
 

@@ -241,7 +241,7 @@ class DenseIndex:
         cluster_tile_q: int = 8,
         cluster_iters: int = 10,
         cluster_factor: int = 4,
-        cluster_kernel: str = "xla",  # "xla" | "pallas"
+        cluster_kernel: str = "auto",  # "auto" | "xla" | "pallas"
     ):
         self.dim = dim
         self.dtype = jnp.dtype(dtype)
@@ -478,6 +478,20 @@ class DenseIndex:
             view.tombstone(sorted(self._deleted))
         self._cluster = view
 
+    def _resolved_cluster_kernel(self) -> str:
+        """``auto`` -> Pallas gather-matmul on accelerators, XLA on CPU.
+
+        Measured (BENCH_NOTES round-3 Pallas clustered sweep, 1M x 384
+        on TPU): the kernel wins every batch/recall point — 0.25 ms vs
+        the XLA probe path's 5.2 ms at batch 1, exact recall at 1.16 ms
+        (2x the approx full scan). On CPU the kernel would run in
+        Pallas interpret mode (orders of magnitude slower), so auto
+        keeps the XLA gather path there.
+        """
+        if self.cluster_kernel == "auto":
+            return "xla" if jax.default_backend() == "cpu" else "pallas"
+        return self.cluster_kernel
+
     def _clustered_search_sharded(self, q: jnp.ndarray, k: int):
         """Distributed-IVF search over the block-sharded view; None =
         caller falls back to the sharded scan."""
@@ -499,7 +513,7 @@ class DenseIndex:
             return None  # k (or the probe floor) exceeds a shard's blocks
         impl = "xla"
         interpret = False
-        if self.cluster_kernel == "pallas":
+        if self._resolved_cluster_kernel() == "pallas":
             # blockskip pads small batches up to the kernel's sublane
             # tiling itself, so any batch routes through the kernel.
             impl = "pallas"
@@ -534,7 +548,7 @@ class DenseIndex:
         n_probe = min(
             nb, max(self.cluster_n_probe, -(-k // cv.block_size) + 1)
         )
-        if self.cluster_kernel == "pallas":
+        if self._resolved_cluster_kernel() == "pallas":
             # blockskip pads small batches up to the kernel's sublane
             # tiling itself, so any batch routes through the kernel.
             return blockskip_topk(
