@@ -236,7 +236,10 @@ def main() -> None:
         trained = _train_tiny_stack(task, args.train_steps, models)
 
     rows = []
-    variants = [("bf16", {})]
+    # the default is now stage*_fused_mlp="auto" (kernel ON on TPU):
+    # the bf16 control pins it off so A/B legs stay meaningful
+    variants = [("bf16", {"stage3_fused_mlp": False,
+                           "stage3_flash_attention": False})]
     if args.int8_stage3:
         variants.append(("int8_s3", {"stage3_weights_int8": True}))
     if args.act_int8:

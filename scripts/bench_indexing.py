@@ -116,8 +116,10 @@ def main():
     if args.act_int8:
         mode = True if args.act_int8 == "dynamic" else args.act_int8
         cfg.update(stage1_act_int8=mode, stage2_act_int8=mode)
-    if args.fused_mlp:
-        cfg.update(stage1_fused_mlp=True, stage2_fused_mlp=True)
+    # default is "auto" (kernel on for TPU): pin both ways so the
+    # control leg really is the module path
+    cfg.update(stage1_fused_mlp=args.fused_mlp,
+               stage2_fused_mlp=args.fused_mlp)
     if args.flash:
         cfg.update(stage1_flash_attention=True, stage2_flash_attention=True)
     docs = make_docs(args.docs)

@@ -34,7 +34,8 @@ def main() -> None:
     ap.add_argument("--variants", nargs="+",
                     default=["bf16", "static"],
                     choices=["bf16", "dynamic", "static", "pallas",
-                             "static-pallas"])
+                             "static-pallas", "flash", "fused-mlp",
+                             "flash-fused-mlp"])
     args = ap.parse_args()
 
     if args.tiny:
@@ -61,11 +62,23 @@ def main() -> None:
 
     mode_map = {"bf16": False, "dynamic": True, "static": "static",
                 "pallas": "pallas", "static-pallas": "static-pallas"}
+    kernel_map = {  # bf16 kernel variants (no quantization)
+        "flash": {"stage3_flash_attention": True,
+                  "stage3_fused_mlp": False},
+        "fused-mlp": {"stage3_fused_mlp": True},
+        "flash-fused-mlp": {"stage3_flash_attention": True,
+                            "stage3_fused_mlp": True},
+    }
     for variant in args.variants:
+        # stage*_fused_mlp defaults to "auto" (kernel ON on TPU): the
+        # non-kernel variants pin it off so they profile the module path
+        overrides = (kernel_map[variant] if variant in kernel_map
+                     else {"stage3_act_int8": mode_map[variant],
+                           "stage3_fused_mlp": False})
         cfg = PipelineConfig(
             stage1_top_k=500, stage2_top_k=args.width, stage3_top_k=20,
             stage2_cache_doc_embeddings=True, enable_fused_search=True,
-            mesh_data_parallel=1, stage3_act_int8=mode_map[variant],
+            mesh_data_parallel=1, **overrides,
             **models,
         )
         p = RetrievalPipeline(cfg)

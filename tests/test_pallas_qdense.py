@@ -488,13 +488,18 @@ class TestFusedMlpBf16:
     def test_yaml_roundtrip_carries_fused_mlp(self, tmp_path):
         from tristage_rag_tpu.engine.config import PipelineConfig
 
-        cfg = PipelineConfig(stage1_fused_mlp=True, stage3_fused_mlp=True)
+        cfg = PipelineConfig(
+            stage1_fused_mlp=True, stage2_fused_mlp=False,
+            stage3_fused_mlp=True,
+        )
         path = tmp_path / "c.yaml"
         cfg.export(path)
         back = PipelineConfig.from_yaml(path)
         assert back.stage1_fused_mlp is True
         assert back.stage2_fused_mlp is False
         assert back.stage3_fused_mlp is True
+        # the default is "auto" (accelerator-only) and survives a trip
+        assert PipelineConfig().stage2_fused_mlp == "auto"
 
     def test_pipeline_smoke_with_fused_mlp(self):
         from tristage_rag_tpu.engine.config import PipelineConfig

@@ -47,9 +47,12 @@ class PipelineConfig:
     stage1_act_int8: bool | str = False
     # bf16 whole-block fused MLP (ops/pallas_qdense.py::fused_mlp_bf16)
     # when act_int8 is off: gate/up/act/mul/down in one Pallas kernel,
-    # keeping the [M, mlp_dim] intermediate in VMEM. Opt-in; numerics
+    # keeping the [M, mlp_dim] intermediate in VMEM. "auto" (default)
+    # = on for accelerator backends, module path on CPU (interpret
+    # mode would crawl); measured -13% funnel device time / +15-19%
+    # indexing, quality-neutral (BENCH_NOTES round-3). Numerics
     # slightly MORE precise than the module path (f32 epilogue).
-    stage1_fused_mlp: bool = False
+    stage1_fused_mlp: bool | str = "auto"
     # Flash attention for padding-only layers (JAX's Pallas TPU
     # kernel): [B,h,L,L] logits/probs never materialize to HBM.
     # Opt-in; windowed/causal/softcapped layers keep the dense
@@ -78,8 +81,9 @@ class PipelineConfig:
     # cache fill; doc and query tokens then encode identically, so
     # MaxSim compares like with like. Scores shift ~1e-2.
     stage2_act_int8: bool | str = False
-    # bf16 fused MLP for the ColBERT encoder (see stage1_fused_mlp).
-    stage2_fused_mlp: bool = False
+    # bf16 fused MLP for the ColBERT encoder (see stage1_fused_mlp;
+    # "auto" = accelerator-only).
+    stage2_fused_mlp: bool | str = "auto"
     # Flash attention for the ColBERT encoder (see stage1). NOTE: the
     # default stage2_max_seq_length (192) is not lane-aligned, so this
     # only engages on the 128-token bucket (or set max_seq_length 256).
@@ -121,8 +125,9 @@ class PipelineConfig:
     # stacks (tests/test_int8_act.py, test_int8_act_static.py,
     # test_pallas_qdense.py).
     stage3_act_int8: bool | str = False
-    # bf16 fused MLP for the cross-encoder (see stage1_fused_mlp).
-    stage3_fused_mlp: bool = False
+    # bf16 fused MLP for the cross-encoder (see stage1_fused_mlp;
+    # "auto" = accelerator-only).
+    stage3_fused_mlp: bool | str = "auto"
     # Flash attention for the cross-encoder (see stage1) — the
     # biggest attention-HBM case: 100 pairs x 256 tokens x 12
     # heads of logits+probs per layer.

@@ -168,7 +168,18 @@ def encoder_perf_overrides(config, stage: str) -> Optional[dict]:
     ov = act_int8_overrides(
         getattr(config, f"{stage}_act_int8", False), f"{stage}_act_int8"
     ) or {}
-    if getattr(config, f"{stage}_fused_mlp", False):
+    fm = getattr(config, f"{stage}_fused_mlp", False)
+    if fm == "auto":
+        # Default-on where the Mosaic kernel actually runs: measured
+        # -13% fused-funnel device time and +15-19% indexing docs/s,
+        # quality-neutral on trained weights (BENCH_NOTES round-3).
+        # CPU would run the kernel in Pallas interpret mode (orders of
+        # magnitude slower), so auto keeps the module path there —
+        # same policy as DenseIndex._resolved_cluster_kernel.
+        import jax
+
+        fm = jax.default_backend() != "cpu"
+    if fm:
         ov["fused_mlp"] = True
     if getattr(config, f"{stage}_flash_attention", False):
         ov["flash_attention"] = True

@@ -714,10 +714,15 @@ class FusedSearcher:
                 jnp.asarray(tb1.token_type_ids),
             ),
             "tb2": (jnp.asarray(tb2.input_ids), jnp.asarray(tb2.attn_mask)),
-            "q3_rows": jnp.asarray(q3_rows),
-            "q3_lens": jnp.asarray(q3_lens),
+            # q3/bm stay HOST numpy: search() row-slices them per query
+            # (free on np; on a device array each [0] is a compiled
+            # dynamic_slice dispatch — 4 extra round-trips per query
+            # through a remote-attached chip). jit device-puts them at
+            # dispatch either way.
+            "q3_rows": q3_rows,
+            "q3_lens": q3_lens,
             "index_state": (corpus, count, bias, scale),
-            "bm": (jnp.asarray(bm_ids), jnp.asarray(bm_scores)),
+            "bm": (bm_ids, bm_scores),
             "caches": (
                 tuple(self.stage2._cache.state()),
                 *self.doc_tokens.state(),

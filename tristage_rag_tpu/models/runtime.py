@@ -385,20 +385,47 @@ class EncoderRuntime:
     _EMBED_TABLES = ("tok_embed", "pos_embed", "type_embed")
 
     def _precast_embed_tables(self, params):
+        """Pre-cast f32-stored params that flax would convert to the
+        compute dtype on EVERY apply anyway — embedding tables
+        (nn.Embed promotes the full 262k x 640 Gemma3 table per
+        dispatch: measured 1.9 ms = 28% of fused-funnel device time)
+        and dense kernels (nn.Dense/DenseGeneral cast kernel+bias per
+        apply; leaving them f32 doubles the weight HBM read of every
+        matmul — the trace showed stage-3's down-proj fusion at 36
+        TFLOP/s on f32 weights). Bit-identical: the same f32->bf16
+        rounding flax applies, done once at placement.
+
+        Exclusions: norm scales (RMSNorm computes in f32; no 'kernel'
+        leaf, so excluded by name), the f32-dtype classifier head, and
+        act-int8 runtimes (their in-trace weight quantization reads the
+        f32 kernel — pre-rounding would perturb the int8 scales)."""
         dt = jnp.dtype(self.cfg.dtype)
         if dt == jnp.float32:
             return params
         from flax.traverse_util import flatten_dict, unflatten_dict
 
+        cast_kernels = not (
+            self.cfg.int8_activations
+            or self.cfg.int8_act_static
+            or self.cfg.int8_pallas
+        )
         flat = dict(flatten_dict(params))
         changed = False
         for path, leaf in flat.items():
-            if (
+            if getattr(leaf, "dtype", None) != jnp.float32:
+                continue
+            is_embed = (
                 len(path) >= 2
                 and path[-1] == "embedding"
                 and path[-2] in self._EMBED_TABLES
-                and getattr(leaf, "dtype", None) == jnp.float32
-            ):
+            )
+            is_kernel = (
+                cast_kernels
+                and path[-1] == "kernel"
+                and getattr(leaf, "ndim", 0) >= 2
+                and "classifier" not in path
+            )
+            if is_embed or is_kernel:
                 flat[path] = leaf.astype(dt)
                 changed = True
         return unflatten_dict(flat) if changed else params
