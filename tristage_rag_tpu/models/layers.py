@@ -462,10 +462,29 @@ class Attention(nn.Module):
                 c = cfg.attn_logit_softcap
                 logits = jnp.tanh(logits / c) * c
             logits = logits + bias
-            probs = jax.nn.softmax(logits, axis=-1).astype(dt)
-            out = jnp.einsum(
-                "bhlm,bmhd->blhd", probs, v, preferred_element_type=jnp.float32
+            # Softmax with the normalization AFTER the V einsum:
+            # softmax(l) @ v == (exp(l - max) @ v) / sum(exp(l - max)).
+            # jax.nn.softmax would materialize the normalized probs in
+            # f32 before the .astype — at [B,h,L,L] that f32
+            # write+read is the dominant attention HBM traffic on the
+            # dense path (e.g. indexing batches: 64x512 rows, ~2.4
+            # GB/layer; the fused-funnel trace showed it at 92
+            # us/layer). Casting the UNnormalized exp to the compute
+            # dtype lets the producer fusion emit bf16 directly (~3x
+            # less traffic); the f32 row-sum rides out as a [B,h,L]
+            # side output and divides the einsum result. Same padding
+            # semantics as jax.nn.softmax (all -1e30 rows -> uniform);
+            # rounding differs from normalize-then-cast by ~1 ulp.
+            m = jax.lax.stop_gradient(
+                jnp.max(logits, axis=-1, keepdims=True)
             )
+            e = jnp.exp(logits - m)
+            denom = jnp.sum(e, axis=-1)  # [B, h, L] f32
+            out = jnp.einsum(
+                "bhlm,bmhd->blhd", e.astype(dt), v,
+                preferred_element_type=jnp.float32,
+            )
+            out = out / jnp.transpose(denom, (0, 2, 1))[..., None]
             out = out.astype(dt)
         # o_proj stays bf16 under DYNAMIC int8: its input is unique (no
         # quant sharing) and square K=N shapes measured BELOW 1x with
