@@ -237,30 +237,35 @@ def main() -> None:
 
     rows = []
     # the default is now stage*_fused_mlp="auto" (kernel ON on TPU):
-    # the bf16 control pins it off so A/B legs stay meaningful
-    variants = [("bf16", {"stage3_fused_mlp": False,
-                           "stage3_flash_attention": False})]
+    # EVERY variant pins the knob both ways so each A/B leg isolates
+    # exactly its labeled effect (otherwise e.g. the flash_attn leg
+    # would silently also run the fused-MLP kernel on TPU)
+    def v(name, **extra):
+        base = {"stage3_fused_mlp": False, "stage3_flash_attention": False}
+        base.update(extra)
+        return (name, base)
+
+    variants = [v("bf16")]
     if args.int8_stage3:
-        variants.append(("int8_s3", {"stage3_weights_int8": True}))
+        variants.append(v("int8_s3", stage3_weights_int8=True))
     if args.act_int8:
-        variants.append(("act_int8", {"stage3_act_int8": True}))
+        variants.append(v("act_int8", stage3_act_int8=True))
     if args.act_int8_static:
-        variants.append(("act_int8_static", {"stage3_act_int8": "static"}))
+        variants.append(v("act_int8_static", stage3_act_int8="static"))
     if args.act_int8_pallas:
-        variants.append(("act_int8_pallas", {"stage3_act_int8": "pallas"}))
+        variants.append(v("act_int8_pallas", stage3_act_int8="pallas"))
     if args.act_int8_static_pallas:
         variants.append(
-            ("act_int8_static_pallas",
-             {"stage3_act_int8": "static-pallas"})
+            v("act_int8_static_pallas", stage3_act_int8="static-pallas")
         )
     if args.fused_mlp:
-        variants.append(("fused_mlp_bf16", {"stage3_fused_mlp": True}))
+        variants.append(v("fused_mlp_bf16", stage3_fused_mlp=True))
     if args.flash:
-        variants.append(("flash_attn", {"stage3_flash_attention": True}))
+        variants.append(v("flash_attn", stage3_flash_attention=True))
     if args.flash_fused_mlp:
         variants.append(
-            ("flash+fused_mlp",
-             {"stage3_flash_attention": True, "stage3_fused_mlp": True})
+            v("flash+fused_mlp", stage3_flash_attention=True,
+              stage3_fused_mlp=True)
         )
     for width in args.widths:
         for vname, extra in variants:

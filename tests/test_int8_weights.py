@@ -104,3 +104,97 @@ class TestInt8Weights:
         cfg.export(path)
         back = PipelineConfig.from_yaml(path)
         assert back.stage3_weights_int8 is True
+
+
+class TestWeightInt8QuantizesFromF32:
+    """The dense-kernel pre-cast (runtime._precast_embed_tables) must
+    NOT feed weight-only int8 quantization: int8 codes/scales derive
+    from the ORIGINAL f32 kernels, not bf16-rounded ones (stacked
+    rounding). stage3 passes precast_kernels=False when
+    stage3_weights_int8 is set; quantize_weights_int8 then pins the
+    flag off for every later load_params placement."""
+
+    def _runtime(self, precast):
+        from tristage_rag_tpu.models.config import EncoderConfig
+        from tristage_rag_tpu.models.heads import CrossEncoderConfig
+        from tristage_rag_tpu.models.runtime import EncoderRuntime
+
+        cfg = EncoderConfig(
+            vocab_size=128, hidden_size=128, num_layers=1, num_heads=2,
+            mlp_dim=256, max_position_embeddings=64, dtype="bfloat16",
+        )
+        return EncoderRuntime(
+            "cross", cfg, CrossEncoderConfig(), seed=0,
+            precast_kernels=precast,
+        )
+
+    def _kernel_dtypes(self, params):
+        from flax.traverse_util import flatten_dict
+
+        return {
+            "/".join(p): v.dtype
+            for p, v in flatten_dict(params).items()
+            if p[-1] == "kernel" and getattr(v, "ndim", 0) >= 2
+        }
+
+    def test_precast_flag_keeps_kernels_f32(self):
+        import jax.numpy as jnp
+
+        on = self._kernel_dtypes(self._runtime(True).params)
+        off = self._kernel_dtypes(self._runtime(False).params)
+        assert any(dt == jnp.bfloat16 for dt in on.values()), on
+        assert all(dt == jnp.float32 for dt in off.values()), off
+
+    def test_quantize_sources_are_f32(self):
+        import numpy as np
+        from tristage_rag_tpu.models.runtime import _quantize_kernel
+
+        rt = self._runtime(False)
+        f32_kernels = {
+            k: np.asarray(v)
+            for k, v in self._kernel_dtypes(rt.params).items()
+        }
+        # capture one big f32 kernel before quantization
+        from flax.traverse_util import flatten_dict
+
+        flat = {
+            "/".join(p): np.asarray(v)
+            for p, v in flatten_dict(jax.device_get(rt.params)).items()
+            if p[-1] == "kernel" and getattr(v, "ndim", 0) == 2
+            and v.size >= 4096
+        }
+        assert flat, "expected at least one quantizable kernel"
+        name, w = next(iter(flat.items()))
+        n = rt.quantize_weights_int8()
+        assert n >= 1
+        assert rt._precast_kernels is False
+        expect = _quantize_kernel(w)
+        got = None
+        for p, v in flatten_dict(jax.device_get(rt.params)).items():
+            if "/".join(p).startswith(name) and p[-1] == "q8":
+                got = v
+        # the q8 codes match quantizing the f32 source exactly; a
+        # bf16-precast source would differ on ~0.4% of entries
+        assert got is not None
+        np.testing.assert_array_equal(np.asarray(got), expect["q8"])
+
+    def test_stage3_pipeline_keeps_f32_sources(self):
+        # end-to-end: the stage-3 builder disables kernel precast when
+        # weight-int8 is requested, even at bf16 compute dtype
+        from tristage_rag_tpu.engine.config import PipelineConfig
+
+        cfg = PipelineConfig(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=8, stage2_top_k=6,
+            stage3_top_k=3, stage1_max_text_length=64,
+            stage2_max_seq_length=32, stage3_max_length=64,
+            mesh_data_parallel=1, compute_dtype="bfloat16",
+            stage3_weights_int8=True,
+        )
+        from tristage_rag_tpu.engine.stage3 import CrossEncoderReranker
+
+        rt = CrossEncoderReranker(cfg).runtime
+        assert rt._weights_int8 and rt._precast_kernels is False
+
+
+import jax  # noqa: E402  (used by TestWeightInt8QuantizesFromF32)

@@ -597,3 +597,18 @@ class TestConfigPlumbing:
         out = p.search("quick brown fox topic 2", top_k=3)
         assert len(out["results"]) == 3
         assert all("stage3_score" in r for r in out["results"])
+
+
+def test_fused_mlp_unknown_string_rejected():
+    """Only true/false/"auto" are legal: any other string (e.g. a
+    copy-paste of an act_int8 mode) must fail loudly instead of
+    silently enabling the kernel — on CPU that would mean interpret
+    mode, orders of magnitude slower."""
+    import pytest
+
+    from tristage_rag_tpu.engine.config import PipelineConfig
+    from tristage_rag_tpu.engine.factory import encoder_perf_overrides
+
+    cfg = PipelineConfig(stage2_fused_mlp="dynamic")
+    with pytest.raises(ValueError, match="stage2_fused_mlp"):
+        encoder_perf_overrides(cfg, "stage2")

@@ -169,6 +169,11 @@ def encoder_perf_overrides(config, stage: str) -> Optional[dict]:
         getattr(config, f"{stage}_act_int8", False), f"{stage}_act_int8"
     ) or {}
     fm = getattr(config, f"{stage}_fused_mlp", False)
+    if isinstance(fm, str) and fm != "auto":
+        raise ValueError(
+            f"{stage}_fused_mlp must be true, false, or \"auto\"; "
+            f"got {fm!r}"
+        )
     if fm == "auto":
         # Default-on where the Mosaic kernel actually runs: measured
         # -13% fused-funnel device time and +15-19% indexing docs/s,
@@ -196,6 +201,7 @@ def build_runtime(
     head_overrides: Optional[dict] = None,
     prompt_mode: str = "auto",
     encoder_overrides: Optional[dict] = None,
+    precast_kernels: bool = True,
 ) -> tuple[EncoderRuntime, BaseTokenizer]:
     """Build an (EncoderRuntime, tokenizer) pair for one stage.
 
@@ -267,6 +273,7 @@ def build_runtime(
             if mesh is not None and DATA_AXIS in mesh.shape
             else "dp"
         ),
+        precast_kernels=precast_kernels,
     )
     # Surfaced through get_stats/get_model_info/get_pipeline_info so an
     # eval run on random init can never masquerade as a real score

@@ -827,6 +827,14 @@ class FusedSearcher:
             p["bm"][0][0], p["bm"][1][0],
             *p["caches"],
         )
+        # _prepare keeps q3/bm as HOST numpy (free row slicing in
+        # serving); here the same args re-dispatch every iteration, so
+        # device_put them ONCE or each loop pays an H2D that serializes
+        # into the chain and inflates the reading.
+        args = jax.tree.map(
+            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+            args,
+        )
         kw = p["statics"]
         np.asarray(self._fn(*args, **kw))  # warm
         t0 = _t.perf_counter()

@@ -35,6 +35,11 @@ class CrossEncoderReranker:
             seed=config.seed + 2,
             head_overrides={"activation": config.stage3_activation},
             encoder_overrides=encoder_perf_overrides(config, "stage3"),
+            # weight-int8 must quantize from the original f32 kernels,
+            # not bf16-pre-cast ones (stacked rounding)
+            precast_kernels=not getattr(
+                config, "stage3_weights_int8", False
+            ),
         )
         if getattr(config, "stage3_weights_int8", False):
             n = self.runtime.quantize_weights_int8()

@@ -187,10 +187,15 @@ class EncoderRuntime:
         seed: int = 0,
         mesh: Optional[Mesh] = None,
         dp_axis: str = "dp",
+        precast_kernels: bool = True,
     ):
         self.kind = kind
         self.cfg = cfg
         self.head_cfg = head_cfg
+        # False when weight-only int8 is coming (stage3_weights_int8):
+        # quantization must derive int8 codes/scales from the ORIGINAL
+        # f32 kernels, not bf16-pre-cast ones (stacked rounding).
+        self._precast_kernels = bool(precast_kernels)
         if kind == "bi":
             self.module = BiEncoder(cfg, head_cfg)
         elif kind == "colbert":
@@ -346,6 +351,10 @@ class EncoderRuntime:
         int8 (weight-only; activations stay in compute dtype). Halves
         weight HBM residency; the dequant runs in-jit. Embedding tables
         and small kernels stay dense. Returns #kernels quantized."""
+        # From here on, placements must never pre-cast kernels: the
+        # surviving small kernels were already placed, and any future
+        # load_params tree feeds RE-quantization, which needs f32.
+        self._precast_kernels = False
         host = jax.device_get(self.params)
         count = 0
 
@@ -404,7 +413,7 @@ class EncoderRuntime:
             return params
         from flax.traverse_util import flatten_dict, unflatten_dict
 
-        cast_kernels = not (
+        cast_kernels = getattr(self, "_precast_kernels", True) and not (
             self.cfg.int8_activations
             or self.cfg.int8_act_static
             or self.cfg.int8_pallas
