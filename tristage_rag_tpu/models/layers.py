@@ -480,8 +480,19 @@ class Attention(nn.Module):
             )
             e = jnp.exp(logits - m)
             denom = jnp.sum(e, axis=-1)  # [B, h, L] f32
+            # Force the bf16 exps to MATERIALIZE: without the barrier
+            # XLA fuses the .astype into the consuming einsum and still
+            # writes e to HBM in f32 (the session-9 stage-3 funnel
+            # trace showed f32[100,12,96,96] between the two fusions —
+            # the dominant dense-attention HBM tensor at 2x the
+            # intended width). The barrier pins the producer fusion's
+            # output to bf16; numerics are unchanged (the cast happens
+            # either way, barrier or not).
+            eb, denom = jax.lax.optimization_barrier(
+                (e.astype(dt), denom)
+            )
             out = jnp.einsum(
-                "bhlm,bmhd->blhd", e.astype(dt), v,
+                "bhlm,bmhd->blhd", eb, v,
                 preferred_element_type=jnp.float32,
             )
             out = out / jnp.transpose(denom, (0, 2, 1))[..., None]

@@ -42,20 +42,40 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# erf(x) = tanh(x * q(x^2)): coefficients of q (increasing powers of
+# t = x^2), a Chebyshev-node least-squares fit of atanh(erf(x))/x on
+# [0, 4] weighted by sech^2 = 1 - erf^2 so the minimized quantity IS
+# the erf error. Clamped to |x| <= 4, where 1 - erf = 1.5e-8.
+_ERF_TANH_COEF = (
+    1.1283796305909783, 0.10276577708839114, -0.00018451031254182159,
+    -0.0006259580467677385, 8.990702145830245e-05,
+    -6.031833378611733e-06, 1.6232202085609084e-07,
+)
+
+
 def _erf_tpu(x):
-    """erf via the Abramowitz & Stegun 7.1.26 rational approximation
-    (|err| <= 1.5e-7, i.e. f32-exact). Mosaic's TPU lowering implements
-    no erf/erfc primitive (only erf_inv), so ``jax.nn.gelu(...,
-    approximate=False)`` — which lowers through erfc — cannot compile
-    inside a kernel; this keeps the in-kernel exact-GELU numerically
-    indistinguishable (measured kernel-vs-XLA deltas stay within the
-    existing 1e-5 test tolerances)."""
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
+    """erf via the tanh form ``erf(x) = tanh(x * q(x^2))`` with a
+    degree-6 polynomial q (coefficients above). Mosaic's TPU lowering
+    implements no erf/erfc primitive (only erf_inv), so
+    ``jax.nn.gelu(..., approximate=False)`` — which lowers through
+    erfc — cannot compile inside a kernel.
+
+    Accuracy: |err| <= 2.5e-7 (~2 f32 ulp at erf's |y|<=1 range;
+    measured vs math.erf on [-12, 12] incl. the clamp tail), the same
+    f32-exactness class as the Abramowitz-Stegun 7.1.26 rational form
+    this replaces (1.5e-7). Why tanh: the session-9 traced kernel sweep showed
+    exact-GELU epilogues built on exp (A&S rational, erfcx-polynomial)
+    cost +52% kernel time at stage-3 MLP shapes (184.7 us vs the
+    121.0 us relu floor, i.e. the VPU tax is NOT hidden behind the
+    MXU), while tanh-based epilogues are free (gelu_tanh measured
+    121.1 us) — Mosaic lowers tanh to the fast transcendental path.
+    This form keeps exact-GELU numerics at tanh-GELU speed."""
+    xc = jnp.clip(x, -4.0, 4.0)
+    t = xc * xc
+    q = jnp.float32(_ERF_TANH_COEF[-1])
+    for c in _ERF_TANH_COEF[-2::-1]:
+        q = q * t + jnp.float32(c)
+    return jnp.tanh(xc * q)
 
 
 def _gelu_exact_tpu(y):
