@@ -35,7 +35,8 @@ def main() -> None:
                     default=["bf16", "static"],
                     choices=["bf16", "dynamic", "static", "pallas",
                              "static-pallas", "flash", "fused-mlp",
-                             "flash-fused-mlp"])
+                             "flash-fused-mlp", "weights-int8",
+                             "weights-int8-module"])
     args = ap.parse_args()
 
     if args.tiny:
@@ -68,6 +69,16 @@ def main() -> None:
         "fused-mlp": {"stage3_fused_mlp": True},
         "flash-fused-mlp": {"stage3_flash_attention": True,
                             "stage3_fused_mlp": True},
+        # weight-only int8 on the batch-1 query encoders (stage-1/2):
+        # the bandwidth lever candidate. "-module" pins the fused-MLP
+        # kernel off to isolate how the XLA path lowers the dequant.
+        "weights-int8": {"stage1_weights_int8": True,
+                         "stage2_weights_int8": True},
+        "weights-int8-module": {"stage1_weights_int8": True,
+                                "stage2_weights_int8": True,
+                                "stage1_fused_mlp": False,
+                                "stage2_fused_mlp": False,
+                                "stage3_fused_mlp": False},
     }
     for variant in args.variants:
         # stage*_fused_mlp defaults to "auto" (kernel ON on TPU): the
