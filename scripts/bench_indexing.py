@@ -80,6 +80,11 @@ def main():
                     help="run the stage-1/2 encoders with flash "
                          "attention on padding-only layers "
                          "(stage{1,2}_flash_attention)")
+    ap.add_argument("--weights-int8", action="store_true",
+                    help="weight-only int8 stage-1/2 encoders "
+                         "(stage{1,2}_weights_int8); with --fused-mlp "
+                         "the MLP q8 dicts feed the Pallas kernel "
+                         "directly (VMEM tile dequant)")
     args = ap.parse_args()
 
     if args.tiny:
@@ -122,6 +127,8 @@ def main():
                stage2_fused_mlp=args.fused_mlp)
     if args.flash:
         cfg.update(stage1_flash_attention=True, stage2_flash_attention=True)
+    if args.weights_int8:
+        cfg.update(stage1_weights_int8=True, stage2_weights_int8=True)
     docs = make_docs(args.docs)
 
     p = RetrievalPipeline(PipelineConfig(**cfg))
@@ -199,7 +206,8 @@ def main():
         "config": ("tuned" if args.tuned else "default")
         + (f"+act_int8_{args.act_int8}" if args.act_int8 else "")
         + ("+fused_mlp" if args.fused_mlp else "")
-        + ("+flash" if args.flash else ""),
+        + ("+flash" if args.flash else "")
+        + ("+weights_int8" if args.weights_int8 else ""),
         "total_seconds": round(total, 2),
     }), flush=True)
 

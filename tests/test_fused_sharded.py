@@ -221,6 +221,19 @@ class TestShardedFusedVariants:
         # XLA int8 path inside _int8_dense, but the knob must plumb
         # through the sharded fused program end-to-end
         {"stage3_act_int8": "pallas"},
+        # weight-int8 query encoders: replicated q8 dicts (and their
+        # in-trace dequant at tiny misaligned dims) under shard_map
+        {"stage1_weights_int8": True, "stage2_weights_int8": True},
+        # the kernel keep-path over the mesh: aligned dims + forced
+        # fused-MLP means the MLP q8 dicts reach the Pallas kernel
+        # (interpret mode on CPU) inside the sharded fused program
+        {"stage1_model": "tiny-gemma-aligned",
+         "stage2_model": "tiny-modernbert-aligned",
+         "stage3_model": "tiny-bert-aligned",
+         "stage1_weights_int8": True, "stage2_weights_int8": True,
+         "stage3_weights_int8": True,
+         "stage1_fused_mlp": True, "stage2_fused_mlp": True,
+         "stage3_fused_mlp": True},
     ])
     def test_parity_with_staged_mesh(self, overrides):
         kw = dict(KW)

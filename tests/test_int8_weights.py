@@ -106,6 +106,181 @@ class TestInt8Weights:
         assert back.stage3_weights_int8 is True
 
 
+class TestStage12WeightsInt8:
+    """``stage{1,2}_weights_int8`` — the batch-1 query-encode
+    bandwidth lever (the serving funnel's stage-1/2 query encodes are
+    weight-HBM-bound; halving the weight read is direct latency there,
+    unlike compute-bound stage-3 where weight-int8 measured neutral)."""
+
+    def test_stage1_embeddings_close(self):
+        from tristage_rag_tpu.engine.stage1 import Stage1Retriever
+
+        a = Stage1Retriever(_base())
+        b = Stage1Retriever(_base(stage1_weights_int8=True))
+        assert b.runtime._weights_int8 and not a.runtime._weights_int8
+        ea = np.asarray(a.encode(["quick brown fox"], kind="query"))
+        eb = np.asarray(b.encode(["quick brown fox"], kind="query"))
+        # unit-norm embeddings: cosine similarity, not absolute error
+        cos = float((ea * eb).sum())
+        assert cos > 0.98, cos
+
+    def test_stage2_scores_close_and_rank_tolerant(self):
+        from tristage_rag_tpu.engine.stage2 import ColBERTScorer
+
+        a = ColBERTScorer(_base())
+        b = ColBERTScorer(_base(stage2_weights_int8=True))
+        q = "quick brown fox"
+        cands = [
+            {"doc_id": i, "document": d} for i, d in enumerate(DOCS[:8])
+        ]
+        sa = [r["stage2_score"] for r in sorted(
+            a.rescore_candidates(q, [dict(c) for c in cands]),
+            key=lambda r: r["doc_id"])]
+        sb = [r["stage2_score"] for r in sorted(
+            b.rescore_candidates(q, [dict(c) for c in cands]),
+            key=lambda r: r["doc_id"])]
+        assert max(abs(x - y) for x, y in zip(sa, sb)) < 0.05
+        ra, rb = np.argsort(sa)[::-1], np.argsort(sb)[::-1]
+        for i, j in zip(ra, rb):
+            if i != j:
+                assert abs(sa[i] - sa[j]) < 0.05, (sa, sb)
+
+    def test_fused_pipeline_all_stages_quantized(self):
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        p = RetrievalPipeline(_base(
+            stage1_weights_int8=True, stage2_weights_int8=True,
+            stage3_weights_int8=True,
+            stage2_cache_doc_embeddings=True, enable_fused_search=True,
+        ))
+        p.add_documents(list(DOCS))
+        out = p.search("quick brown fox topic 2", top_k=3)
+        assert out["timing"].get("fused") is True
+        assert len(out["results"]) == 3
+        r0 = out["results"][0]
+        for k in ("doc_id", "score", "stage1_score", "stage2_score",
+                  "stage3_score"):
+            assert k in r0 and np.isfinite(r0[k]), (k, r0)
+
+    def test_persisted_cache_keys_on_stage2_encode_mode(self, tmp_path):
+        # token embeddings written under bf16 weights must NOT serve a
+        # stage2_weights_int8 pipeline: the meta mismatch forces refill
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        extra = dict(
+            stage2_cache_doc_embeddings=True, enable_fused_search=True,
+            persist_device_caches=True, index_dir=str(tmp_path),
+        )
+        p1 = RetrievalPipeline(_base(**extra))
+        p1.add_documents(list(DOCS))
+        p1.save_index()
+        p2 = RetrievalPipeline(_base(stage2_weights_int8=True, **extra))
+        assert p2.load_index()
+        ok2, ok3 = p2._load_device_caches(str(tmp_path))
+        assert not ok2 and not ok3  # encode-mode mismatch -> refill
+        # same mode loads fine
+        p3 = RetrievalPipeline(_base(**extra))
+        assert p3.load_index()
+        ok2, _ = p3._load_device_caches(str(tmp_path))
+        assert ok2
+
+    def test_yaml_roundtrip_carries_flags(self, tmp_path):
+        from tristage_rag_tpu.engine.config import PipelineConfig
+
+        cfg = _base(stage1_weights_int8=True, stage2_weights_int8=True)
+        path = tmp_path / "c.yaml"
+        cfg.export(path)
+        back = PipelineConfig.from_yaml(path)
+        assert back.stage1_weights_int8 is True
+        assert back.stage2_weights_int8 is True
+
+
+class TestWeightInt8KernelPath:
+    """Weight-int8 through the Pallas fused-MLP kernel (VMEM tile
+    dequant) — the serving path that actually halves the weight HBM
+    read. The XLA dequant lowering materializes dense kernels per
+    dispatch and measured SLOWER than plain bf16 (BENCH_NOTES s9)."""
+
+    def _aligned(self, **extra):
+        from tristage_rag_tpu.engine.config import PipelineConfig
+
+        return PipelineConfig(
+            stage1_model="tiny-gemma-aligned",
+            stage2_model="tiny-modernbert-aligned",
+            stage3_model="tiny-bert-aligned", stage1_top_k=8,
+            stage2_top_k=6, stage3_top_k=3, stage1_max_text_length=64,
+            stage2_max_seq_length=32, stage3_max_length=64,
+            mesh_data_parallel=1, compute_dtype="bfloat16",
+            stage1_fused_mlp=True, stage2_fused_mlp=True,
+            stage3_fused_mlp=True, **extra,
+        )
+
+    def test_mlp_dicts_pass_through_when_kernel_engages(self):
+        from tristage_rag_tpu.engine.stage1 import Stage1Retriever
+
+        r = Stage1Retriever(self._aligned(stage1_weights_int8=True))
+        assert r.runtime.module._keep_names == (
+            "gate_proj", "up_proj", "down_proj",
+        )
+        # misaligned dims -> module path -> everything must dequantize
+        from tristage_rag_tpu.engine.config import PipelineConfig
+
+        r2 = Stage1Retriever(PipelineConfig(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_fused_mlp=True,
+            stage1_weights_int8=True, mesh_data_parallel=1,
+        ))
+        assert r2.runtime.module._keep_names == ()
+
+    def test_attention_kernels_quantize_too(self):
+        # 3-D DenseGeneral kernels (QKV) quantize with broadcastable
+        # per-output-unit scales; survivors pre-cast to compute dtype
+        # (an f32 survivor would re-convert per dispatch — the
+        # session-9 trace pathology)
+        import jax
+        import jax.numpy as jnp
+        from flax.traverse_util import flatten_dict
+        from tristage_rag_tpu.engine.stage1 import Stage1Retriever
+
+        r = Stage1Retriever(self._aligned(stage1_weights_int8=True))
+        flat = flatten_dict(jax.device_get(r.runtime.params))
+        q8_3d = [
+            (p, v) for p, v in flat.items()
+            if p[-1] == "q8" and v.ndim == 3
+        ]
+        assert q8_3d, "no 3-D (attention) kernels were quantized"
+        for p, v in q8_3d:
+            scale = flat[p[:-1] + ("scale",)]
+            assert scale.shape == (1,) + v.shape[1:], (p, scale.shape)
+        # no f32 dense kernel survives outside the classifier
+        for p, v in flat.items():
+            if p[-1] == "kernel" and not isinstance(v, dict):
+                assert v.dtype != jnp.float32 or "classifier" in str(p), p
+
+    def test_fused_pipeline_matches_bf16_ranking(self):
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        extra = dict(
+            stage2_cache_doc_embeddings=True, enable_fused_search=True,
+        )
+        pa = RetrievalPipeline(self._aligned(**extra))
+        pa.add_documents(list(DOCS))
+        pb = RetrievalPipeline(self._aligned(
+            stage1_weights_int8=True, stage2_weights_int8=True,
+            stage3_weights_int8=True, **extra,
+        ))
+        pb.add_documents(list(DOCS))
+        oa = pa.search("quick brown fox topic 2", top_k=3)
+        ob = pb.search("quick brown fox topic 2", top_k=3)
+        assert oa["timing"].get("fused") and ob["timing"].get("fused")
+        sa = {r["doc_id"]: r["score"] for r in oa["results"]}
+        sb = {r["doc_id"]: r["score"] for r in ob["results"]}
+        # top hit identical, scores within the int8 contract
+        assert oa["results"][0]["doc_id"] == ob["results"][0]["doc_id"]
+        for i in set(sa) & set(sb):
+            assert abs(sa[i] - sb[i]) < 0.05
+
+
 class TestWeightInt8QuantizesFromF32:
     """The dense-kernel pre-cast (runtime._precast_embed_tables) must
     NOT feed weight-only int8 quantization: int8 codes/scales derive

@@ -442,6 +442,155 @@ class TestFusedMlpBf16:
             np.asarray(got), np.asarray(ref), atol=1e-4
         )
 
+    @pytest.mark.parametrize("glu", [True, False])
+    def test_int8_weights_match_dequant_composition(self, glu):
+        # weight-only int8 (sg/su/sd given): the kernel dequantizes
+        # weight tiles in VMEM and folds the per-channel scale into
+        # the f32 accumulator — must match dequant-then-compose
+        import jax
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.models.runtime import _quantize_kernel
+        from tristage_rag_tpu.ops.pallas_qdense import fused_mlp_bf16
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((40, 128)) * 0.3, jnp.float32)
+        wg = rng.standard_normal((128, 256)).astype(np.float32) * 0.1
+        wu = rng.standard_normal((128, 256)).astype(np.float32) * 0.1
+        wd = rng.standard_normal((256, 128)).astype(np.float32) * 0.1
+        bg, bu, bd = (
+            jnp.asarray(rng.standard_normal(n) * 0.01, jnp.float32)
+            for n in (256, 256, 128)
+        )
+        qg, qu, qd = map(_quantize_kernel, (wg, wu, wd))
+        deq = lambda q: jnp.asarray(
+            q["q8"].astype(np.float32) * q["scale"], jnp.float32
+        )
+        h = x @ deq(qg) + bg
+        h = jax.nn.silu(h) * (x @ deq(qu) + bu) if glu else jax.nn.relu(h)
+        ref = h @ deq(qd) + bd
+        got = fused_mlp_bf16(
+            x, jnp.asarray(qg["q8"]),
+            jnp.asarray(qu["q8"]) if glu else None, jnp.asarray(qd["q8"]),
+            bg, bu if glu else None, bd,
+            sg=jnp.asarray(qg["scale"]),
+            su=jnp.asarray(qu["scale"]) if glu else None,
+            sd=jnp.asarray(qd["scale"]),
+            act="silu" if glu else "relu", glu=glu,
+            out_dtype=jnp.float32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-4
+        )
+
+    def test_post_ln_epilogue_matches_composition(self):
+        # out = LN(x + mlp(x)) folded into the kernel (stats in f32,
+        # fast-variance) must match the explicit composition
+        import jax
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.ops.pallas_qdense import fused_mlp_bf16
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((24, 128)) * 0.3, jnp.float32)
+        wg = jnp.asarray(rng.standard_normal((128, 256)) * 0.1, jnp.float32)
+        wd = jnp.asarray(rng.standard_normal((256, 128)) * 0.1, jnp.float32)
+        bg = jnp.asarray(rng.standard_normal(256) * 0.01, jnp.float32)
+        bd = jnp.asarray(rng.standard_normal(128) * 0.01, jnp.float32)
+        lns = jnp.asarray(1.0 + rng.standard_normal(128) * 0.1, jnp.float32)
+        lnb = jnp.asarray(rng.standard_normal(128) * 0.1, jnp.float32)
+        eps = 1e-12
+        z = x + (jax.nn.relu(x @ wg + bg) @ wd + bd)
+        mu = z.mean(-1, keepdims=True)
+        var = (z * z).mean(-1, keepdims=True) - mu * mu
+        ref = (z - mu) * jax.lax.rsqrt(var + eps) * lns + lnb
+        got = fused_mlp_bf16(
+            x, wg, None, wd, bg, None, bd,
+            ln_scale=lns, ln_bias=lnb, ln_eps=eps,
+            act="relu", glu=False, out_dtype=jnp.float32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-4
+        )
+        # no-bias variant (use_bias=False encoders)
+        got_nb = fused_mlp_bf16(
+            x, wg, None, wd, bg, None, bd,
+            ln_scale=lns, ln_bias=None, ln_eps=eps,
+            act="relu", glu=False, out_dtype=jnp.float32, interpret=True,
+        )
+        ref_nb = (z - mu) * jax.lax.rsqrt(var + eps) * lns
+        np.testing.assert_allclose(
+            np.asarray(got_nb), np.asarray(ref_nb), atol=2e-4
+        )
+
+    def test_post_ln_requires_square(self):
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.ops.pallas_qdense import fused_mlp_bf16
+
+        with pytest.raises(ValueError, match="K == N"):
+            fused_mlp_bf16(
+                jnp.zeros((8, 128), jnp.float32),
+                jnp.zeros((128, 256), jnp.float32), None,
+                jnp.zeros((256, 256), jnp.float32),
+                ln_scale=jnp.ones(256, jnp.float32),
+                act="relu", glu=False, interpret=True,
+            )
+
+    def test_post_ln_encoder_forward_matches_module_path(self):
+        # the whole post-LN encoder (BERT-style) with the LN folded
+        # into the kernel vs the pure module path: same params, outputs
+        # within bf16 tolerance; param trees identical
+        import jax
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.models.config import EncoderConfig
+        from tristage_rag_tpu.models.encoder import TextEncoder
+
+        mk = lambda fused: EncoderConfig(
+            vocab_size=64, hidden_size=128, num_layers=2, num_heads=2,
+            mlp_dim=256, max_position_embeddings=32, dtype="float32",
+            activation="gelu", fused_mlp=fused,
+        )
+        ids = np.array([[1, 5, 9, 3, 0, 0, 0, 0]], np.int32)
+        mask = np.array([[1, 1, 1, 1, 0, 0, 0, 0]], np.int32)
+        ma, mb = TextEncoder(mk(False)), TextEncoder(mk(True))
+        rng = jax.random.PRNGKey(0)
+        pa = ma.init(rng, ids, mask)["params"]
+        pb = mb.init(rng, ids, mask)["params"]
+        assert jax.tree_util.tree_structure(pa) == (
+            jax.tree_util.tree_structure(pb)
+        )
+        oa = ma.apply({"params": pa}, ids, mask)
+        ob = mb.apply({"params": pa}, ids, mask)
+        np.testing.assert_allclose(
+            np.asarray(oa, np.float32), np.asarray(ob, np.float32),
+            atol=5e-3, rtol=5e-3,
+        )
+
+    def test_int8_weights_need_all_scales(self):
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.models.runtime import _quantize_kernel
+        from tristage_rag_tpu.ops.pallas_qdense import fused_mlp_bf16
+
+        rng = np.random.default_rng(2)
+        x = jnp.zeros((8, 128), jnp.float32)
+        qg = _quantize_kernel(rng.standard_normal((128, 256)).astype(np.float32))
+        qd = _quantize_kernel(rng.standard_normal((256, 128)).astype(np.float32))
+        with pytest.raises(ValueError, match="scales for every"):
+            fused_mlp_bf16(
+                x, jnp.asarray(qg["q8"]), None, jnp.asarray(qd["q8"]),
+                sg=jnp.asarray(qg["scale"]), glu=False, interpret=True,
+            )
+        with pytest.raises(ValueError, match="not int8"):
+            fused_mlp_bf16(
+                x, jnp.asarray(qg["q8"], jnp.float32), None,
+                jnp.asarray(qd["q8"], jnp.float32),
+                sg=jnp.asarray(qg["scale"]), sd=jnp.asarray(qd["scale"]),
+                glu=False, interpret=True,
+            )
+
     def test_mlp_module_fused_matches_plain_f32(self):
         import jax
         import jax.numpy as jnp

@@ -45,6 +45,15 @@ class PipelineConfig:
     # Embedding shift ~1e-2 — measure recall before enabling at scale
     # (scripts/bench_indexing.py --act-int8).
     stage1_act_int8: bool | str = False
+    # Weight-only per-channel int8 for the bi-encoder (same mechanics
+    # as stage3_weights_int8). The serving funnel's stage-1 query
+    # encode is batch-1 and weight-HBM-bound — halving the weight read
+    # is a direct latency lever there (unlike compute-bound stage-3,
+    # where it measured neutral). Docs and queries encode through the
+    # same quantized forward, so similarities compare like with like;
+    # rankings on unit-norm embeddings shift within quantization noise
+    # (tests/test_int8_weights.py).
+    stage1_weights_int8: bool = False
     # bf16 whole-block fused MLP (ops/pallas_qdense.py::fused_mlp_bf16)
     # when act_int8 is off: gate/up/act/mul/down in one Pallas kernel,
     # keeping the [M, mlp_dim] intermediate in VMEM. "auto" (default)
@@ -81,6 +90,11 @@ class PipelineConfig:
     # cache fill; doc and query tokens then encode identically, so
     # MaxSim compares like with like. Scores shift ~1e-2.
     stage2_act_int8: bool | str = False
+    # Weight-only per-channel int8 for the ColBERT encoder (see
+    # stage1_weights_int8 — the batch-1 query-encode bandwidth lever).
+    # The persisted stage-2 device cache keys on this flag: token
+    # embeddings encoded under one weight mode never serve the other.
+    stage2_weights_int8: bool = False
     # bf16 fused MLP for the ColBERT encoder (see stage1_fused_mlp;
     # "auto" = accelerator-only).
     stage2_fused_mlp: bool | str = "auto"
@@ -223,6 +237,7 @@ class PipelineConfig:
             ("dense_weight", "stage1_dense_weight"),
             ("bm25_weight", "stage1_bm25_weight"),
             ("act_int8", "stage1_act_int8"),
+            ("weights_int8", "stage1_weights_int8"),
             ("fused_mlp", "stage1_fused_mlp"),
             ("flash_attention", "stage1_flash_attention"),
         ],
@@ -238,6 +253,7 @@ class PipelineConfig:
             ("cache_max_docs", "stage2_cache_max_docs"),
             ("cache_int8", "stage2_cache_int8"),
             ("act_int8", "stage2_act_int8"),
+            ("weights_int8", "stage2_weights_int8"),
             ("fused_mlp", "stage2_fused_mlp"),
             ("flash_attention", "stage2_flash_attention"),
         ],

@@ -443,6 +443,14 @@ class RetrievalPipeline:
             "stage3_model": self.config.stage3_model,
             "docs": len(self.stage1.documents),
             "corpus_sha": self._corpus_sha(),
+            # The stage-2 cache holds ENCODER OUTPUTS: embeddings
+            # written under one weight/activation quant mode must not
+            # serve a pipeline configured with another. (Stage-3's
+            # cache is token IDS — tokenizer-only, no such key.)
+            "stage2_encode_mode": [
+                str(getattr(self.config, "stage2_weights_int8", False)),
+                str(getattr(self.config, "stage2_act_int8", False)),
+            ],
         }
         wrote = False
         cache = getattr(self.stage2, "_cache", None) if self.stage2 else None
@@ -470,6 +478,10 @@ class RetrievalPipeline:
             or meta.get("stage3_model") != self.config.stage3_model
             or meta.get("docs") != len(self.stage1.documents)
             or meta.get("corpus_sha") != self._corpus_sha()
+            or meta.get("stage2_encode_mode", ["False", "False"]) != [
+                str(getattr(self.config, "stage2_weights_int8", False)),
+                str(getattr(self.config, "stage2_act_int8", False)),
+            ]
         ):
             return False, False
         n = len(self.stage1.documents)

@@ -62,7 +62,15 @@ class Stage1Retriever:
             seed=config.seed,
             prompt_mode=getattr(config, "stage1_prompt_mode", "auto"),
             encoder_overrides=encoder_perf_overrides(config, "stage1"),
+            # weight-int8 must quantize from the original f32 kernels,
+            # not bf16-pre-cast ones (stacked rounding)
+            precast_kernels=not getattr(
+                config, "stage1_weights_int8", False
+            ),
         )
+        if getattr(config, "stage1_weights_int8", False):
+            n = self.runtime.quantize_weights_int8()
+            logger.info("stage1 weights quantized to int8 (%d kernels)", n)
         self.documents: list[str] = []
         self.doc_metadata: list[dict[str, Any]] = []
         self.index: Optional[DenseIndex] = None

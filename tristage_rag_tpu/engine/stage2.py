@@ -50,7 +50,15 @@ class ColBERTScorer:
                 None if config.stage2_use_projection else {"project": False}
             ),
             encoder_overrides=encoder_perf_overrides(config, "stage2"),
+            # weight-int8 must quantize from the original f32 kernels,
+            # not bf16-pre-cast ones (stacked rounding)
+            precast_kernels=not getattr(
+                config, "stage2_weights_int8", False
+            ),
         )
+        if getattr(config, "stage2_weights_int8", False):
+            n = self.runtime.quantize_weights_int8()
+            logger.info("stage2 weights quantized to int8 (%d kernels)", n)
         # Token-embedding dim: the projection's output, or the raw
         # hidden size in reference-faithful no-projection mode.
         self.token_dim = (

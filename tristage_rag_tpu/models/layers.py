@@ -53,6 +53,28 @@ def make_norm(cfg: EncoderConfig, name: str):
     )
 
 
+class _LayerNormParams(nn.Module):
+    """Parameter-only stand-in for ``nn.LayerNorm`` — same names
+    ("scale"/"bias"), shapes, and initializers, so the param tree is
+    identical whether the norm runs as a module or folded into the
+    fused-MLP kernel's post-LN epilogue (checkpoints swap freely)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return scale, bias
+
+
 def rope_freqs(head_dim: int, max_len: int, theta: float) -> tuple[jax.Array, jax.Array]:
     """Precompute RoPE cos/sin tables [max_len, head_dim//2] (f32)."""
     inv = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
@@ -585,6 +607,20 @@ class Mlp(nn.Module):
         "gelu": "gelu", "relu": "relu",
     }
 
+    @classmethod
+    def fused_bf16_engages(cls, cfg) -> bool:
+        """Static predicate: will __call__ take the bf16 fused-kernel
+        path? Shared with EncoderLayer (post-LN epilogue gating) and
+        EncoderRuntime (weight-int8 q8-dict pass-through) so the three
+        can never drift."""
+        return bool(
+            not cfg.int8_activations
+            and getattr(cfg, "fused_mlp", False)
+            and cfg.hidden_size % 128 == 0
+            and cfg.mlp_dim % 128 == 0
+            and cfg.activation in cls._FUSED_ACTS
+        )
+
     def _fused_pallas(self, x, glu: bool):
         """The whole MLP block as one Pallas kernel
         (ops/pallas_qdense.py::fused_qmlp): the [M, mlp_dim]
@@ -618,7 +654,7 @@ class Mlp(nn.Module):
         )
         return y.reshape(*lead, hid)
 
-    def _fused_bf16(self, x, glu: bool):
+    def _fused_bf16(self, x, glu: bool, post_ln=None):
         """Whole-block bf16 fused MLP (fused_mlp_bf16): the
         [M, mlp_dim] intermediate stays in VMEM at the native compute
         dtype — no quantization involved."""
@@ -636,25 +672,39 @@ class Mlp(nn.Module):
         )
         kd, bd = _ProjParams((f,), (hid,), bias, name="down_proj")()
 
-        def w(kern):  # weight-int8 dict kernels dequantize in-jit
+        # weight-int8 (stage*_weights_int8): q8 dicts pass through to
+        # the kernel — int8 weight tiles dequantize in VMEM and the
+        # per-channel scale folds into the f32 accumulator after each
+        # dot. Dequantizing here instead would materialize the dense
+        # kernels to HBM per dispatch, which measured SLOWER than
+        # never quantizing (BENCH_NOTES session 9).
+        def wq(kern):
             if isinstance(kern, dict):
-                return (
-                    kern["q8"].astype(jnp.float32) * kern["scale"][None, :]
-                ).astype(dt)
-            return kern.astype(dt)
+                return kern["q8"], kern["scale"].reshape(1, -1)
+            return (None, None) if kern is None else (kern.astype(dt), None)
 
+        (wg_, sg), (wu_, su), (wd_, sd) = wq(kg), wq(ku), wq(kd)
         lead = x.shape[:-1]
+        ln_scale = ln_bias = None
+        ln_eps = 1e-12
+        if post_ln is not None:
+            ln_scale, ln_bias, ln_eps = post_ln
         y = fused_mlp_bf16(
             x.reshape(-1, hid).astype(dt),
-            w(kg), w(ku) if glu else None, w(kd),
-            bg, bu, bd,
+            wg_, wu_ if glu else None, wd_,
+            bg, bu, bd, sg=sg, su=su, sd=sd,
+            ln_scale=ln_scale, ln_bias=ln_bias, ln_eps=ln_eps,
             act=self._FUSED_ACTS[cfg.activation], glu=glu, out_dtype=dt,
             interpret=jax.default_backend() == "cpu",
         )
         return y.reshape(*lead, hid)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, post_ln=None):
+        """``post_ln``: optional ``(scale, bias, eps)`` — the caller's
+        residual+LayerNorm epilogue ``LN(x + mlp(x))`` folded into the
+        fused kernel (post-LN encoders only; EncoderLayer passes it iff
+        ``fused_bf16_engages``). The module path never receives it."""
         cfg = self.cfg
         dt = compute_dtype(cfg)
         glu = cfg.activation in ("geglu", "geglu_tanh", "swiglu")
@@ -673,12 +723,9 @@ class Mlp(nn.Module):
             and aligned
         ):
             return self._fused_pallas(x, glu)
-        if (
-            not cfg.int8_activations
-            and getattr(cfg, "fused_mlp", False)
-            and aligned
-        ):
-            return self._fused_bf16(x, glu)
+        if self.fused_bf16_engages(cfg):
+            return self._fused_bf16(x, glu, post_ln=post_ln)
+        assert post_ln is None, "post_ln requires the fused kernel path"
         dense = lambda feats, name: nn.Dense(
             features=feats, use_bias=cfg.mlp_bias_flag, dtype=dt, name=name
         )
@@ -757,5 +804,17 @@ class EncoderLayer(nn.Module):
             x = make_norm(cfg, "attn_norm")(
                 x + attn(x, bias, cos, sin, mask=mask)
             )
-            x = make_norm(cfg, "mlp_norm")(x + mlp(x))
+            if cfg.norm_type != "rmsnorm" and Mlp.fused_bf16_engages(cfg):
+                # Fold the residual+LN into the fused-MLP kernel's
+                # epilogue: LN(x + mlp(x)) in one pass — the raw MLP
+                # output and the pre-norm sum never touch HBM (the XLA
+                # path's dominant per-layer fusion, BENCH_NOTES s8).
+                # _LayerNormParams keeps the tree identical to the
+                # module path.
+                lns, lnb = _LayerNormParams(
+                    cfg.hidden_size, cfg.use_bias, name="mlp_norm"
+                )()
+                x = mlp(x, post_ln=(lns, lnb, cfg.norm_eps))
+            else:
+                x = make_norm(cfg, "mlp_norm")(x + mlp(x))
         return x

@@ -42,53 +42,89 @@ BATCH_BUCKETS = (1, 8, 32, 64, 128, 256, 512)
 
 
 def _quantize_kernel(w: np.ndarray) -> dict:
-    """Per-output-channel symmetric int8 for a [in, out] kernel.
+    """Per-output-channel symmetric int8 for a kernel whose LEADING
+    axis is (part of) the contraction — flax's Dense/DenseGeneral
+    layout. Rank-general: a [in, out] kernel gets a [1, out] scale; a
+     3-D [in, heads, dim] attention kernel gets [1, heads, dim] (one
+    scale per output unit, abs-max over the contraction axis), so the
+    dequant ``q8 * scale`` broadcast reconstructs any rank.
 
     Delegates to index/token_cache.py::symmetric_int8 — the ONE
     definition of the int8 numeric contract (shared with the dense
-    index and the stage-2 token cache) — applied over columns via the
+    index and the stage-2 token cache) — applied over axis 0 via a
     transpose."""
     from tristage_rag_tpu.index.token_cache import symmetric_int8
 
-    q, s = symmetric_int8(jnp.asarray(w, jnp.float32).T)
+    arr = jnp.asarray(w, jnp.float32)
+    nd = arr.ndim
+    perm = tuple(range(1, nd)) + (0,)  # contraction axis last
+    q, s = symmetric_int8(arr.transpose(perm))
+    inv = (nd - 1,) + tuple(range(nd - 1))
     return {
-        "q8": np.ascontiguousarray(np.asarray(q).T),
-        "scale": np.asarray(s, np.float32)[None, :],
+        "q8": np.ascontiguousarray(np.asarray(q).transpose(inv)),
+        "scale": np.asarray(s, np.float32)[None, ...],
     }
 
 
-def _dequant_tree(p, dtype):
+def _dequant_tree(p, dtype, keep_names=(), _parent=None):
     """Rebuild a dense param tree; {"q8","scale"} leaves dequantize to
     ``dtype`` (the convert+scale stays inside the jit — XLA reads int8
     from HBM and materializes the dense kernel as a temporary). The
     multiply runs in f32 so a bf16 compute dtype does not round the
     per-channel scale (8 mantissa bits would add ~0.4%/channel error
-    on top of the int8 contract)."""
+    on top of the int8 contract).
+
+    ``keep_names``: module names whose kernel dicts pass through
+    UNdequantized — the Pallas fused-MLP path consumes q8+scale
+    directly (VMEM tile dequant), which is the whole point of
+    weight-int8 on bandwidth-bound shapes; materializing the dense
+    kernel here would cost MORE traffic than never quantizing
+    (measured, BENCH_NOTES session 9)."""
     if isinstance(p, dict) or hasattr(p, "items"):
         if "q8" in p and "scale" in p and len(p) == 2:
+            if _parent in keep_names:
+                return dict(p)
             return (
                 p["q8"].astype(jnp.float32) * p["scale"].astype(jnp.float32)
             ).astype(dtype)
-        return {k: _dequant_tree(v, dtype) for k, v in p.items()}
+        return {
+            k: _dequant_tree(v, dtype, keep_names, _parent=k)
+            for k, v in p.items()
+        }
     return p
+
+
+# The Mlp projection param names whose q8 dicts the Pallas fused-MLP
+# kernel consumes natively (models/layers.py::Mlp._fused_bf16).
+_FUSED_MLP_PROJ = ("gate_proj", "up_proj", "down_proj")
 
 
 class DequantModule:
     """Adapter that dequantizes int8 kernels before delegating apply —
     keeps ``module.apply({"params": runtime.params}, ...)`` working
     unchanged everywhere the (module, params) pair travels (staged
-    forwards AND the fused/sharded funnel programs)."""
+    forwards AND the fused/sharded funnel programs).
 
-    def __init__(self, inner, dtype):
+    When the encoder's bf16 fused-MLP kernel path will engage (knob on
+    + lane-aligned dims + no act-int8), the MLP projection dicts are
+    NOT dequantized here: the kernel reads int8 weight tiles from HBM
+    and dequantizes in VMEM — the actual bandwidth win. Every other
+    quantized kernel (attention projections, pooler) still
+    dequantizes in-trace."""
+
+    def __init__(self, inner, dtype, keep_names=()):
         self._inner = inner
         self._dtype = dtype
+        self._keep_names = tuple(keep_names)
 
     def __getattr__(self, name):
         return getattr(self._inner, name)
 
     def apply(self, variables, *args, **kwargs):
         variables = dict(variables)
-        variables["params"] = _dequant_tree(variables["params"], self._dtype)
+        variables["params"] = _dequant_tree(
+            variables["params"], self._dtype, self._keep_names
+        )
         return self._inner.apply(variables, *args, **kwargs)
 
 
@@ -346,39 +382,75 @@ class EncoderRuntime:
         self.params = self._place_params(unflatten_dict(flat))
         return count
 
+    def _fused_mlp_consumes_q8(self) -> bool:
+        """True when Mlp.__call__ will take the bf16 fused-kernel path
+        (models/layers.py: knob on, lane-aligned dims, fused-able
+        activation, no act-int8) — the condition under which MLP q8
+        dicts must pass through to the kernel undequantized."""
+        from tristage_rag_tpu.models.layers import Mlp
+
+        return Mlp.fused_bf16_engages(self.cfg)
+
     def quantize_weights_int8(self, min_size: int = 4096) -> int:
-        """Convert large 2-D kernels to per-output-channel symmetric
-        int8 (weight-only; activations stay in compute dtype). Halves
-        weight HBM residency; the dequant runs in-jit. Embedding tables
-        and small kernels stay dense. Returns #kernels quantized."""
-        # From here on, placements must never pre-cast kernels: the
-        # surviving small kernels were already placed, and any future
-        # load_params tree feeds RE-quantization, which needs f32.
+        """Convert large kernels (any rank — attention DenseGenerals
+        included) to per-output-channel symmetric int8 (weight-only;
+        activations stay in compute dtype). Halves weight HBM
+        residency. MLP projections feed the Pallas fused-MLP kernel as
+        int8 directly (VMEM tile dequant — the serving bandwidth win);
+        other kernels dequantize in-jit. Embedding tables and small
+        kernels stay dense, pre-cast to the compute dtype (leaving
+        them f32 would re-convert per dispatch — the session-9 trace
+        showed a 133 us f32 QKV copy from exactly that). Returns
+        #kernels quantized."""
+        # From here on, placements must never pre-cast kernels: any
+        # future load_params tree feeds RE-quantization, which needs
+        # f32 sources. The CURRENT tree's survivors are cast below —
+        # they are never re-read as quantization sources (re-quant
+        # always starts from a freshly loaded tree).
         self._precast_kernels = False
         host = jax.device_get(self.params)
         count = 0
+        dt = jnp.dtype(self.cfg.dtype)
 
-        def walk(p):
+        def walk(p, in_classifier=False):
             nonlocal count
             if isinstance(p, dict) or hasattr(p, "items"):
                 out = {}
                 for k, v in p.items():
-                    if (
+                    sub_cls = in_classifier or "classifier" in str(k)
+                    if sub_cls:
+                        # the classifier head computes in f32 on
+                        # purpose (same exclusion as
+                        # _precast_embed_tables) — never quantize or
+                        # downcast it
+                        out[k] = walk(v, True)
+                    elif (
                         k == "kernel"
-                        and getattr(v, "ndim", 0) == 2
+                        and getattr(v, "ndim", 0) >= 2
                         and v.size >= min_size
                     ):
                         out[k] = _quantize_kernel(v)
                         count += 1
+                    elif (
+                        k == "kernel"
+                        and getattr(v, "dtype", None) == np.float32
+                        and dt != jnp.float32
+                    ):
+                        # surviving small dense kernel: pre-cast once
+                        # (same rounding flax applies per-apply; same
+                        # policy as _precast_embed_tables, which this
+                        # runtime's placements no longer perform)
+                        out[k] = v.astype(dt)
                     else:
-                        out[k] = walk(v)
+                        out[k] = walk(v, sub_cls)
                 return out
             return p
 
+        keep = _FUSED_MLP_PROJ if self._fused_mlp_consumes_q8() else ()
         self.params = self._place_params(walk(host))
         if not self._weights_int8:  # load_params re-entry: don't re-wrap
             self.module = DequantModule(
-                self.module, jnp.dtype(self.cfg.dtype)
+                self.module, jnp.dtype(self.cfg.dtype), keep_names=keep
             )
         self._weights_int8 = True
         self._jit_apply = jax.jit(self._apply)

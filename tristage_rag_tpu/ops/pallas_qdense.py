@@ -410,32 +410,69 @@ def fused_qmlp(
 # ---------------------------------------------------------------------------
 
 
-def _mlp_bf16_kernel(x_ref, wg_ref, *refs, act, glu):
-    if glu:
-        wu_ref, wd_ref, bg_ref, bu_ref, bd_ref, o_ref = refs
+def _mlp_bf16_kernel(x_ref, wg_ref, *refs, act, glu, w8, post_ln, ln_eps):
+    refs = list(refs)
+    o_ref = refs.pop()
+    if post_ln:
+        lnb_ref = refs.pop()
+        lns_ref = refs.pop()
     else:
-        wd_ref, bg_ref, bd_ref, o_ref = refs
+        lns_ref = lnb_ref = None
+    if glu and w8:
+        wu_ref, wd_ref, bg_ref, bu_ref, bd_ref, sg_ref, su_ref, sd_ref = refs
+    elif glu:
+        wu_ref, wd_ref, bg_ref, bu_ref, bd_ref = refs
+        sg_ref = su_ref = sd_ref = None
+    elif w8:
+        wd_ref, bg_ref, bd_ref, sg_ref, sd_ref = refs
+        su_ref = None
+    else:
+        wd_ref, bg_ref, bd_ref = refs
+        sg_ref = su_ref = sd_ref = None
     dn = (((1,), (0,)), ((), ()))
     x = x_ref[:]
-    g = jax.lax.dot_general(
-        x, wg_ref[:], dn, preferred_element_type=jnp.float32
-    ) + bg_ref[:].reshape(1, -1)
+
+    def dot(a, w_ref, s_ref):
+        """a @ w, f32 accumulate. int8 weight tiles convert to the
+        activation dtype IN VMEM (codes -127..127 are exact in bf16)
+        and the per-output-channel scale folds into the f32
+        accumulator AFTER the dot — per-channel scaling commutes with
+        the contraction, so this matches dequant-then-dot while the
+        weight's HBM read stays int8."""
+        w = w_ref[:]
+        if w8:
+            w = w.astype(a.dtype)
+        y = jax.lax.dot_general(a, w, dn, preferred_element_type=jnp.float32)
+        if w8:
+            y = y * s_ref[:].reshape(1, -1)
+        return y
+
+    g = dot(x, wg_ref, sg_ref) + bg_ref[:].reshape(1, -1)
     if glu:
-        u = jax.lax.dot_general(
-            x, wu_ref[:], dn, preferred_element_type=jnp.float32
-        ) + bu_ref[:].reshape(1, -1)
+        u = dot(x, wu_ref, su_ref) + bu_ref[:].reshape(1, -1)
         h = _ACTS[act](g) * u
     else:
         h = _ACTS[act](g)
-    y = jax.lax.dot_general(
-        h.astype(x.dtype), wd_ref[:], dn, preferred_element_type=jnp.float32
-    ) + bd_ref[:].reshape(1, -1)
+    y = dot(h.astype(x.dtype), wd_ref, sd_ref) + bd_ref[:].reshape(1, -1)
+    if post_ln:
+        # Post-LN residual epilogue: out = LN(x + mlp(x)). The MLP's
+        # input block IS the residual (K == N always holds for the
+        # MLP), so no extra HBM stream — this saves materializing the
+        # raw MLP output AND the separate residual+LN pass (the XLA
+        # module path's 313-us convert_reduce fusions, BENCH_NOTES).
+        # Stats in f32, fast-variance form, matching flax LayerNorm.
+        z = y + x.astype(jnp.float32)
+        n_inv = jnp.float32(1.0 / z.shape[-1])
+        mu = jnp.sum(z, axis=-1, keepdims=True) * n_inv
+        var = jnp.sum(z * z, axis=-1, keepdims=True) * n_inv - mu * mu
+        y = (z - mu) * jax.lax.rsqrt(var + jnp.float32(ln_eps))
+        y = y * lns_ref[:].reshape(1, -1) + lnb_ref[:].reshape(1, -1)
     o_ref[:] = y.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "glu", "out_dtype", "interpret"),
+    static_argnames=("act", "glu", "out_dtype", "interpret", "ln_eps"),
 )
 def fused_mlp_bf16(
     x2d: jax.Array,
@@ -446,6 +483,12 @@ def fused_mlp_bf16(
     bu: Optional[jax.Array] = None,
     bd: Optional[jax.Array] = None,
     *,
+    sg: Optional[jax.Array] = None,
+    su: Optional[jax.Array] = None,
+    sd: Optional[jax.Array] = None,
+    ln_scale: Optional[jax.Array] = None,
+    ln_bias: Optional[jax.Array] = None,
+    ln_eps: float = 1e-12,
     act: str = "gelu",
     glu: bool = True,
     out_dtype=jnp.bfloat16,
@@ -461,7 +504,15 @@ def fused_mlp_bf16(
     runs in f32 before casting back (slightly MORE precise than the
     module path, which materializes bf16 between ops) — gate behind a
     config knob, tolerance-tested. Same alignment contract as
-    fused_qmlp."""
+    fused_qmlp.
+
+    Weight-only int8 (``stage*_weights_int8``): pass int8 ``wg/wu/wd``
+    with their per-output-channel f32 scales ``sg/su/sd`` — the weight
+    HBM read halves, tiles dequantize in VMEM, and the scale folds
+    into the f32 accumulator after each dot (mathematically identical
+    to dequant-then-dot). The XLA dequant lowering instead
+    materializes the dense kernels per dispatch, which measured SLOWER
+    than plain bf16 (BENCH_NOTES session 9)."""
     m, k = x2d.shape
     kk, f = wg.shape
     ff, n = wd.shape
@@ -473,6 +524,18 @@ def fused_mlp_bf16(
         raise ValueError("glu requires wu (and vice versa)")
     if act not in _ACTS or act is None:
         raise ValueError(f"unknown act {act!r}")
+    w8 = sg is not None
+    if w8 != (sd is not None) or (glu and w8 != (su is not None)):
+        raise ValueError("int8 weights need scales for every projection")
+    if w8 and any(
+        w.dtype != jnp.int8 for w in ((wg, wd) + ((wu,) if glu else ()))
+    ):
+        raise ValueError("scales given but weights are not int8")
+    post_ln = ln_scale is not None
+    if post_ln and k != n:
+        raise ValueError(
+            "post-LN epilogue reuses x as the residual; needs K == N"
+        )
 
     wbytes = wg.dtype.itemsize
     bm = min(
@@ -507,9 +570,25 @@ def fused_mlp_bf16(
         in_specs.append(spec((1, f)))
     inputs.append(vec(bd, n))
     in_specs.append(spec((1, n)))
+    if w8:
+        inputs.append(vec(sg, f))
+        in_specs.append(spec((1, f)))
+        if glu:
+            inputs.append(vec(su, f))
+            in_specs.append(spec((1, f)))
+        inputs.append(vec(sd, n))
+        in_specs.append(spec((1, n)))
+    if post_ln:
+        inputs.append(vec(ln_scale, n))
+        in_specs.append(spec((1, n)))
+        inputs.append(vec(ln_bias, n))
+        in_specs.append(spec((1, n)))
 
     out = pl.pallas_call(
-        functools.partial(_mlp_bf16_kernel, act=act, glu=glu),
+        functools.partial(
+            _mlp_bf16_kernel, act=act, glu=glu, w8=w8,
+            post_ln=post_ln, ln_eps=float(ln_eps),
+        ),
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         grid=(mp // bm,),
         in_specs=in_specs,
