@@ -523,6 +523,112 @@ class TestFusedMlpBf16:
             np.asarray(got_nb), np.asarray(ref_nb), atol=2e-4
         )
 
+    def test_pre_norm_prologue_matches_composition(self):
+        # pre-LN encoders: out = x + [post_rms](mlp(norm(x))) folded
+        # into the kernel — both the ModernBERT (ln, no post) and the
+        # Gemma (rms + unit offset, post_mlp_norm) shapes
+        import jax
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.ops.pallas_qdense import fused_mlp_bf16
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((16, 128)) * 0.5, jnp.float32)
+        wg = jnp.asarray(rng.standard_normal((128, 256)) * 0.1, jnp.float32)
+        wu = jnp.asarray(rng.standard_normal((128, 256)) * 0.1, jnp.float32)
+        wd = jnp.asarray(rng.standard_normal((256, 128)) * 0.1, jnp.float32)
+        ps = jnp.asarray(1.0 + rng.standard_normal(128) * 0.1, jnp.float32)
+        pb = jnp.asarray(rng.standard_normal(128) * 0.1, jnp.float32)
+        prs = jnp.asarray(rng.standard_normal(128) * 0.1, jnp.float32)
+        eps = 1e-5
+
+        def mlp(z):
+            return (jax.nn.gelu(z @ wg, approximate=True)
+                    * (z @ wu)) @ wd
+
+        # ModernBERT shape: ln prologue + residual
+        mu = x.mean(-1, keepdims=True)
+        var = (x * x).mean(-1, keepdims=True) - mu * mu
+        xn = (x - mu) * jax.lax.rsqrt(var + eps) * ps + pb
+        ref = x + mlp(xn)
+        got = fused_mlp_bf16(
+            x, wg, wu, wd, pre_kind="ln", pre_scale=ps, pre_bias=pb,
+            residual=True, ln_eps=eps, act="gelu_tanh", glu=True,
+            out_dtype=jnp.float32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4
+        )
+        # Gemma shape: rms(unit-offset) prologue + post rms + residual
+        rv = (x * x).mean(-1, keepdims=True)
+        xn = x * jax.lax.rsqrt(rv + eps) * (1.0 + ps)
+        y = mlp(xn)
+        yv = (y * y).mean(-1, keepdims=True)
+        ref = x + y * jax.lax.rsqrt(yv + eps) * (1.0 + prs)
+        got = fused_mlp_bf16(
+            x, wg, wu, wd, pre_kind="rms", pre_scale=ps,
+            post_rms_scale=prs, residual=True, ln_eps=eps,
+            act="gelu_tanh", glu=True, out_dtype=jnp.float32,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4
+        )
+
+    @pytest.mark.parametrize("family", ["gemma", "modernbert"])
+    def test_pre_norm_encoder_forward_matches_module_path(self, family):
+        # whole pre-LN encoders with the norm folding vs the module
+        # path: same params, outputs within tolerance, trees identical
+        import jax
+
+        from tristage_rag_tpu.models.registry import encoder_config
+        from tristage_rag_tpu.models.encoder import TextEncoder
+
+        base = encoder_config(f"tiny-{family}-aligned")
+        mk = lambda fused: base.replace(dtype="float32", fused_mlp=fused)
+        ids = np.array([[1, 5, 9, 3, 2, 7, 4, 6]], np.int32)
+        mask = np.array([[1, 1, 1, 1, 1, 1, 0, 0]], np.int32)
+        ma, mb = TextEncoder(mk(False)), TextEncoder(mk(True))
+        rng = jax.random.PRNGKey(0)
+        pa = ma.init(rng, ids, mask)["params"]
+        pb = mb.init(rng, ids, mask)["params"]
+        assert jax.tree_util.tree_structure(pa) == (
+            jax.tree_util.tree_structure(pb)
+        )
+        oa = ma.apply({"params": pa}, ids, mask)
+        ob = mb.apply({"params": pa}, ids, mask)
+        np.testing.assert_allclose(
+            np.asarray(oa, np.float32), np.asarray(ob, np.float32),
+            atol=5e-3, rtol=5e-3,
+        )
+
+    def test_fused_dense_post_ln_matches_composition(self):
+        # the attention out-proj counterpart: LN(res + x @ w + b)
+        import jax
+        import jax.numpy as jnp
+
+        from tristage_rag_tpu.ops.pallas_qdense import fused_dense_post_ln
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((40, 128)) * 0.3, jnp.float32)
+        w = jnp.asarray(rng.standard_normal((128, 256)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(256) * 0.01, jnp.float32)
+        res = jnp.asarray(rng.standard_normal((40, 256)) * 0.3, jnp.float32)
+        lns = jnp.asarray(1.0 + rng.standard_normal(256) * 0.1, jnp.float32)
+        lnb = jnp.asarray(rng.standard_normal(256) * 0.1, jnp.float32)
+        eps = 1e-12
+        z = res + x @ w + b
+        mu = z.mean(-1, keepdims=True)
+        var = (z * z).mean(-1, keepdims=True) - mu * mu
+        ref = (z - mu) * jax.lax.rsqrt(var + eps) * lns + lnb
+        got = fused_dense_post_ln(
+            x, w, b, res, lns, lnb, ln_eps=eps,
+            out_dtype=jnp.float32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-4
+        )
+
     def test_post_ln_requires_square(self):
         import jax.numpy as jnp
 

@@ -53,6 +53,21 @@ def make_norm(cfg: EncoderConfig, name: str):
     )
 
 
+class _RMSNormParams(nn.Module):
+    """Parameter-only stand-in for ``RMSNorm`` — same name ("scale"),
+    shape, and zeros init (the unit-offset convention makes zeros the
+    identity), so the tree is identical whether the norm runs as a
+    module or folded into the fused-MLP kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "scale", nn.initializers.zeros, (self.features,)
+        )
+
+
 class _LayerNormParams(nn.Module):
     """Parameter-only stand-in for ``nn.LayerNorm`` — same names
     ("scale"/"bias"), shapes, and initializers, so the param tree is
@@ -359,6 +374,12 @@ class Attention(nn.Module):
     cfg: EncoderConfig
     layer_idx: int
 
+    @staticmethod
+    def post_ln_foldable(cfg) -> bool:
+        """Can the out-proj + residual + LN fold engage (lane-aligned
+        value width)? EncoderLayer checks this before passing post_ln."""
+        return (cfg.num_heads * cfg.dims_per_head) % 128 == 0
+
     def _fused_qkv(self, x, pre, dt):
         """q/k/v as ONE fused Pallas int8 call: the three projections
         share the input, so concatenating their (per-output-channel
@@ -430,7 +451,12 @@ class Attention(nn.Module):
         return o.transpose(0, 2, 1, 3).astype(dt)  # [B, L, h, hd]
 
     @nn.compact
-    def __call__(self, x, bias, cos, sin, mask=None):
+    def __call__(self, x, bias, cos, sin, mask=None, post_ln=None):
+        """``post_ln``: optional ``(scale, bias, eps)`` — the post-LN
+        encoder's residual+LayerNorm folded into the output projection
+        (ops/pallas_qdense.py::fused_dense_post_ln): returns
+        ``LN(x + attn(x) @ Wo + bo)`` in one kernel pass. EncoderLayer
+        passes it iff the fused kernel stack engages."""
         cfg = self.cfg
         dt = compute_dtype(cfg)
         h, kvh, hd = cfg.num_heads, cfg.kv_heads, cfg.dims_per_head
@@ -524,6 +550,29 @@ class Attention(nn.Module):
         # dynamic quant (bench_int8_mxu: 0.67-0.90x). Static scales
         # remove the per-row reduction, so o_proj quantizes too
         # (2.4-2.9x on contraction shapes in the static column).
+        if post_ln is not None and (h * hd) % 128 == 0:
+            # Fused out-proj + residual + LN (post-LN encoders): the
+            # raw projection output and pre-norm sum stay in VMEM.
+            # _ProjParams mirrors nn.DenseGeneral's o_proj tree.
+            from tristage_rag_tpu.ops.pallas_qdense import (
+                fused_dense_post_ln,
+            )
+
+            ko, bo = _ProjParams(
+                (h, hd), (cfg.hidden_size,), cfg.attn_bias, name="o_proj"
+            )()
+            lns, lnb, eps = post_ln
+            y = fused_dense_post_ln(
+                out.reshape(-1, h * hd).astype(dt),
+                _flat2d(ko, h * hd, cfg.hidden_size).astype(dt),
+                bo, x.reshape(-1, cfg.hidden_size).astype(dt),
+                lns, lnb, ln_eps=eps, out_dtype=dt,
+                interpret=jax.default_backend() == "cpu",
+            )
+            return y.reshape(b, l, cfg.hidden_size)
+        assert post_ln is None, (
+            "attention post_ln fold needs lane-aligned h*hd"
+        )
         o_pre = _act_site(
             self, cfg, "attn_out",
             out.reshape(-1, h * hd), dynamic_ok=False,
@@ -654,7 +703,8 @@ class Mlp(nn.Module):
         )
         return y.reshape(*lead, hid)
 
-    def _fused_bf16(self, x, glu: bool, post_ln=None):
+    def _fused_bf16(self, x, glu: bool, post_ln=None, pre_norm=None,
+                    post_rms=None):
         """Whole-block bf16 fused MLP (fused_mlp_bf16): the
         [M, mlp_dim] intermediate stays in VMEM at the native compute
         dtype — no quantization involved."""
@@ -686,25 +736,38 @@ class Mlp(nn.Module):
         (wg_, sg), (wu_, su), (wd_, sd) = wq(kg), wq(ku), wq(kd)
         lead = x.shape[:-1]
         ln_scale = ln_bias = None
-        ln_eps = 1e-12
+        ln_eps = cfg.norm_eps
         if post_ln is not None:
             ln_scale, ln_bias, ln_eps = post_ln
+        pre_kind = pre_scale = pre_bias = None
+        post_rms_scale = None
+        residual = False
+        if pre_norm is not None:
+            pre_kind, pre_scale, pre_bias = pre_norm
+            post_rms_scale = post_rms
+            residual = True
         y = fused_mlp_bf16(
             x.reshape(-1, hid).astype(dt),
             wg_, wu_ if glu else None, wd_,
             bg, bu, bd, sg=sg, su=su, sd=sd,
             ln_scale=ln_scale, ln_bias=ln_bias, ln_eps=ln_eps,
+            pre_kind=pre_kind, pre_scale=pre_scale, pre_bias=pre_bias,
+            post_rms_scale=post_rms_scale, residual=residual,
             act=self._FUSED_ACTS[cfg.activation], glu=glu, out_dtype=dt,
             interpret=jax.default_backend() == "cpu",
         )
         return y.reshape(*lead, hid)
 
     @nn.compact
-    def __call__(self, x, post_ln=None):
+    def __call__(self, x, post_ln=None, pre_norm=None, post_rms=None):
         """``post_ln``: optional ``(scale, bias, eps)`` — the caller's
         residual+LayerNorm epilogue ``LN(x + mlp(x))`` folded into the
-        fused kernel (post-LN encoders only; EncoderLayer passes it iff
-        ``fused_bf16_engages``). The module path never receives it."""
+        fused kernel (post-LN encoders only). ``pre_norm``: optional
+        ``(kind, scale, bias)`` — the pre-LN encoders' input norm as a
+        kernel prologue, with the residual add folded into the
+        epilogue: ``x + [post_rms](mlp(pre(x)))``; ``post_rms`` is the
+        Gemma post_mlp_norm scale. EncoderLayer passes these iff
+        ``fused_bf16_engages``; the module path never receives them."""
         cfg = self.cfg
         dt = compute_dtype(cfg)
         glu = cfg.activation in ("geglu", "geglu_tanh", "swiglu")
@@ -724,8 +787,13 @@ class Mlp(nn.Module):
         ):
             return self._fused_pallas(x, glu)
         if self.fused_bf16_engages(cfg):
-            return self._fused_bf16(x, glu, post_ln=post_ln)
-        assert post_ln is None, "post_ln requires the fused kernel path"
+            return self._fused_bf16(
+                x, glu, post_ln=post_ln, pre_norm=pre_norm,
+                post_rms=post_rms,
+            )
+        assert post_ln is None and pre_norm is None, (
+            "norm folding requires the fused kernel path"
+        )
         dense = lambda feats, name: nn.Dense(
             features=feats, use_bias=cfg.mlp_bias_flag, dtype=dt, name=name
         )
@@ -794,16 +862,50 @@ class EncoderLayer(nn.Module):
             if cfg.gemma_norms:
                 h = make_norm(cfg, "post_attn_norm")(h)
             x = x + h
-            h = make_norm(cfg, "mlp_norm")(x)
-            h = mlp(h)
-            if cfg.gemma_norms:
-                h = make_norm(cfg, "post_mlp_norm")(h)
-            x = x + h
+            if Mlp.fused_bf16_engages(cfg):
+                # Fold the input norm (prologue), optional Gemma
+                # post_mlp_norm, and the residual add into the fused
+                # kernel: x + [post_rms](mlp(norm(x))) in one pass —
+                # the normed input and raw MLP output never touch HBM.
+                # Param stand-ins keep the tree identical.
+                if cfg.norm_type == "rmsnorm":
+                    ps = _RMSNormParams(cfg.hidden_size, name="mlp_norm")()
+                    pre = ("rms", ps, None)
+                else:
+                    lns, lnb = _LayerNormParams(
+                        cfg.hidden_size, cfg.use_bias, name="mlp_norm"
+                    )()
+                    pre = ("ln", lns, lnb)
+                prs = (
+                    _RMSNormParams(cfg.hidden_size, name="post_mlp_norm")()
+                    if cfg.gemma_norms
+                    else None
+                )
+                x = mlp(x, pre_norm=pre, post_rms=prs)
+            else:
+                h = make_norm(cfg, "mlp_norm")(x)
+                h = mlp(h)
+                if cfg.gemma_norms:
+                    h = make_norm(cfg, "post_mlp_norm")(h)
+                x = x + h
         else:
             # Post-LN (BERT/MiniLM).
-            x = make_norm(cfg, "attn_norm")(
-                x + attn(x, bias, cos, sin, mask=mask)
-            )
+            if (
+                cfg.norm_type != "rmsnorm"
+                and Mlp.fused_bf16_engages(cfg)
+                and Attention.post_ln_foldable(cfg)
+            ):
+                lns_a, lnb_a = _LayerNormParams(
+                    cfg.hidden_size, cfg.use_bias, name="attn_norm"
+                )()
+                x = attn(
+                    x, bias, cos, sin, mask=mask,
+                    post_ln=(lns_a, lnb_a, cfg.norm_eps),
+                )
+            else:
+                x = make_norm(cfg, "attn_norm")(
+                    x + attn(x, bias, cos, sin, mask=mask)
+                )
             if cfg.norm_type != "rmsnorm" and Mlp.fused_bf16_engages(cfg):
                 # Fold the residual+LN into the fused-MLP kernel's
                 # epilogue: LN(x + mlp(x)) in one pass — the raw MLP

@@ -410,9 +410,16 @@ def fused_qmlp(
 # ---------------------------------------------------------------------------
 
 
-def _mlp_bf16_kernel(x_ref, wg_ref, *refs, act, glu, w8, post_ln, ln_eps):
+def _mlp_bf16_kernel(x_ref, wg_ref, *refs, act, glu, w8, post_ln,
+                     pre_kind, post_rms, residual, ln_eps):
     refs = list(refs)
     o_ref = refs.pop()
+    prs_ref = refs.pop() if post_rms else None
+    if pre_kind:
+        pb_ref = refs.pop()
+        ps_ref = refs.pop()
+    else:
+        ps_ref = pb_ref = None
     if post_ln:
         lnb_ref = refs.pop()
         lns_ref = refs.pop()
@@ -430,7 +437,27 @@ def _mlp_bf16_kernel(x_ref, wg_ref, *refs, act, glu, w8, post_ln, ln_eps):
         wd_ref, bg_ref, bd_ref = refs
         sg_ref = su_ref = sd_ref = None
     dn = (((1,), (0,)), ((), ()))
-    x = x_ref[:]
+    x_raw = x_ref[:]
+    eps = jnp.float32(ln_eps)
+    if pre_kind:
+        # Pre-norm prologue: the normed MLP input never touches HBM
+        # (the module path materializes LN(x)/RMS(x) between the norm
+        # and the first dot). Stats in f32.
+        xf = x_raw.astype(jnp.float32)
+        n_inv = jnp.float32(1.0 / xf.shape[-1])
+        if pre_kind == "rms":
+            var = jnp.sum(xf * xf, axis=-1, keepdims=True) * n_inv
+            xn = xf * jax.lax.rsqrt(var + eps)
+            # Gemma unit-offset convention (models/layers.py::RMSNorm)
+            xn = xn * (1.0 + ps_ref[:].reshape(1, -1))
+        else:
+            mu = jnp.sum(xf, axis=-1, keepdims=True) * n_inv
+            var = jnp.sum(xf * xf, axis=-1, keepdims=True) * n_inv - mu * mu
+            xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+            xn = xn * ps_ref[:].reshape(1, -1) + pb_ref[:].reshape(1, -1)
+        x = xn.astype(x_raw.dtype)
+    else:
+        x = x_raw
 
     def dot(a, w_ref, s_ref):
         """a @ w, f32 accumulate. int8 weight tiles convert to the
@@ -454,6 +481,16 @@ def _mlp_bf16_kernel(x_ref, wg_ref, *refs, act, glu, w8, post_ln, ln_eps):
     else:
         h = _ACTS[act](g)
     y = dot(h.astype(x.dtype), wd_ref, sd_ref) + bd_ref[:].reshape(1, -1)
+    if post_rms:
+        # Gemma post_mlp_norm: RMS on the MLP output before the
+        # residual add (unit-offset convention)
+        n_inv = jnp.float32(1.0 / y.shape[-1])
+        var = jnp.sum(y * y, axis=-1, keepdims=True) * n_inv
+        y = y * jax.lax.rsqrt(var + eps)
+        y = y * (1.0 + prs_ref[:].reshape(1, -1))
+    if residual:
+        # Pre-norm residual epilogue: out = x + [post_rms](mlp(pre(x)))
+        y = y + x_raw.astype(jnp.float32)
     if post_ln:
         # Post-LN residual epilogue: out = LN(x + mlp(x)). The MLP's
         # input block IS the residual (K == N always holds for the
@@ -461,18 +498,19 @@ def _mlp_bf16_kernel(x_ref, wg_ref, *refs, act, glu, w8, post_ln, ln_eps):
         # raw MLP output AND the separate residual+LN pass (the XLA
         # module path's 313-us convert_reduce fusions, BENCH_NOTES).
         # Stats in f32, fast-variance form, matching flax LayerNorm.
-        z = y + x.astype(jnp.float32)
+        z = y + x_raw.astype(jnp.float32)
         n_inv = jnp.float32(1.0 / z.shape[-1])
         mu = jnp.sum(z, axis=-1, keepdims=True) * n_inv
         var = jnp.sum(z * z, axis=-1, keepdims=True) * n_inv - mu * mu
-        y = (z - mu) * jax.lax.rsqrt(var + jnp.float32(ln_eps))
+        y = (z - mu) * jax.lax.rsqrt(var + eps)
         y = y * lns_ref[:].reshape(1, -1) + lnb_ref[:].reshape(1, -1)
     o_ref[:] = y.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "glu", "out_dtype", "interpret", "ln_eps"),
+    static_argnames=("act", "glu", "out_dtype", "interpret", "ln_eps",
+                     "pre_kind", "residual"),
 )
 def fused_mlp_bf16(
     x2d: jax.Array,
@@ -489,6 +527,11 @@ def fused_mlp_bf16(
     ln_scale: Optional[jax.Array] = None,
     ln_bias: Optional[jax.Array] = None,
     ln_eps: float = 1e-12,
+    pre_kind: Optional[str] = None,
+    pre_scale: Optional[jax.Array] = None,
+    pre_bias: Optional[jax.Array] = None,
+    post_rms_scale: Optional[jax.Array] = None,
+    residual: bool = False,
     act: str = "gelu",
     glu: bool = True,
     out_dtype=jnp.bfloat16,
@@ -532,9 +575,18 @@ def fused_mlp_bf16(
     ):
         raise ValueError("scales given but weights are not int8")
     post_ln = ln_scale is not None
-    if post_ln and k != n:
+    if (post_ln or residual) and k != n:
         raise ValueError(
-            "post-LN epilogue reuses x as the residual; needs K == N"
+            "residual epilogues reuse x as the residual; need K == N"
+        )
+    if pre_kind not in (None, "ln", "rms"):
+        raise ValueError(f"unknown pre_kind {pre_kind!r}")
+    if (pre_kind is not None) != (pre_scale is not None):
+        raise ValueError("pre_kind and pre_scale go together")
+    if post_ln and (pre_kind or residual or post_rms_scale is not None):
+        raise ValueError(
+            "post-LN (LN(x+mlp(x))) and pre-norm epilogues are "
+            "mutually exclusive"
         )
 
     wbytes = wg.dtype.itemsize
@@ -583,11 +635,21 @@ def fused_mlp_bf16(
         in_specs.append(spec((1, n)))
         inputs.append(vec(ln_bias, n))
         in_specs.append(spec((1, n)))
+    if pre_kind:
+        inputs.append(vec(pre_scale, k))
+        in_specs.append(spec((1, k)))
+        inputs.append(vec(pre_bias, k))
+        in_specs.append(spec((1, k)))
+    if post_rms_scale is not None:
+        inputs.append(vec(post_rms_scale, n))
+        in_specs.append(spec((1, n)))
 
     out = pl.pallas_call(
         functools.partial(
             _mlp_bf16_kernel, act=act, glu=glu, w8=w8,
-            post_ln=post_ln, ln_eps=float(ln_eps),
+            post_ln=post_ln, pre_kind=pre_kind,
+            post_rms=post_rms_scale is not None, residual=residual,
+            ln_eps=float(ln_eps),
         ),
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         grid=(mp // bm,),
@@ -602,4 +664,87 @@ def fused_mlp_bf16(
         ),
         interpret=interpret,
     )(*inputs)
+    return out[:m] if mp != m else out
+
+
+def _dense_ln_kernel(x_ref, w_ref, b_ref, res_ref, lns_ref, lnb_ref,
+                     o_ref, *, ln_eps):
+    y = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:].reshape(1, -1)
+    z = y + res_ref[:].astype(jnp.float32)
+    n_inv = jnp.float32(1.0 / z.shape[-1])
+    mu = jnp.sum(z, axis=-1, keepdims=True) * n_inv
+    var = jnp.sum(z * z, axis=-1, keepdims=True) * n_inv - mu * mu
+    z = (z - mu) * jax.lax.rsqrt(var + jnp.float32(ln_eps))
+    z = z * lns_ref[:].reshape(1, -1) + lnb_ref[:].reshape(1, -1)
+    o_ref[:] = z.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ln_eps", "out_dtype", "interpret"),
+)
+def fused_dense_post_ln(
+    x2d: jax.Array,      # [M, K] projection input (attention values)
+    w: jax.Array,        # [K, N]
+    b: Optional[jax.Array],
+    res2d: jax.Array,    # [M, N] residual (the block's input)
+    ln_scale: jax.Array,
+    ln_bias: Optional[jax.Array],
+    *,
+    ln_eps: float = 1e-12,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """``LN(res + x @ w + b)`` as one kernel — the post-LN encoder's
+    attention output projection with its residual+LayerNorm epilogue
+    (the MLP-side counterpart lives in fused_mlp_bf16's post_ln path).
+    The raw projection output and the pre-norm sum never touch HBM."""
+    m, k = x2d.shape
+    kk, n = w.shape
+    if kk != k:
+        raise ValueError(f"shape mismatch: x K={k} w {w.shape}")
+    if k % 128 or n % 128:
+        raise ValueError(
+            f"fused_dense_post_ln needs K,N % 128 == 0; got {k},{n}"
+        )
+    if res2d.shape != (m, n):
+        raise ValueError(f"residual shape {res2d.shape} != {(m, n)}")
+    bm = min(512, max(32, -(-m // 32) * 32))
+    mp = -(-m // bm) * bm
+    if mp != m:
+        x2d = jnp.pad(x2d, ((0, mp - m), (0, 0)))
+        res2d = jnp.pad(res2d, ((0, mp - m), (0, 0)))
+
+    def vec(v, width):
+        return (
+            jnp.zeros((1, width), jnp.float32)
+            if v is None
+            else v.astype(jnp.float32).reshape(1, width)
+        )
+
+    row = lambda i: (i, 0)
+    rep = lambda i: (0, 0)
+    spec = lambda shape, imap=rep: pl.BlockSpec(
+        shape, imap, memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_dense_ln_kernel, ln_eps=float(ln_eps)),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        grid=(mp // bm,),
+        in_specs=[
+            spec((bm, k), row), spec((k, n)), spec((1, n)),
+            spec((bm, n), row), spec((1, n)), spec((1, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, n), row, memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=(mp * (k + 2 * n)) * x2d.dtype.itemsize
+            + k * n * w.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2d, w, vec(b, n), res2d, vec(ln_scale, n), vec(ln_bias, n))
     return out[:m] if mp != m else out
