@@ -36,7 +36,8 @@ def main() -> None:
                     choices=["bf16", "dynamic", "static", "pallas",
                              "static-pallas", "flash", "fused-mlp",
                              "flash-fused-mlp", "weights-int8",
-                             "weights-int8-module"])
+                             "weights-int8-module", "dense-attn",
+                             "weights-int8-fattn"])
     args = ap.parse_args()
 
     if args.tiny:
@@ -79,6 +80,14 @@ def main() -> None:
                                 "stage1_fused_mlp": False,
                                 "stage2_fused_mlp": False,
                                 "stage3_fused_mlp": False},
+        # control: small-bucket fused attention OFF (dense einsum
+        # softmax path), everything else at defaults
+        "dense-attn": {"stage1_fused_attention": False,
+                       "stage2_fused_attention": False,
+                       "stage3_fused_attention": False},
+        # full serving stack: weight-int8 + all attention kernels
+        "weights-int8-fattn": {"stage1_weights_int8": True,
+                               "stage2_weights_int8": True},
     }
     for variant in args.variants:
         # stage*_fused_mlp defaults to "auto" (kernel ON on TPU): the

@@ -602,33 +602,6 @@ class TestFusedMlpBf16:
             atol=5e-3, rtol=5e-3,
         )
 
-    def test_fused_dense_post_ln_matches_composition(self):
-        # the attention out-proj counterpart: LN(res + x @ w + b)
-        import jax
-        import jax.numpy as jnp
-
-        from tristage_rag_tpu.ops.pallas_qdense import fused_dense_post_ln
-
-        rng = np.random.default_rng(5)
-        x = jnp.asarray(rng.standard_normal((40, 128)) * 0.3, jnp.float32)
-        w = jnp.asarray(rng.standard_normal((128, 256)) * 0.1, jnp.float32)
-        b = jnp.asarray(rng.standard_normal(256) * 0.01, jnp.float32)
-        res = jnp.asarray(rng.standard_normal((40, 256)) * 0.3, jnp.float32)
-        lns = jnp.asarray(1.0 + rng.standard_normal(256) * 0.1, jnp.float32)
-        lnb = jnp.asarray(rng.standard_normal(256) * 0.1, jnp.float32)
-        eps = 1e-12
-        z = res + x @ w + b
-        mu = z.mean(-1, keepdims=True)
-        var = (z * z).mean(-1, keepdims=True) - mu * mu
-        ref = (z - mu) * jax.lax.rsqrt(var + eps) * lns + lnb
-        got = fused_dense_post_ln(
-            x, w, b, res, lns, lnb, ln_eps=eps,
-            out_dtype=jnp.float32, interpret=True,
-        )
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(ref), atol=2e-4
-        )
-
     def test_post_ln_requires_square(self):
         import jax.numpy as jnp
 

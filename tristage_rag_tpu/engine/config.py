@@ -67,6 +67,14 @@ class PipelineConfig:
     # Opt-in; windowed/causal/softcapped layers keep the dense
     # einsum path (models/config.py::flash_attention).
     stage1_flash_attention: bool = False
+    # Whole-sequence fused attention for small (non-lane-aligned)
+    # buckets (ops/pallas_attention.py): covers the lengths flash
+    # cannot, e.g. the 96-token stage-3 pair bucket. Opt-in (or
+    # "auto" = accelerator-only): the session-10 trace measured
+    # the per-(batch,head) kernel LOSING at stage-3 shapes via
+    # 4-D layout padding; default off until the whole-block
+    # variant beats the dense path on chip.
+    stage1_fused_attention: bool | str = False
 
     # Stage 2
     stage2_model: str = "lightonai/GTE-ModernColBERT-v1"
@@ -102,6 +110,14 @@ class PipelineConfig:
     # default stage2_max_seq_length (192) is not lane-aligned, so this
     # only engages on the 128-token bucket (or set max_seq_length 256).
     stage2_flash_attention: bool = False
+    # Whole-sequence fused attention for small (non-lane-aligned)
+    # buckets (ops/pallas_attention.py): covers the lengths flash
+    # cannot, e.g. the 96-token stage-3 pair bucket. Opt-in (or
+    # "auto" = accelerator-only): the session-10 trace measured
+    # the per-(batch,head) kernel LOSING at stage-3 shapes via
+    # 4-D layout padding; default off until the whole-block
+    # variant beats the dense path on chip.
+    stage2_fused_attention: bool | str = False
     stage2_cache_doc_embeddings: bool = False  # TPU-native win (SURVEY §7)
     # HBM budget for the device-resident token cache (49 KB/doc at
     # 192x128 bf16); docs beyond the cap re-encode per query.
@@ -146,6 +162,14 @@ class PipelineConfig:
     # biggest attention-HBM case: 100 pairs x 256 tokens x 12
     # heads of logits+probs per layer.
     stage3_flash_attention: bool = False
+    # Whole-sequence fused attention for small (non-lane-aligned)
+    # buckets (ops/pallas_attention.py): covers the lengths flash
+    # cannot, e.g. the 96-token stage-3 pair bucket. Opt-in (or
+    # "auto" = accelerator-only): the session-10 trace measured
+    # the per-(batch,head) kernel LOSING at stage-3 shapes via
+    # 4-D layout padding; default off until the whole-block
+    # variant beats the dense path on chip.
+    stage3_fused_attention: bool | str = False
     stage3_normalize_scores: bool = True
     # Fused-path pair layout: queries are capped at this many tokens
     # (incl. [CLS]/[SEP]) and docs at stage3_max_length - reserve, so

@@ -188,6 +188,21 @@ def encoder_perf_overrides(config, stage: str) -> Optional[dict]:
         ov["fused_mlp"] = True
     if getattr(config, f"{stage}_flash_attention", False):
         ov["flash_attention"] = True
+    fa = getattr(config, f"{stage}_fused_attention", False)
+    if isinstance(fa, str) and fa != "auto":
+        raise ValueError(
+            f"{stage}_fused_attention must be true, false, or "
+            f"\"auto\"; got {fa!r}"
+        )
+    if fa == "auto":
+        # Same policy as fused_mlp auto: the small-bucket attention
+        # kernel only pays on real accelerators (CPU would run it in
+        # Pallas interpret mode).
+        import jax
+
+        fa = jax.default_backend() != "cpu"
+    if fa:
+        ov["fused_attention"] = True
     return ov or None
 
 

@@ -122,6 +122,15 @@ class EncoderConfig:
     # the dense-bias einsum path. On CPU the mha_reference fallback
     # keeps tests meaningful.
     flash_attention: bool = False
+    # Whole-sequence fused attention for SMALL buckets
+    # (ops/pallas_attention.py): one (batch, head) block per grid step,
+    # the [B,h,L,L] exp tensor never touches HBM. Covers the
+    # off-lane-aligned lengths flash cannot (stage-3's 96-token pair
+    # bucket, where the exp tensor is the dominant dense-path HBM
+    # tensor at 22 MB/layer). Same padding-only mask scope as flash;
+    # layers where flash engages (L % 128 == 0 + flash_attention) keep
+    # flash. On CPU the kernel runs interpreted (tests).
+    fused_attention: bool = False
 
     @property
     def kv_heads(self) -> int:

@@ -83,15 +83,26 @@ class TextEncoder(nn.Module):
             else:
                 cos_l, sin_l = cos_g, sin_g
 
-        # Flash attention applies where the mask is padding-only: a
+        # Fused attention applies where the mask is padding-only: a
         # global (non-windowed) bidirectional layer with no logit
-        # softcap, at lane-aligned seq. Windowed/causal layers keep the
-        # dense-bias einsum path (models/layers.py::Attention).
+        # softcap. Two kernels split the length range: jax's flash at
+        # lane-aligned seq (L % 128 == 0), the whole-sequence small-
+        # bucket kernel (ops/pallas_attention.py) elsewhere — stage-3's
+        # 96-token pair bucket lands there. Windowed/causal layers keep
+        # the dense-bias einsum path (models/layers.py::Attention,
+        # which dispatches on L when it receives a mask).
+        padding_only = not cfg.causal and cfg.attn_logit_softcap <= 0
         flash_ok = (
             getattr(cfg, "flash_attention", False)
-            and not cfg.causal
-            and cfg.attn_logit_softcap <= 0
+            and padding_only
             and l % 128 == 0
+        )
+        small_ok = (
+            getattr(cfg, "fused_attention", False)
+            and padding_only
+            and not flash_ok
+            and l % 8 == 0
+            and l <= 1024
         )
         for i in range(cfg.num_layers):
             is_global = cfg.is_global_layer(i)
@@ -99,7 +110,9 @@ class TextEncoder(nn.Module):
             cos, sin = (cos_g, sin_g) if is_global else (cos_l, sin_l)
             x = EncoderLayer(cfg, i, name=f"layer_{i}")(
                 x, bias, cos, sin,
-                mask=attn_mask if (flash_ok and is_global) else None,
+                mask=attn_mask
+                if ((flash_ok or small_ok) and is_global)
+                else None,
             )
 
         if cfg.pre_norm:

@@ -424,14 +424,83 @@ class Attention(nn.Module):
             v.reshape(b, l, kvh, hd),
         )
 
+    def _fused_block(self, x, mask, post_ln, dt):
+        """The whole post-LN attention block as QKV matmuls + ONE
+        Pallas kernel (ops/pallas_attention.py::fused_attention_block):
+        q/k/v stay 2-D end-to-end (no RoPE / GQA / qk-norm in this
+        family), and the kernel absorbs per-head attention, o_proj,
+        residual, and LayerNorm. Returns None when the runtime swapped
+        quantized weight dicts in (weights_int8) — those dequantize
+        inline, same numerics as runtime.DequantModule (in practice
+        attention kernels never ride as dicts: only the MLP
+        projections stay q8 — runtime._FUSED_MLP_PROJ)."""
+        cfg = self.cfg
+        h, hd = cfg.num_heads, cfg.dims_per_head
+        b, l, _ = x.shape
+        d, n = h * hd, cfg.hidden_size
+
+        def dq(w):
+            if isinstance(w, dict):
+                return (
+                    w["q8"].astype(jnp.float32) * w["scale"]
+                ).astype(dt)
+            return w.astype(dt)
+
+        params = []
+        for name in ("q_proj", "k_proj", "v_proj"):
+            kk, bb = _ProjParams(
+                (n,), (h, hd), cfg.attn_bias, name=name
+            )()
+            params.append((dq(_flat2d(kk, n, d)), bb))
+        ko, bo = _ProjParams(
+            (h, hd), (n,), cfg.attn_bias, name="o_proj"
+        )()
+        wo = dq(_flat2d(ko, d, n))
+        x2 = x.reshape(-1, n).astype(dt)
+        qkv = []
+        for w, bb in params:
+            y = x2 @ w
+            if bb is not None:
+                y = y + bb.reshape(-1).astype(dt)
+            qkv.append(y.reshape(b, l, d))
+        lns, lnb, eps = post_ln
+        from tristage_rag_tpu.ops.pallas_attention import (
+            fused_attention_block,
+        )
+
+        scale = (cfg.query_scale or hd) ** -0.5
+        return fused_attention_block(
+            *qkv, mask, x.astype(dt), wo.astype(dt),
+            None if bo is None else bo.reshape(-1),
+            lns, lnb, scale=scale, heads=h, ln_eps=eps, out_dtype=dt,
+            interpret=jax.default_backend() == "cpu",
+        )
+
     def _flash(self, q, k, v, mask, scale, dt):
-        """JAX's Pallas TPU flash-attention kernel: logits/probs never
-        materialize to HBM. ``mask`` [B, L] (1 = real token) becomes
-        segment ids — real tokens attend real tokens, padding attends
-        padding (identical to the dense key-validity bias for every
-        valid query row; padded rows differ but are masked downstream
-        by every pooling/scoring consumer). On CPU the pure-jax
-        mha_reference keeps the mapping testable."""
+        """Fused attention for padding-only masks: the [B,h,L,L]
+        logits/probs never materialize to HBM. ``mask`` [B, L] (1 =
+        real token) keys validity — identical to the dense key-validity
+        bias for every valid query row; padded rows differ but are
+        masked downstream by every pooling/scoring consumer.
+
+        Dispatch on L: jax's Pallas flash kernel at lane-aligned
+        lengths (its hard requirement), the whole-sequence small-bucket
+        kernel (ops/pallas_attention.py) otherwise — the encoder only
+        passes a mask when one of the two engages. On CPU, pure-jax
+        mha_reference / interpret mode keep the mapping testable."""
+        flash_here = (
+            getattr(self.cfg, "flash_attention", False)
+            and q.shape[1] % 128 == 0
+        )
+        if not flash_here:
+            from tristage_rag_tpu.ops.pallas_attention import (
+                fused_attention_small,
+            )
+
+            return fused_attention_small(
+                q, k, v, mask, scale=scale, out_dtype=dt,
+                interpret=jax.default_backend() == "cpu",
+            )
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
         qh = q.transpose(0, 2, 1, 3)  # [B, h, L, hd]
@@ -453,10 +522,12 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x, bias, cos, sin, mask=None, post_ln=None):
         """``post_ln``: optional ``(scale, bias, eps)`` — the post-LN
-        encoder's residual+LayerNorm folded into the output projection
-        (ops/pallas_qdense.py::fused_dense_post_ln): returns
-        ``LN(x + attn(x) @ Wo + bo)`` in one kernel pass. EncoderLayer
-        passes it iff the fused kernel stack engages."""
+        encoder's residual+LayerNorm applied INSIDE this module so it
+        can fuse with the output projection: with the whole-block
+        kernel engaged (ops/pallas_attention.py::fused_attention_block)
+        the QKV-to-LN tail runs as ONE Pallas call; otherwise the LN
+        applies inline after o_proj (numerically the module path).
+        EncoderLayer passes it iff the fused kernel stack engages."""
         cfg = self.cfg
         dt = compute_dtype(cfg)
         h, kvh, hd = cfg.num_heads, cfg.kv_heads, cfg.dims_per_head
@@ -466,6 +537,18 @@ class Attention(nn.Module):
         # what keeps dynamic int8 ahead of bf16 — see
         # scripts/bench_int8_mxu.py + BENCH_NOTES round-3).
         pre = _act_site(self, cfg, "attn_in", x.reshape(-1, x.shape[-1]))
+        blk = (
+            mask is not None
+            and post_ln is not None
+            and pre is None
+            and cos is None
+            and not cfg.qk_norm
+            and kvh == h
+            and (h * hd) % 128 == 0
+            and cfg.hidden_size % 128 == 0
+        )
+        if blk:
+            return self._fused_block(x, mask, post_ln, dt)
         if pre is not None:
             qkv = (
                 self._fused_qkv(x, pre, dt) if cfg.int8_pallas else None
@@ -550,29 +633,28 @@ class Attention(nn.Module):
         # dynamic quant (bench_int8_mxu: 0.67-0.90x). Static scales
         # remove the per-row reduction, so o_proj quantizes too
         # (2.4-2.9x on contraction shapes in the static column).
-        if post_ln is not None and (h * hd) % 128 == 0:
-            # Fused out-proj + residual + LN (post-LN encoders): the
-            # raw projection output and pre-norm sum stay in VMEM.
-            # _ProjParams mirrors nn.DenseGeneral's o_proj tree.
-            from tristage_rag_tpu.ops.pallas_qdense import (
-                fused_dense_post_ln,
-            )
-
-            ko, bo = _ProjParams(
-                (h, hd), (cfg.hidden_size,), cfg.attn_bias, name="o_proj"
-            )()
+        if post_ln is not None:
+            # Residual + LayerNorm applied inline (same math as
+            # flax LayerNorm; params arrive from EncoderLayer's
+            # _LayerNormParams so the tree is unchanged). A separate
+            # out-proj+LN Pallas kernel measured a NET LOSS here
+            # (session-10: 21 us kernel + ~250 us of relayout copies
+            # around it); the whole-block kernel (_fused_block) is the
+            # winning fold — this branch is its fallback when the
+            # block kernel can't engage (RoPE/GQA/int8/unaligned).
             lns, lnb, eps = post_ln
-            y = fused_dense_post_ln(
-                out.reshape(-1, h * hd).astype(dt),
-                _flat2d(ko, h * hd, cfg.hidden_size).astype(dt),
-                bo, x.reshape(-1, cfg.hidden_size).astype(dt),
-                lns, lnb, ln_eps=eps, out_dtype=dt,
-                interpret=jax.default_backend() == "cpu",
-            )
-            return y.reshape(b, l, cfg.hidden_size)
-        assert post_ln is None, (
-            "attention post_ln fold needs lane-aligned h*hd"
-        )
+            y = nn.DenseGeneral(
+                features=cfg.hidden_size, axis=(-2, -1),
+                use_bias=cfg.attn_bias, dtype=dt, name="o_proj",
+            )(out)
+            z = (x + y).astype(jnp.float32)
+            mu = jnp.mean(z, axis=-1, keepdims=True)
+            var = jnp.mean(z * z, axis=-1, keepdims=True) - mu * mu
+            z = (z - mu) * jax.lax.rsqrt(var + jnp.float32(eps))
+            z = z * lns.reshape(1, 1, -1)
+            if lnb is not None:
+                z = z + lnb.reshape(1, 1, -1)
+            return z.astype(dt)
         o_pre = _act_site(
             self, cfg, "attn_out",
             out.reshape(-1, h * hd), dynamic_ok=False,

@@ -177,7 +177,7 @@ def fused_qdense(
     if act not in _ACTS:
         raise ValueError(f"unknown act {act!r}")
 
-    bm = min(block_m, max(32, -(-m // 32) * 32))
+    bm = _pick_bm(m, block_m)
     mp = -(-m // bm) * bm
     if mp != m:
         x2d = jnp.pad(x2d, ((0, mp - m), (0, 0)))
@@ -279,6 +279,22 @@ def _mlp_block_m(
     return 32
 
 
+def _pick_bm(m: int, cap: int) -> int:
+    """M-tile under ``cap``, preferring EXACT divisors of ``m`` so the
+    grid needs no padded tail: the funnel's 9600-row stage-3 blocks
+    otherwise pad to 9728 — a materialized jnp.pad (plus a select for
+    kernels that read a residual) per input, measured ~30 us each
+    (session-10 trace). Falls back to the plain capped tile (callers
+    pad) when no 32-multiple divisor >= 32 exists."""
+    cap = max(32, cap)
+    if m <= cap:
+        return max(32, -(-m // 32) * 32)
+    for bm in range(cap - cap % 32, 31, -32):
+        if m % bm == 0:
+            return bm
+    return cap - cap % 32
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("act", "glu", "out_dtype", "interpret"),
@@ -332,7 +348,7 @@ def fused_qmlp(
     if act not in _ACTS or act is None:
         raise ValueError(f"unknown act {act!r}")
 
-    bm = min(_mlp_block_m(k, f, n, wbytes=1), max(32, -(-m // 32) * 32))
+    bm = _pick_bm(m, _mlp_block_m(k, f, n, wbytes=1))
     mp = -(-m // bm) * bm
     if mp != m:
         x2d = jnp.pad(x2d, ((0, mp - m), (0, 0)))
@@ -590,9 +606,7 @@ def fused_mlp_bf16(
         )
 
     wbytes = wg.dtype.itemsize
-    bm = min(
-        _mlp_block_m(k, f, n, wbytes=wbytes), max(32, -(-m // 32) * 32)
-    )
+    bm = _pick_bm(m, _mlp_block_m(k, f, n, wbytes=wbytes))
     mp = -(-m // bm) * bm
     if mp != m:
         x2d = jnp.pad(x2d, ((0, mp - m), (0, 0)))
@@ -664,87 +678,4 @@ def fused_mlp_bf16(
         ),
         interpret=interpret,
     )(*inputs)
-    return out[:m] if mp != m else out
-
-
-def _dense_ln_kernel(x_ref, w_ref, b_ref, res_ref, lns_ref, lnb_ref,
-                     o_ref, *, ln_eps):
-    y = jax.lax.dot_general(
-        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b_ref[:].reshape(1, -1)
-    z = y + res_ref[:].astype(jnp.float32)
-    n_inv = jnp.float32(1.0 / z.shape[-1])
-    mu = jnp.sum(z, axis=-1, keepdims=True) * n_inv
-    var = jnp.sum(z * z, axis=-1, keepdims=True) * n_inv - mu * mu
-    z = (z - mu) * jax.lax.rsqrt(var + jnp.float32(ln_eps))
-    z = z * lns_ref[:].reshape(1, -1) + lnb_ref[:].reshape(1, -1)
-    o_ref[:] = z.astype(o_ref.dtype)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("ln_eps", "out_dtype", "interpret"),
-)
-def fused_dense_post_ln(
-    x2d: jax.Array,      # [M, K] projection input (attention values)
-    w: jax.Array,        # [K, N]
-    b: Optional[jax.Array],
-    res2d: jax.Array,    # [M, N] residual (the block's input)
-    ln_scale: jax.Array,
-    ln_bias: Optional[jax.Array],
-    *,
-    ln_eps: float = 1e-12,
-    out_dtype=jnp.bfloat16,
-    interpret: bool = False,
-) -> jax.Array:
-    """``LN(res + x @ w + b)`` as one kernel — the post-LN encoder's
-    attention output projection with its residual+LayerNorm epilogue
-    (the MLP-side counterpart lives in fused_mlp_bf16's post_ln path).
-    The raw projection output and the pre-norm sum never touch HBM."""
-    m, k = x2d.shape
-    kk, n = w.shape
-    if kk != k:
-        raise ValueError(f"shape mismatch: x K={k} w {w.shape}")
-    if k % 128 or n % 128:
-        raise ValueError(
-            f"fused_dense_post_ln needs K,N % 128 == 0; got {k},{n}"
-        )
-    if res2d.shape != (m, n):
-        raise ValueError(f"residual shape {res2d.shape} != {(m, n)}")
-    bm = min(512, max(32, -(-m // 32) * 32))
-    mp = -(-m // bm) * bm
-    if mp != m:
-        x2d = jnp.pad(x2d, ((0, mp - m), (0, 0)))
-        res2d = jnp.pad(res2d, ((0, mp - m), (0, 0)))
-
-    def vec(v, width):
-        return (
-            jnp.zeros((1, width), jnp.float32)
-            if v is None
-            else v.astype(jnp.float32).reshape(1, width)
-        )
-
-    row = lambda i: (i, 0)
-    rep = lambda i: (0, 0)
-    spec = lambda shape, imap=rep: pl.BlockSpec(
-        shape, imap, memory_space=pltpu.VMEM
-    )
-    out = pl.pallas_call(
-        functools.partial(_dense_ln_kernel, ln_eps=float(ln_eps)),
-        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
-        grid=(mp // bm,),
-        in_specs=[
-            spec((bm, k), row), spec((k, n)), spec((1, n)),
-            spec((bm, n), row), spec((1, n)), spec((1, n)),
-        ],
-        out_specs=pl.BlockSpec((bm, n), row, memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * mp * k * n,
-            bytes_accessed=(mp * (k + 2 * n)) * x2d.dtype.itemsize
-            + k * n * w.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(x2d, w, vec(b, n), res2d, vec(ln_scale, n), vec(ln_bias, n))
     return out[:m] if mp != m else out
