@@ -88,6 +88,8 @@ async def _bench(args) -> dict:
             mesh_data_parallel=1, stage2_cache_doc_embeddings=True,
             **cache_kw,
         )
+    if args.pipelined:
+        cfg.serve_pipelined = True
     pipeline = RetrievalPipeline(cfg)
     pipeline.add_documents(_seed_docs(args.docs))
     pipeline.warmup()
@@ -232,6 +234,7 @@ async def _bench(args) -> dict:
         "final_doc_count": pipeline.get_document_count(),
         "zipf": args.zipf,
         "result_cache": bool(cfg.enable_result_cache),
+        "pipelined": bool(getattr(cfg, "serve_pipelined", False)),
         "cache_stats": dict(pipeline.result_cache_stats),
     }
 
@@ -253,6 +256,9 @@ def main():
                     help="draw queries Zipf(s) from --query-pool distinct "
                          "queries (0 = round-robin over 6)")
     ap.add_argument("--query-pool", type=int, default=64)
+    ap.add_argument("--pipelined", action="store_true",
+                    help="two-phase serving: overlap the next batch's "
+                         "dispatch with this batch's fetch round-trip")
     ap.add_argument("--result-cache", action="store_true",
                     help="enable the pipeline result cache")
     ap.add_argument("--cpu", action="store_true",

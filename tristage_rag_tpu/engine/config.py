@@ -244,6 +244,16 @@ class PipelineConfig:
     # at measured fill rates). Any mismatch (model, doc count, dtype,
     # int8 mode, mesh split) falls back to the re-encode path.
     persist_device_caches: bool = False
+    # Pipelined serving (serve/batcher.py + pipeline.batch_search_
+    # dispatch): the MCP micro-batcher splits each batch into dispatch
+    # (worker thread) and fetch (dedicated fetch thread), so the NEXT
+    # batch's host prep + device dispatch overlaps this batch's device
+    # time and device->host round-trip (~30 ms over the relay tunnel).
+    # Ordering guarantees are unchanged; in-flight batches reflect the
+    # index as of their dispatch, and a back-to-back identical query
+    # may miss the result cache (its dispatch can precede the first
+    # query's fetch) — correctness is unaffected.
+    serve_pipelined: bool = False
 
     # ---- YAML ------------------------------------------------------------
 
@@ -318,6 +328,7 @@ class PipelineConfig:
             ("enable_result_cache", "enable_result_cache"),
             ("result_cache_size", "result_cache_size"),
             ("persist_device_caches", "persist_device_caches"),
+            ("serve_pipelined", "serve_pipelined"),
         ],
     }
 

@@ -777,6 +777,20 @@ class FusedSearcher:
         """All queries in ONE device dispatch (lax.map over the fused
         funnel) + one fetch — the host never round-trips between
         queries."""
+        return self.search_batch_dispatch(queries, top_k)()
+
+    def search_batch_dispatch(
+        self, queries: Sequence[str], top_k: Optional[int] = None
+    ):
+        """Two-phase batched search for pipelined serving. Phase 1
+        (this call) does host prep + the ONE device dispatch and
+        returns immediately — the relay acks dispatches before the
+        device finishes. The returned closure is phase 2: the blocking
+        device->host fetch + host formatting, safe to run on a separate
+        fetch thread so the NEXT batch's prep/dispatch overlaps this
+        batch's fetch round-trip (~30 ms over the tunnel). The closure
+        only reads: the dispatched array, host doc/metadata lists
+        (append-only/tombstoned), and per-call locals."""
         t0 = time.time()
         n_real = len(queries)
         # Pad the batch to a bucket so remainder chunks don't retrace
@@ -795,20 +809,25 @@ class FusedSearcher:
         queries = list(queries) + [""] * max(b - n_real, 0)
 
         p = self._prepare(queries)
-        payloads = np.asarray(self._fn_batch(
+        out = self._fn_batch(
             *p["params"], *p["tb1"], *p["tb2"],
             p["q3_rows"], p["q3_lens"],
             *p["index_state"], *p["bm"], *p["caches"],
             **p["statics"],
-        ))
-        per_query = (time.time() - t0) / max(n_real, 1)
+        )
         k1, k2 = p["statics"]["k1"], p["statics"]["k2"]
-        return [
-            self._format(
-                q, top_k, *self._unpack(payloads[r], k1, k2), per_query
-            )
-            for r, q in enumerate(queries[:n_real])
-        ]
+
+        def finalize() -> list[dict[str, Any]]:
+            payloads = np.asarray(out)  # the one blocking fetch
+            per_query = (time.time() - t0) / max(n_real, 1)
+            return [
+                self._format(
+                    q, top_k, *self._unpack(payloads[r], k1, k2), per_query
+                )
+                for r, q in enumerate(queries[:n_real])
+            ]
+
+        return finalize
 
     def device_time_probe(self, query: str, iters: int = 32) -> dict[str, float]:
         """Estimate pure device time per query: dispatch the fused

@@ -16,6 +16,7 @@ per-stage wall-clock timing with running averages + last-100 history,
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from pathlib import Path
 from typing import Any, Optional, Sequence
@@ -79,6 +80,14 @@ class RetrievalPipeline:
 
         self._result_cache: "OrderedDict[tuple, dict]" = OrderedDict()
         self.result_cache_stats = {"hits": 0, "misses": 0}
+        # Two-phase serving (batch_search_dispatch): the fetch closure
+        # runs on a separate thread, so the host-side shared state it
+        # touches (result cache, performance stats) is lock-guarded,
+        # and cache inserts are epoch-guarded — a mutation that lands
+        # between dispatch and fetch bumps the epoch, voiding the
+        # in-flight batch's right to seed the cache.
+        self._index_epoch = 0
+        self._serve_lock = threading.Lock()
         # warmup() and bench warmups set this so their throwaway
         # queries neither collapse the batch shapes they exist to
         # compile nor seed the cache with entries that would turn the
@@ -156,19 +165,31 @@ class RetrievalPipeline:
             return None
         import copy
 
-        hit = self._result_cache.get((query, top_k))
-        if hit is None:
-            self.result_cache_stats["misses"] += 1
-            return None
-        self._result_cache.move_to_end((query, top_k))
-        self.result_cache_stats["hits"] += 1
-        out = copy.deepcopy(hit)
+        with self._serve_lock:
+            hit = self._result_cache.get((query, top_k))
+            if hit is None:
+                self.result_cache_stats["misses"] += 1
+                return None
+            self._result_cache.move_to_end((query, top_k))
+            self.result_cache_stats["hits"] += 1
+            out = copy.deepcopy(hit)
+            out["performance_stats"] = dict(self.performance_stats)
         out["timing"] = dict(out.get("timing") or {})
         out["timing"]["cached"] = True
-        out["performance_stats"] = dict(self.performance_stats)
         return out
 
-    def _cache_put(self, query: str, top_k: int, resp: dict[str, Any]) -> None:
+    def _cache_put(
+        self,
+        query: str,
+        top_k: int,
+        resp: dict[str, Any],
+        epoch: Optional[int] = None,
+    ) -> None:
+        """``epoch`` (two-phase serving): the _index_epoch snapshotted
+        at dispatch. If a mutation landed between dispatch and this
+        fetch-thread insert, the entry reflects a superseded index and
+        is dropped — checked under the lock so the bump-and-clear in
+        _invalidate_result_cache cannot interleave."""
         if (
             not self.config.enable_result_cache
             or self._cache_bypass
@@ -185,13 +206,18 @@ class RetrievalPipeline:
             k: ([] if k in ("stage1_results", "stage2_results") else v)
             for k, v in resp.items() if k != "performance_stats"
         })
-        self._result_cache[(query, top_k)] = entry
-        while len(self._result_cache) > self.config.result_cache_size:
-            self._result_cache.popitem(last=False)
+        with self._serve_lock:
+            if epoch is not None and epoch != self._index_epoch:
+                return
+            self._result_cache[(query, top_k)] = entry
+            while len(self._result_cache) > self.config.result_cache_size:
+                self._result_cache.popitem(last=False)
 
     def _invalidate_result_cache(self) -> None:
-        if self._result_cache:
-            self._result_cache.clear()
+        with self._serve_lock:
+            self._index_epoch += 1
+            if self._result_cache:
+                self._result_cache.clear()
 
     # ---- search ----------------------------------------------------------
 
@@ -368,6 +394,104 @@ class RetrievalPipeline:
             )
         return out
 
+    def batch_search_dispatch(
+        self, queries: Sequence[str], top_k: Optional[int] = None
+    ):
+        """Two-phase batched search for pipelined serving.
+
+        Phase 1 (this call, on the serving worker thread) resolves
+        result-cache hits, dedupes repeats, and fires the fused path's
+        single device dispatch, returning immediately — the relay acks
+        dispatches before the device finishes. The returned closure is
+        phase 2: the blocking device->host fetch plus host formatting,
+        safe to run on a dedicated fetch thread so the NEXT micro-
+        batch's host prep and dispatch overlap this batch's device time
+        and fetch round-trip (~30 ms over the tunnel).
+
+        Semantics: results reflect the index as of dispatch. A mutation
+        landing between dispatch and fetch voids this batch's right to
+        seed the result cache (epoch guard in _cache_put) but the
+        in-flight results still return. When the fused path is
+        unavailable (or its dispatch fails) the whole search runs
+        inline in phase 1 and the closure just hands back the result —
+        callers need no second code path.
+        """
+        if self.stage1 is None or self.stage2 is None or self.stage3 is None:
+            self.initialize_stages()
+        if not queries:
+            return lambda: []
+        queries = list(queries)
+        top_k = top_k or self.config.stage3_top_k
+        if self._fused is None or not self._fused.ready():
+            out = self.batch_search(queries, top_k)
+            return lambda: out
+
+        import copy
+
+        resolved: list = [None] * len(queries)
+        uniq: dict[str, list[int]] = {}
+        if self.config.enable_result_cache:
+            for i, q in enumerate(queries):
+                hit = self._cache_get(q, top_k)
+                if hit is None:
+                    uniq.setdefault(q, []).append(i)
+                else:
+                    resolved[i] = hit
+        else:
+            for i, q in enumerate(queries):
+                uniq.setdefault(q, []).append(i)
+        if not uniq:
+            return lambda: resolved
+        miss_queries = list(uniq)
+        epoch = self._index_epoch
+        try:
+            fused_finalize = self._fused.search_batch_dispatch(
+                miss_queries, top_k
+            )
+        except Exception:
+            logger.exception(
+                "fused dispatch failed; falling back to staged path"
+            )
+            self._note_fused_failure()
+            out = self.batch_search(queries, top_k)
+            return lambda: out
+
+        def finalize() -> list[dict[str, Any]]:
+            try:
+                miss_out = fused_finalize()
+                self._fused_failures = 0
+            except Exception:
+                if self._index_epoch != epoch:
+                    # A mutation raced the in-flight fetch (clear_index
+                    # empties the doc store the formatter reads) — not
+                    # a fused-program failure; re-run on the new index.
+                    logger.warning(
+                        "in-flight fused batch voided by an index "
+                        "mutation; re-running"
+                    )
+                else:
+                    logger.exception(
+                        "fused fetch failed; falling back to staged path"
+                    )
+                    self._note_fused_failure()
+                # Rare-path caveat: this retry runs on the fetch thread
+                # and may overlap the worker thread's next dispatch;
+                # searches mutate no index state (cache/stats are
+                # lock-guarded), so the overlap is safe.
+                return self.batch_search(queries, top_k)
+            for q, resp in zip(miss_queries, miss_out):
+                if self.config.enable_timing:
+                    self._update_performance_stats(q, resp["timing"])
+                resp["performance_stats"] = dict(self.performance_stats)
+                self._cache_put(q, top_k, resp, epoch=epoch)
+                idxs = uniq[q]
+                resolved[idxs[0]] = resp
+                for j in idxs[1:]:
+                    resolved[j] = copy.deepcopy(resp)
+            return resolved
+
+        return finalize
+
     _FUSED_FAILURE_LIMIT = 3
 
     def _note_fused_failure(self) -> None:
@@ -384,19 +508,20 @@ class RetrievalPipeline:
             self._fused = None
 
     def _update_performance_stats(self, query: str, timing: dict) -> None:
-        s = self.performance_stats
-        n = s["total_queries"]
-        for key in ("stage1_time", "stage2_time", "stage3_time", "total_time"):
-            t = timing.get(key) or 0.0
-            avg_key = f"avg_{key}"
-            s[avg_key] = (s[avg_key] * n + t) / (n + 1)
-            self.stage_timer.record(key.replace("_time", ""), t)
-        s["total_queries"] = n + 1
-        s["search_history"].append(
-            {"query": query[:200], "timestamp": time.time(), **timing}
-        )
-        if len(s["search_history"]) > _HISTORY_LIMIT:
-            s["search_history"] = s["search_history"][-_HISTORY_LIMIT:]
+        with self._serve_lock:
+            s = self.performance_stats
+            n = s["total_queries"]
+            for key in ("stage1_time", "stage2_time", "stage3_time", "total_time"):
+                t = timing.get(key) or 0.0
+                avg_key = f"avg_{key}"
+                s[avg_key] = (s[avg_key] * n + t) / (n + 1)
+                self.stage_timer.record(key.replace("_time", ""), t)
+            s["total_queries"] = n + 1
+            s["search_history"].append(
+                {"query": query[:200], "timestamp": time.time(), **timing}
+            )
+            if len(s["search_history"]) > _HISTORY_LIMIT:
+                s["search_history"] = s["search_history"][-_HISTORY_LIMIT:]
 
     # ---- persistence -----------------------------------------------------
 

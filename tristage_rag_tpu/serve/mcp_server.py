@@ -170,7 +170,21 @@ class RetrievalMCPServer:
         self._executor = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="pipeline"
         )
-        self.batcher = MicroBatcher(self._batched_search, executor=self._executor)
+        if getattr(self.pipeline.config, "serve_pipelined", False):
+            # Two-phase serving: dispatch on the worker thread, fetch on
+            # the batcher's dedicated fetch thread — the next micro-
+            # batch's dispatch overlaps this batch's device time + fetch
+            # round-trip. The pipeline's result cache / stats are lock-
+            # guarded and cache seeding is epoch-guarded against
+            # mutations racing the in-flight fetch.
+            self.batcher = MicroBatcher(
+                dispatch_fn=self._batched_search_dispatch,
+                executor=self._executor,
+            )
+        else:
+            self.batcher = MicroBatcher(
+                self._batched_search, executor=self._executor
+            )
         self._start_time = time.time()
         self._setup()
 
@@ -189,15 +203,9 @@ class RetrievalMCPServer:
         requests coalesced into the same window, so failures degrade
         group -> per-request, and a slot that still fails carries its
         OWN exception (re-raised for that caller alone)."""
-        def _one(q, k):
-            try:
-                return self.pipeline.search(q, k)
-            except Exception as e:  # noqa: BLE001 — isolated per request
-                return e
-
         if len(requests) == 1:
             q, k = requests[0]
-            return [_one(q, k)]
+            return [self._search_one_isolated(q, k)]
         by_k: dict[Optional[int], list[int]] = {}
         for i, (_, k) in enumerate(requests):
             by_k.setdefault(k, []).append(i)
@@ -211,10 +219,64 @@ class RetrievalMCPServer:
                 logger.exception(
                     "grouped batch_search failed; retrying per request"
                 )
-                responses = [_one(requests[i][0], k) for i in idxs]
+                responses = [
+                    self._search_one_isolated(requests[i][0], k) for i in idxs
+                ]
             for i, resp in zip(idxs, responses):
                 out[i] = resp
         return out
+
+    def _search_one_isolated(self, q: str, k: Optional[int]):
+        try:
+            return self.pipeline.search(q, k)
+        except Exception as e:  # noqa: BLE001 — isolated per request
+            return e
+
+    def _batched_search_dispatch(
+        self, requests: list[tuple[str, Optional[int]]]
+    ):
+        """Pipelined counterpart of _batched_search: phase 1 (this
+        call, worker thread) fires one fused dispatch per top_k group
+        and returns a closure; phase 2 (the closure, the batcher's
+        fetch thread) blocks on the fetches and formats. Same error
+        contract: a failing group degrades to per-request, a slot that
+        still fails carries its own exception."""
+        by_k: dict[Optional[int], list[int]] = {}
+        for i, (_, k) in enumerate(requests):
+            by_k.setdefault(k, []).append(i)
+        groups: list[tuple[Optional[int], list[int], Any]] = []
+        for k, idxs in by_k.items():
+            try:
+                fin = self.pipeline.batch_search_dispatch(
+                    [requests[i][0] for i in idxs], k
+                )
+            except Exception:
+                logger.exception("pipelined group dispatch failed")
+                fin = None
+            groups.append((k, idxs, fin))
+
+        def finalize() -> list[Any]:
+            out: list[Any] = [None] * len(requests)
+            for k, idxs, fin in groups:
+                responses = None
+                if fin is not None:
+                    try:
+                        responses = fin()
+                    except Exception:
+                        logger.exception(
+                            "pipelined group finalize failed; "
+                            "retrying per request"
+                        )
+                if responses is None:
+                    responses = [
+                        self._search_one_isolated(requests[i][0], k)
+                        for i in idxs
+                    ]
+                for i, resp in zip(idxs, responses):
+                    out[i] = resp
+            return out
+
+        return finalize
 
     # ---- protocol handlers ----------------------------------------------
 
