@@ -402,6 +402,59 @@ class TestPairWidthBudget:
         ]
 
 
+class TestStage2GatherWidthBudget:
+    @pytest.mark.parametrize("int8_cache", [False, True])
+    def test_short_corpus_gathers_small_bucket(self, sample_docs, int8_cache):
+        """_d2_budget: short-doc corpora gather stage-2 candidates at
+        the smallest covering bucket instead of stage2_max_seq_length —
+        rankings must match the staged path exactly (sliced-off tokens
+        are mask-zero)."""
+        from tristage_rag_tpu.engine.config import PipelineConfig
+        from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+        kw = dict(
+            stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
+            stage3_model="tiny-bert", stage1_top_k=10, stage2_top_k=6,
+            stage3_top_k=4, stage2_max_seq_length=64,
+            stage3_max_length=64, stage1_max_text_length=64,
+            compute_dtype="float32", mesh_data_parallel=1,
+            stage2_cache_doc_embeddings=True,
+            stage2_cache_int8=int8_cache,
+        )
+        fused = RetrievalPipeline(PipelineConfig(enable_fused_search=True, **kw))
+        staged = RetrievalPipeline(PipelineConfig(enable_fused_search=False, **kw))
+        fused.add_documents(sample_docs)
+        staged.add_documents(sample_docs)
+        f = fused._fused
+        cache = fused.stage2._cache
+        assert 0 < cache.max_len <= 32  # sample docs are short
+        assert f._d2_budget() == 32 < cache.seq_len
+
+        q = "lexical scoring BM25"
+        of, os_ = fused.search(q), staged.search(q)
+        assert of["timing"].get("fused") is True
+        assert [r["doc_id"] for r in of["results"]] == [
+            r["doc_id"] for r in os_["results"]
+        ]
+        for rf, rs in zip(of["results"], os_["results"]):
+            assert rf["stage2_score"] == pytest.approx(
+                rs["stage2_score"], rel=1e-4, abs=1e-5
+            )
+
+        # a long doc crosses the bucket: budget grows, parity holds
+        long_doc = " ".join(["colbert token interaction"] * 40)
+        fused.add_documents([long_doc])
+        staged.add_documents([long_doc])
+        assert cache.max_len > 32
+        assert f._d2_budget() == 64
+        of2 = fused.search("colbert token interaction", top_k=4)
+        os2 = staged.search("colbert token interaction", top_k=4)
+        assert of2["timing"].get("fused") is True
+        assert [r["doc_id"] for r in of2["results"]] == [
+            r["doc_id"] for r in os2["results"]
+        ]
+
+
 class TestFusedCircuitBreaker:
     def test_repeated_failures_disable_fused_path(self, tmp_path, sample_docs):
         from tristage_rag_tpu.engine.config import PipelineConfig

@@ -244,3 +244,88 @@ class TestStage2DeviceCacheIntegration:
         p.add_documents(docs)  # ids 4..9 exceed the cap
         out = p.search("text chunk 7", top_k=3)
         assert out["results"]  # falls back to re-encode, still answers
+
+
+class TestMaxLenTracking:
+    """max_len feeds the fused funnel's stage-2 gather bucket
+    (engine/fused.py::_d2_budget) — it must never under-report a stored
+    row's valid length, or gathered candidates would lose real tokens."""
+
+    def _add(self, cache, ids, lengths, l, d=8, seed=0):
+        rng = np.random.default_rng(seed)
+        emb = rng.standard_normal((len(ids), l, d)).astype(np.float32)
+        mask = np.zeros((len(ids), l), dtype=np.int32)
+        for r, n in enumerate(lengths):
+            mask[r, :n] = 1
+        cache.add(ids, emb, mask)
+        return emb, mask
+
+    def test_tracks_longest_row(self):
+        cache = DeviceTokenCache(seq_len=16, dim=8, dtype="float32")
+        assert cache.max_len == 0
+        self._add(cache, [0, 1], [3, 7], l=16)
+        assert cache.max_len == 7
+        self._add(cache, [2], [5], l=16, seed=1)
+        assert cache.max_len == 7  # shorter rows never shrink it
+        self._add(cache, [3], [12], l=16, seed=2)
+        assert cache.max_len == 12
+
+    def test_device_mask_pins_full_width(self):
+        import jax.numpy as jnp
+
+        cache = DeviceTokenCache(seq_len=16, dim=8, dtype="float32")
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((1, 16, 8)).astype(np.float32)
+        mask = jnp.asarray(np.ones((1, 16), dtype=np.int32).at if False else np.eye(1, 16, dtype=np.int32))
+        cache.add([0], emb, mask)
+        # a device mask would cost a fetch to inspect -> conservative
+        assert cache.max_len == cache.seq_len
+
+    def test_clear_resets(self):
+        cache = DeviceTokenCache(seq_len=16, dim=8, dtype="float32")
+        self._add(cache, [0], [9], l=16)
+        cache.clear()
+        assert cache.max_len == 0
+
+    def test_persistence_roundtrip(self, tmp_path):
+        cache = DeviceTokenCache(seq_len=16, dim=8, dtype="float32")
+        self._add(cache, [0, 1], [4, 11], l=16)
+        path = tmp_path / "cache.npz"
+        cache.save(path)
+        fresh = DeviceTokenCache(seq_len=16, dim=8, dtype="float32")
+        assert fresh.load(path)
+        assert fresh.max_len == 11
+
+    def test_legacy_snapshot_defaults_to_seq_len(self, tmp_path):
+        import json
+
+        cache = DeviceTokenCache(seq_len=16, dim=8, dtype="float32")
+        self._add(cache, [0], [4], l=16)
+        path = tmp_path / "cache.npz"
+        cache.save(path)
+        # strip max_len from the meta, as a pre-tracking snapshot would be
+        z = dict(np.load(path))
+        meta = json.loads(bytes(z["meta"]).decode())
+        meta.pop("max_len")
+        z["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+        np.savez(path, **z)
+        fresh = DeviceTokenCache(seq_len=16, dim=8, dtype="float32")
+        assert fresh.load(path)
+        assert fresh.max_len == fresh.seq_len
+
+    def test_int8_dequantize_gather_width_slices_before_f32(self):
+        from tristage_rag_tpu.index.token_cache import dequantize_gather
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((4, 16, 8)).astype(np.float32)
+        cache = DeviceTokenCache(seq_len=16, dim=8, quantize=True)
+        mask = np.ones((4, 16), dtype=np.int32)
+        cache.add([0, 1, 2, 3], x, mask)
+        buf, scale, _ = cache.state()
+        ids = jnp.asarray([2, 0])
+        full = dequantize_gather(buf, scale, ids)
+        sliced = dequantize_gather(buf, scale, ids, width=8)
+        np.testing.assert_array_equal(
+            np.asarray(full)[:, :8], np.asarray(sliced)
+        )

@@ -105,18 +105,28 @@ def _pack_payload(f_i, ids2, f_s, top2_s, s1_of_2, s3_scores):
     ])
 
 
-def _gather_candidate_tokens(s2_cache, safe_ids, valid):
-    """Stage-2 token gather from a (possibly int8) cache state tuple."""
+def _gather_candidate_tokens(s2_cache, safe_ids, valid, width=None):
+    """Stage-2 token gather from a (possibly int8) cache state tuple.
+
+    ``width`` (static, see ``_d2_budget``) slices the token axis to
+    ``[:, :width]`` before the f32 materialization: every cached row's
+    valid tokens fit inside it, so MaxSim scores are bit-identical while
+    the per-query gathered block shrinks from [k1, L2, D] to
+    [k1, width, D] (full-length perf profile: 49 MB -> 8 MB f32 at
+    k1=500, L2=192, D=128, width=32 short-doc corpora)."""
     if len(s2_cache) == 3:  # int8 cache: gather + fused dequant
         s2_q, s2_scale, s2_mask_buf = s2_cache
-        c_emb = dequantize_gather(s2_q, s2_scale, safe_ids)
+        c_emb = dequantize_gather(s2_q, s2_scale, safe_ids, width=width)
     else:
         s2_buf, s2_mask_buf = s2_cache
-        c_emb = jnp.take(s2_buf, safe_ids, axis=0).astype(jnp.float32)
-    c_mask = (
-        jnp.take(s2_mask_buf, safe_ids, axis=0).astype(jnp.int32)
-        * valid[:, None].astype(jnp.int32)
-    )
+        c_emb = jnp.take(s2_buf, safe_ids, axis=0)
+        if width is not None:
+            c_emb = c_emb[:, :width]
+        c_emb = c_emb.astype(jnp.float32)
+    c_mask = jnp.take(s2_mask_buf, safe_ids, axis=0)
+    if width is not None:
+        c_mask = c_mask[:, :width]
+    c_mask = c_mask.astype(jnp.int32) * valid[:, None].astype(jnp.int32)
     return c_emb, c_mask
 
 
@@ -185,6 +195,22 @@ class FusedSearcher:
                 return b
         return full
 
+    def _d2_budget(self) -> int:
+        """Static stage-2 gather width: the smallest bucket covering
+        every cached row's valid token count (DeviceTokenCache.max_len),
+        so the per-query candidate gather materializes [k1, bucket, D]
+        instead of [k1, stage2_max_seq_length, D]. Tokens past a row's
+        length are mask-zero, so MaxSim is unchanged — pure HBM-traffic
+        saving, mirroring ``_d3_budget``. At most one extra compile per
+        bucket the corpus max-length crosses."""
+        cache = self.stage2._cache
+        full = cache.seq_len
+        ml = cache.max_len or full
+        for b in (32, 64, 96, 128, 160, 192):
+            if b >= ml and b <= full:
+                return b
+        return full
+
     # ---- eligibility -------------------------------------------------------
 
     def ready(self) -> bool:
@@ -222,7 +248,7 @@ class FusedSearcher:
                                                 # (emb, mask) or int8
                                                 # (emb, scale, mask)
             d3_buf, d3_len,                     # stage-3 doc token cache
-            k1, k2, impl, use_bm25, d3b,
+            k1, k2, impl, use_bm25, d3b, d2b,
         ):
             """Everything after the query encoders — split out so the
             batched path can encode ALL queries in one forward per
@@ -247,7 +273,9 @@ class FusedSearcher:
             # ---- stage 2: gather cached token embeddings + MaxSim
             valid1 = f_i >= 0
             safe1 = jnp.clip(f_i, 0, s2_cache[0].shape[0] - 1)
-            c_emb, c_mask = _gather_candidate_tokens(s2_cache, safe1, valid1)
+            c_emb, c_mask = _gather_candidate_tokens(
+                s2_cache, safe1, valid1, d2b
+            )
             s2_scores = maxsim_scores(
                 q2, q2_mask, c_emb, c_mask,
                 method=cfg.stage2_scoring_method,
@@ -283,7 +311,7 @@ class FusedSearcher:
             corpus, count, bias, scale,
             bm_ids, bm_scores,
             s2_cache, d3_buf, d3_len,
-            *, k1, k2, impl, use_bm25, d3b,
+            *, k1, k2, impl, use_bm25, d3b, d2b,
         ):
             q_emb, q2_all = _encode_queries(
                 s1_module, s2_module, s1_params, s2_params,
@@ -293,7 +321,7 @@ class FusedSearcher:
                 s3_params, q_emb, q2_all[0], s2_mask[0], q3_row, q3_len,
                 corpus, count, bias, scale, bm_ids, bm_scores,
                 s2_cache, d3_buf, d3_len,
-                k1, k2, impl, use_bm25, d3b,
+                k1, k2, impl, use_bm25, d3b, d2b,
             )
 
         def fn_batch(
@@ -304,7 +332,7 @@ class FusedSearcher:
             corpus, count, bias, scale,
             b_bm_ids, b_bm_scores,              # [B, kb]
             s2_cache, d3_buf, d3_len,
-            *, k1, k2, impl, use_bm25, d3b,
+            *, k1, k2, impl, use_bm25, d3b, d2b,
         ):
             # ONE dispatch for the whole query batch. The query
             # encoders run ONCE for the whole batch (batch-1 encoder
@@ -324,7 +352,7 @@ class FusedSearcher:
                     s3_params, qe[None], q2, q2m, q3r, q3l,
                     corpus, count, bias, scale, bmi, bms,
                     s2_cache, d3_buf, d3_len,
-                    k1, k2, impl, use_bm25, d3b,
+                    k1, k2, impl, use_bm25, d3b, d2b,
                 )
 
             return jax.lax.map(body, (
@@ -333,9 +361,9 @@ class FusedSearcher:
             ))
 
         self._fn_batch = jax.jit(
-            fn_batch, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b")
+            fn_batch, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b", "d2b")
         )
-        return jax.jit(fn, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b"))
+        return jax.jit(fn, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b", "d2b"))
 
     def _build_fn_sharded(self):
         """The multi-chip fused funnel: ONE shard-mapped XLA program.
@@ -371,7 +399,7 @@ class FusedSearcher:
         s2_state_len = len(self.stage2._cache.state())
         searcher = self  # index/caches are built lazily, read at trace
 
-        def make_local(k1, k2, impl, use_bm25, d3b):
+        def make_local(k1, k2, impl, use_bm25, d3b, d2b):
             recall_target = searcher.stage1.index.recall_target
 
             def local_tail(
@@ -413,7 +441,9 @@ class FusedSearcher:
                 base2 = jax.lax.axis_index(axis) * shard2
                 own = (f_i >= base2) & (f_i < base2 + shard2)
                 loc = jnp.clip(f_i - base2, 0, shard2 - 1)
-                c_emb, c_mask = _gather_candidate_tokens(s2_cache, loc, own)
+                c_emb, c_mask = _gather_candidate_tokens(
+                    s2_cache, loc, own, d2b
+                )
                 local_scores = maxsim_scores(
                     q2, q2_mask, c_emb, c_mask,
                     method=cfg.stage2_scoring_method,
@@ -468,8 +498,8 @@ class FusedSearcher:
 
             return local_tail
 
-        def make_single(k1, k2, impl, use_bm25, d3b):
-            tail = make_local(k1, k2, impl, use_bm25, d3b)
+        def make_single(k1, k2, impl, use_bm25, d3b, d2b):
+            tail = make_local(k1, k2, impl, use_bm25, d3b, d2b)
 
             def local_single(
                 s1p, s2p, s3p,
@@ -533,9 +563,9 @@ class FusedSearcher:
                 check_vma=False,
             )(*args)
 
-        def fn(*args, k1, k2, impl, use_bm25, d3b):
+        def fn(*args, k1, k2, impl, use_bm25, d3b, d2b):
             return shard_mapped(
-                make_single(k1, k2, impl, use_bm25, d3b), args
+                make_single(k1, k2, impl, use_bm25, d3b, d2b), args
             )
 
         def fn_batch(
@@ -546,9 +576,9 @@ class FusedSearcher:
             corpus, count, bias, scale,
             b_bm_ids, b_bm_scores,
             s2_cache, d3_buf, d3_len,
-            *, k1, k2, impl, use_bm25, d3b,
+            *, k1, k2, impl, use_bm25, d3b, d2b,
         ):
-            tail = make_local(k1, k2, impl, use_bm25, d3b)
+            tail = make_local(k1, k2, impl, use_bm25, d3b, d2b)
 
             def local_batch(
                 s1p, s2p, s3p,
@@ -587,9 +617,9 @@ class FusedSearcher:
             )
 
         self._fn_batch = jax.jit(
-            fn_batch, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b")
+            fn_batch, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b", "d2b")
         )
-        return jax.jit(fn, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b"))
+        return jax.jit(fn, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b", "d2b"))
 
     # ---- the host wrapper ----------------------------------------------------
 
@@ -733,6 +763,7 @@ class FusedSearcher:
                 impl=impl,
                 use_bm25=use_bm25,
                 d3b=self._d3_budget(),
+                d2b=self._d2_budget(),
             ),
         }
         return prep

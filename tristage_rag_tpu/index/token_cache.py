@@ -115,13 +115,22 @@ def _gather_q(buf, scale_buf, mask_buf, ids, valid):
     return emb, mask
 
 
-def dequantize_gather(buf, scale_buf, ids) -> jax.Array:
+def dequantize_gather(buf, scale_buf, ids, width: int | None = None) -> jax.Array:
     """Gather + dequantize rows ``ids`` — shared with the fused searcher
     (engine/fused.py) so the staged and fused paths score identical
-    embeddings. XLA fuses the int8→f32 convert into the gather read."""
-    q = jnp.take(buf, ids, axis=0).astype(jnp.float32)        # [n, L, D]
+    embeddings. XLA fuses the int8→f32 convert into the gather read.
+
+    ``width`` statically slices the token axis to ``[:, :width]`` BEFORE
+    the f32 materialization (the fused funnel's ``_d2_budget`` bucket):
+    tokens past every cached row's valid length are mask-zero anyway, so
+    scores are unchanged while the gathered f32 block shrinks from
+    [n, L, D] to [n, width, D]."""
+    q = jnp.take(buf, ids, axis=0)                            # [n, L, D]
     scale = jnp.take(scale_buf, ids, axis=0)                  # [n, L]
-    return q * scale[..., None]
+    if width is not None:
+        q = q[:, :width]
+        scale = scale[:, :width]
+    return q.astype(jnp.float32) * scale[..., None]
 
 
 class DeviceTokenCache:
@@ -152,6 +161,11 @@ class DeviceTokenCache:
         self._scale: Optional[jax.Array] = None
         self._mask: Optional[jax.Array] = None
         self._present: set[int] = set()
+        # Max valid token count over every stored row — lets the fused
+        # funnel gather only [:, :bucket(max_len)] instead of the full
+        # seq_len (engine/fused.py::_d2_budget). 0 until the first add;
+        # falls back to seq_len whenever a fill's mask isn't host-known.
+        self.max_len = 0
 
     def __contains__(self, doc_id: int) -> bool:
         return doc_id in self._present
@@ -210,6 +224,19 @@ class DeviceTokenCache:
             return 0
         if not self._ensure_capacity(int(ids.max())):
             return 0
+        # Track the longest valid row WITHOUT a device fetch: both fill
+        # paths (stage2.precompute batches, _candidate_embeddings) hand
+        # masks as host numpy straight from the tokenizer. A device-array
+        # mask would cost a round-trip to inspect, so it conservatively
+        # pins max_len to the full seq_len instead.
+        if isinstance(masks, jax.Array):
+            self.max_len = self.seq_len
+        else:
+            m = np.asarray(masks)
+            if m.size:
+                self.max_len = max(
+                    self.max_len, int(m.reshape(m.shape[0], -1).sum(axis=1).max())
+                )
         emb = jnp.asarray(embeddings)
         msk = jnp.asarray(masks)
         if emb.shape[1] != self.seq_len:
@@ -271,7 +298,7 @@ class DeviceTokenCache:
         meta = dict(
             kind="token_cache", seq_len=self.seq_len, dim=self.dim,
             dtype=str(self.dtype), quantized=self.quantized,
-            capacity=self.capacity,
+            capacity=self.capacity, max_len=self.max_len,
         )
         _atomic_savez(path, meta=np.frombuffer(
             __import__("json").dumps(meta).encode(), dtype=np.uint8
@@ -312,6 +339,9 @@ class DeviceTokenCache:
             self._place(jnp.asarray(z["scale"])) if self.quantized else None
         )
         self._present = set(int(i) for i in z["present"])
+        # Snapshots predating max_len tracking restore at full width
+        # (correct, just no gather-bucket saving until the next refill).
+        self.max_len = int(meta.get("max_len", self.seq_len))
         return True
 
     def _place(self, z):
@@ -322,6 +352,7 @@ class DeviceTokenCache:
 
     def clear(self) -> None:
         self._present = set()
+        self.max_len = 0
         # buffers kept allocated; masks zeroed lazily on reuse
         if self._mask is not None:
             self._mask = jnp.zeros_like(self._mask)
