@@ -1,0 +1,144 @@
+"""Fused-funnel device time at corpus scale: scan vs clustered stage-1,
+and the stage-2 gather-width bucket (_d2_budget) A/B.
+
+Builds ONE pipeline (one indexing pass — at 100k docs the fill is the
+dominant cost) and then re-measures the SAME fused program under each
+variant, flipping knobs that only re-key the jit:
+
+* scan            — the default exact/approx stage-1 (impl resolved by
+                    corpus size, as shipped);
+* clustered@P     — the IVF-equivalent probe inside the funnel
+                    (TRISTAGE_SEARCH_IMPL env override; n_probe sweep);
+* scan-full-d2    — control with DeviceTokenCache.max_len pinned to the
+                    full seq_len, i.e. the pre-_d2_budget gather width.
+
+Rankings: every variant reports top-k overlap of its FINAL (stage-3)
+results vs the scan funnel — the end-to-end recall cost of probing,
+which is the number a funnel user actually trades against latency.
+
+Run (TPU):
+  PYTHONPATH=/root/repo:$PYTHONPATH python -u scripts/bench_funnel_scale.py \
+      --docs 100000 --probes 32 64 128
+CPU smoke: --tiny --docs 512 --probes 8 (tiny models, recall-only value).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--width", type=int, default=100)
+    ap.add_argument("--block-size", type=int, default=1024)
+    ap.add_argument("--probes", type=int, nargs="+", default=[32, 64, 128])
+    ap.add_argument("--queries", type=int, default=16,
+                    help="distinct queries for the overlap check")
+    ap.add_argument("--top-k", type=int, default=10)
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    if args.tiny:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax  # noqa: F811
+
+    from tristage_rag_tpu.engine.config import PipelineConfig
+    from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
+
+    if args.tiny:
+        models = dict(stage1_model="tiny-gemma",
+                      stage2_model="tiny-modernbert",
+                      stage3_model="tiny-bert")
+    else:
+        models = dict(stage1_model="embeddinggemma-300m",
+                      stage2_model="gte-moderncolbert",
+                      stage3_model="minilm-l6-cross")
+
+    docs = [f"doc {i}: retrieval kernel fusion latency topic {i % 7} "
+            f"memory bandwidth index shard " * 4 for i in range(args.docs)]
+    queries = [f"retrieval kernel latency topic {i % 7} shard {i}"
+               for i in range(args.queries)]
+
+    cfg = PipelineConfig(
+        stage1_top_k=500, stage2_top_k=args.width, stage3_top_k=20,
+        stage2_cache_doc_embeddings=True, enable_fused_search=True,
+        mesh_data_parallel=1,
+        index_cluster_block_size=args.block_size,
+        **models,
+    )
+    p = RetrievalPipeline(cfg)
+    print(f"indexing {args.docs} docs ...", flush=True)
+    p.add_documents(docs)
+    assert p._fused is not None
+
+    def measure(tag):
+        for _ in range(2):
+            p.search(queries[0], top_k=5)  # warm/compile outside clock
+        assert p._fused.ready()
+        probe = p._fused.device_time_probe(queries[0], iters=args.iters)
+        ranks = [
+            tuple(r["doc_id"] for r in
+                  p.search(q, top_k=args.top_k)["results"])
+            for q in queries
+        ]
+        return probe["per_query_ms"], ranks
+
+    def overlap(a, b):
+        return sum(
+            len(set(x) & set(y)) / max(len(y), 1) for x, y in zip(a, b)
+        ) / len(b)
+
+    rows = []
+    ms, base_ranks = measure("scan")
+    impl = p.stage1.index._impl()
+    rows.append((f"scan ({impl})", ms, 1.0))
+
+    # control: pre-_d2_budget gather width (cache.max_len -> full)
+    cache = p.stage2._cache
+    if cache is not None and 0 < cache.max_len < cache.seq_len:
+        saved = cache.max_len
+        cache.max_len = cache.seq_len
+        ms_full, ranks_full = measure("scan-full-d2")
+        rows.append(("scan-full-d2 (control)", ms_full,
+                     overlap(ranks_full, base_ranks)))
+        cache.max_len = saved
+    else:
+        print("d2 control skipped: corpus fills the stage-2 window",
+              flush=True)
+
+    os.environ["TRISTAGE_SEARCH_IMPL"] = "clustered"
+    try:
+        idx = p.stage1.index
+        for n_probe in args.probes:
+            idx.cluster_n_probe = n_probe
+            st = idx.fused_cluster_state(500)
+            if st is None:
+                print(f"clustered@{n_probe}: ineligible "
+                      f"(corpus below the block floor?)", flush=True)
+                continue
+            ms_c, ranks_c = measure(f"clustered@{n_probe}")
+            nb = st["row_ids"].shape[0]
+            rows.append((
+                f"clustered n_probe={st['n_probe']}/{nb} blocks",
+                ms_c, overlap(ranks_c, base_ranks),
+            ))
+    finally:
+        del os.environ["TRISTAGE_SEARCH_IMPL"]
+
+    print(f"\nfused funnel at {args.docs} docs, width {args.width} "
+          f"(device ms/query via chained-dispatch probe; overlap@"
+          f"{args.top_k} of final results vs scan):")
+    for tag, ms, ov in rows:
+        print(f"  {tag:40s} {ms:8.2f} ms/q   overlap {ov:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

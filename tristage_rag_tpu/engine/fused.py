@@ -49,6 +49,7 @@ from tristage_rag_tpu.ops.device_fusion import (
     rrf_fuse_device,
     weighted_fuse_device,
 )
+from tristage_rag_tpu.ops.blockskip import blockskip_topk
 from tristage_rag_tpu.ops.maxsim import maxsim_scores
 from tristage_rag_tpu.ops.topk import masked_approx_topk, masked_topk
 
@@ -128,6 +129,26 @@ def _gather_candidate_tokens(s2_cache, safe_ids, valid, width=None):
         c_mask = c_mask[:, :width]
     c_mask = c_mask.astype(jnp.int32) * valid[:, None].astype(jnp.int32)
     return c_emb, c_mask
+
+
+def _clustered_topk(q_emb, cl_arrays, k1, cl):
+    """Stage-1 clustered (IVF-equivalent) probe inside the fused
+    program: centroid matmul -> top-n_probe block gather -> exact
+    masked scoring (ops/blockskip.py — the reference's FAISS nlist/
+    nprobe counterpart, src/stage1_retriever.py:264-273). ``cl`` is the
+    static tuple from ``_prepare``; returns ([B, k1] f32, [B, k1] i32
+    original doc ids, -1 pad) — probing the n_probe best blocks instead
+    of scanning the whole corpus buffer."""
+    blocked, row_ids, cents, bias, scales = cl_arrays
+    n_probe, tile_q, kernel, has_bias, has_scales, interpret = cl
+    s, i = blockskip_topk(
+        q_emb, blocked, row_ids, cents, k=k1, n_probe=n_probe,
+        tile_q=tile_q,
+        bias=bias if has_bias else None,
+        scales=scales if has_scales else None,
+        impl=kernel, interpret=interpret,
+    )
+    return s, i.astype(jnp.int32)
 
 
 def _encode_queries(
@@ -249,21 +270,30 @@ class FusedSearcher:
                                                 # (emb, scale, mask)
             d3_buf, d3_len,                     # stage-3 doc token cache
             k1, k2, impl, use_bm25, d3b, d2b,
+            pre_s1=None,
         ):
             """Everything after the query encoders — split out so the
             batched path can encode ALL queries in one forward per
-            model (MXU-efficient) and lax.map only this tail."""
+            model (MXU-efficient) and lax.map only this tail.
+
+            ``pre_s1``: precomputed ([k1], [k1] i32) stage-1 results —
+            the clustered probe runs OUTSIDE the tail (batched across
+            queries in fn_batch so probe tiles match the staged
+            index.search exactly; per-query in fn)."""
             # ---- stage 1: masked top-k over the corpus buffer
-            if impl == "approx":
-                d_s, d_i = masked_approx_topk(
-                    q_emb, corpus, count, k=k1, bias=bias, scale=scale,
-                    recall_target=self.stage1.index.recall_target,
-                )
+            if pre_s1 is not None:
+                d_s, d_i = pre_s1  # already per-query [k1] / [k1] i32
             else:
-                d_s, d_i = masked_topk(
-                    q_emb, corpus, count, k=k1, bias=bias, scale=scale
-                )
-            d_s, d_i = d_s[0], d_i[0].astype(jnp.int32)
+                if impl == "approx":
+                    d_s, d_i = masked_approx_topk(
+                        q_emb, corpus, count, k=k1, bias=bias, scale=scale,
+                        recall_target=self.stage1.index.recall_target,
+                    )
+                else:
+                    d_s, d_i = masked_topk(
+                        q_emb, corpus, count, k=k1, bias=bias, scale=scale
+                    )
+                d_s, d_i = d_s[0], d_i[0].astype(jnp.int32)
 
             # ---- fusion with the host BM25 list, on device
             f_s, f_i = _fuse_stage1(
@@ -310,18 +340,23 @@ class FusedSearcher:
             q3_row, q3_len,
             corpus, count, bias, scale,
             bm_ids, bm_scores,
-            s2_cache, d3_buf, d3_len,
-            *, k1, k2, impl, use_bm25, d3b, d2b,
+            s2_cache, d3_buf, d3_len, cl_arrays,
+            *, k1, k2, impl, use_bm25, d3b, d2b, cl,
         ):
             q_emb, q2_all = _encode_queries(
                 s1_module, s2_module, s1_params, s2_params,
                 s1_ids, s1_mask, s1_types, s2_ids, s2_mask,
             )
+            pre = None
+            if impl == "clustered":
+                ps, pi = _clustered_topk(q_emb, cl_arrays, k1, cl)
+                pre = (ps[0], pi[0])
             return tail(
                 s3_params, q_emb, q2_all[0], s2_mask[0], q3_row, q3_len,
                 corpus, count, bias, scale, bm_ids, bm_scores,
                 s2_cache, d3_buf, d3_len,
                 k1, k2, impl, use_bm25, d3b, d2b,
+                pre_s1=pre,
             )
 
         def fn_batch(
@@ -331,8 +366,8 @@ class FusedSearcher:
             b_q3_row, b_q3_len,                 # [B, Rq], [B]
             corpus, count, bias, scale,
             b_bm_ids, b_bm_scores,              # [B, kb]
-            s2_cache, d3_buf, d3_len,
-            *, k1, k2, impl, use_bm25, d3b, d2b,
+            s2_cache, d3_buf, d3_len, cl_arrays,
+            *, k1, k2, impl, use_bm25, d3b, d2b, cl,
         ):
             # ONE dispatch for the whole query batch. The query
             # encoders run ONCE for the whole batch (batch-1 encoder
@@ -346,24 +381,45 @@ class FusedSearcher:
                 b_s1_ids, b_s1_mask, b_s1_types, b_s2_ids, b_s2_mask,
             )
 
+            # Clustered stage-1 probes the WHOLE batch in one call
+            # before the map — probe tiles (tile_q queries sharing one
+            # block set) then match the staged index.search(batch)
+            # exactly, and the kernel's query-tile padding amortizes.
+            pre_all = (
+                _clustered_topk(q_embs, cl_arrays, k1, cl)
+                if impl == "clustered" else None
+            )
+
             def body(qa):
-                qe, q2, q2m, q3r, q3l, bmi, bms = qa
+                if pre_all is not None:
+                    qe, q2, q2m, q3r, q3l, bmi, bms, ps, pi = qa
+                    pre = (ps, pi)
+                else:
+                    qe, q2, q2m, q3r, q3l, bmi, bms = qa
+                    pre = None
                 return tail(
                     s3_params, qe[None], q2, q2m, q3r, q3l,
                     corpus, count, bias, scale, bmi, bms,
                     s2_cache, d3_buf, d3_len,
                     k1, k2, impl, use_bm25, d3b, d2b,
+                    pre_s1=pre,
                 )
 
-            return jax.lax.map(body, (
+            xs = (
                 q_embs, q2_all, b_s2_mask, b_q3_row, b_q3_len,
                 b_bm_ids, b_bm_scores,
-            ))
+            )
+            if pre_all is not None:
+                xs = xs + pre_all
+            return jax.lax.map(body, xs)
 
         self._fn_batch = jax.jit(
-            fn_batch, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b", "d2b")
+            fn_batch,
+            static_argnames=("k1", "k2", "impl", "use_bm25", "d3b", "d2b", "cl"),
         )
-        return jax.jit(fn, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b", "d2b"))
+        return jax.jit(
+            fn, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b", "d2b", "cl")
+        )
 
     def _build_fn_sharded(self):
         """The multi-chip fused funnel: ONE shard-mapped XLA program.
@@ -733,6 +789,35 @@ class FusedSearcher:
                     self._ones_scale = ones
                 scale = ones
         k1 = max(min(cfg.stage1_top_k, s1.index.capacity), 1)
+
+        # Clustered (IVF-equivalent) stage-1 inside the funnel: probe
+        # state rides as one extra arg tuple on the single-device
+        # program (the shard-mapped builder keeps the scan path — its
+        # in_specs are fixed). fused_cluster_state() is None whenever
+        # the probe can't serve, which leaves impl on the scan exactly
+        # as before, so funnel eligibility never regresses.
+        cl = None
+        cl_arrays = None
+        if self.mesh is None:
+            state = s1.index.fused_cluster_state(k1)
+            if state is not None:
+                impl = "clustered"
+                cl = (
+                    state["n_probe"], state["tile_q"], state["kernel"],
+                    state["bias"] is not None,
+                    state["scales"] is not None,
+                    state["kernel"] == "pallas"
+                    and jax.default_backend() == "cpu",
+                )
+                d2 = self._cl_dummy2()
+                cl_arrays = (
+                    state["blocked"], state["row_ids"],
+                    state["centroids"],
+                    state["bias"] if state["bias"] is not None else d2,
+                    state["scales"] if state["scales"] is not None else d2,
+                )
+            else:
+                cl_arrays = self._cl_dummies()
         prep = {
             "params": (
                 s1.runtime.params,
@@ -766,7 +851,33 @@ class FusedSearcher:
                 d2b=self._d2_budget(),
             ),
         }
+        if self.mesh is None:
+            prep["caches"] = prep["caches"] + (cl_arrays,)
+            prep["statics"]["cl"] = cl
         return prep
+
+    def _cl_dummy2(self):
+        """Cached [1,1] f32 stand-in for absent bias/scales (jit keys on
+        shape/dtype; caching avoids a fresh host->device put per search)."""
+        d = getattr(self, "_cl_d2", None)
+        if d is None:
+            d = self._cl_d2 = jnp.zeros((1, 1), jnp.float32)
+        return d
+
+    def _cl_dummies(self):
+        """Cached placeholder cluster-arg tuple for non-clustered
+        dispatches (the arg slot exists on every single-device call;
+        the non-clustered trace never reads it)."""
+        d = getattr(self, "_cl_dum", None)
+        if d is None:
+            d2 = self._cl_dummy2()
+            d = self._cl_dum = (
+                jnp.zeros((1, 1, 1), jnp.float32),
+                jnp.full((1, 1), -1, jnp.int32),
+                jnp.zeros((1, 1), jnp.float32),
+                d2, d2,
+            )
+        return d
 
     def search(self, query: str, top_k: Optional[int] = None) -> dict[str, Any]:
         t0 = time.time()

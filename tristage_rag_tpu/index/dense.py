@@ -663,6 +663,43 @@ class DenseIndex:
             self.count = n
         return keep
 
+    def fused_cluster_state(self, k: int):
+        """Device arrays for composing the clustered probe into the
+        fused funnel (engine/fused.py) — the IVF-equivalent stage-1
+        inside the single-dispatch program. Returns None whenever the
+        clustered path cannot serve (impl not "clustered", corpus below
+        the block floor, sharded mesh — the shard-mapped funnel keeps
+        the scan path — or k exceeding a full probe); callers then stay
+        on the ``search_state()`` scan, so eligibility never regresses.
+        Mirrors ``search()``'s rebuild-on-stale semantics: a stale view
+        (adds since the last build) re-runs k-means here, and the check
+        is O(1) when fresh."""
+        if self._impl() != "clustered":
+            return None
+        if self.mesh is not None and self._shards > 1:
+            return None
+        if self._cluster is None or self._cluster.built_count != self.count:
+            self.build_clusters()
+        cv = self._cluster
+        if cv is None:
+            return None
+        nb = cv.row_ids.shape[0]
+        if k > nb * cv.block_size:
+            return None
+        n_probe = min(
+            nb, max(self.cluster_n_probe, -(-k // cv.block_size) + 1)
+        )
+        return dict(
+            blocked=cv.blocked,
+            row_ids=cv.row_ids,
+            centroids=cv.centroids,
+            bias=cv.bias,          # None unless tombstones exist
+            scales=cv.scales,      # None unless int8
+            n_probe=n_probe,
+            tile_q=self.cluster_tile_q,
+            kernel=self._resolved_cluster_kernel(),
+        )
+
     def search_state(self):
         """(corpus, count, bias, scale, impl) for building fused search
         jits — callers can compose encode+top-k into ONE dispatch
