@@ -141,7 +141,7 @@ class TestFusedClusteredEligibility:
         assert of["timing"].get("fused") is True  # funnel still serves
         assert _ids(of) == _ids(staged.search("alpha beta"))
 
-    def test_sharded_mesh_returns_none(self):
+    def test_sharded_mesh_returns_per_shard_budget(self):
         from tristage_rag_tpu.parallel.mesh import create_mesh
 
         rng = np.random.default_rng(40)
@@ -153,7 +153,14 @@ class TestFusedClusteredEligibility:
         )
         idx.add(rows)
         assert idx._impl() == "clustered"
-        assert idx.fused_cluster_state(10) is None
+        st = idx.fused_cluster_state(10)
+        assert st is not None
+        # per-shard budget: ceil(global n_probe / shards), same split
+        # as the staged _clustered_search_sharded
+        assert st["n_probe"] == 4
+        assert st["blocked"].sharding.spec[0] == "data"
+        # a k no shard's probed pool can serve refuses
+        assert idx.fused_cluster_state(10_000) is None
 
     def test_k_exceeding_full_probe_returns_none(self):
         rng = np.random.default_rng(41)
@@ -171,6 +178,40 @@ class TestFusedClusteredEligibility:
         assert st is not None
         # probe floor grows so k always fits the probed pool
         assert st["n_probe"] * 8 >= 8
+
+    def test_sharded_funnel_probes_and_matches_staged(self):
+        """Distributed-IVF inside the shard-mapped funnel: per-shard
+        probe + all-gather merge must match the staged sharded path
+        (same pool split via _sharded_blockskip) exactly."""
+        fused, staged = _pipelines(
+            mesh_data_parallel=0,
+            index_cluster_block_size=4, index_cluster_n_probe=16,
+            stage1_top_k=12,
+        )
+        docs = _docs(n=256, seed=7)
+        fused.add_documents(docs)
+        staged.add_documents(docs)
+        idx = fused.stage1.index
+        assert idx._impl() == "clustered"
+        st = idx.fused_cluster_state(12)
+        assert st is not None
+        nbl = st["row_ids"].shape[0] // 8
+        assert st["n_probe"] < nbl  # probing genuinely skips per shard
+        for q in ("alpha beta topic3", "kappa mu topic5"):
+            of, os_ = fused.search(q), staged.search(q)
+            assert of["timing"].get("fused") is True
+            assert _ids(of) == _ids(os_)
+        bf = fused.batch_search(["alpha beta topic3", "gamma topic1"])
+        bs = staged.batch_search(["alpha beta topic3", "gamma topic1"])
+        for a, b in zip(bf, bs):
+            assert _ids(a) == _ids(b)
+        # deletes tombstone the sharded view through the funnel too
+        victim = _ids(fused.search("alpha beta topic3"))[0]
+        fused.delete_documents([victim])
+        staged.delete_documents([victim])
+        of2 = fused.search("alpha beta topic3")
+        assert victim not in _ids(of2)
+        assert _ids(of2) == _ids(staged.search("alpha beta topic3"))
 
     def test_int8_corpus_probes_with_scales(self):
         fused, staged = _pipelines(index_dtype="int8")

@@ -51,7 +51,7 @@ from tristage_rag_tpu.ops.device_fusion import (
 )
 from tristage_rag_tpu.ops.blockskip import blockskip_topk
 from tristage_rag_tpu.ops.maxsim import maxsim_scores
-from tristage_rag_tpu.ops.topk import masked_approx_topk, masked_topk
+from tristage_rag_tpu.ops.topk import NEG_INF, masked_approx_topk, masked_topk
 
 logger = logging.getLogger(__name__)
 
@@ -149,6 +149,35 @@ def _clustered_topk(q_emb, cl_arrays, k1, cl):
         impl=kernel, interpret=interpret,
     )
     return s, i.astype(jnp.int32)
+
+
+def _clustered_topk_sharded(q_emb, cl_arrays, k1, cl, axis):
+    """Distributed-IVF probe inside the shard-mapped funnel: each
+    device probes ``n_probe`` (the per-shard budget from
+    ``fused_cluster_state``) of its local blocks of the round-robin
+    interleaved view, takes a local top-k over GLOBAL row ids, and the
+    merge is the same all-gather + exact top-k the sharded scan uses —
+    probed pools never leave their device. Pool split and merge are
+    identical to the staged ``index/dense.py::_sharded_blockskip``, so
+    staged and fused mesh searches stay ranking-identical."""
+    blocked, row_ids, cents, bias, scales = cl_arrays
+    n_probe, tile_q, kernel, has_bias, has_scales, interpret = cl
+    s, i = blockskip_topk(
+        q_emb, blocked, row_ids, cents, k=k1, n_probe=n_probe,
+        tile_q=tile_q,
+        bias=bias if has_bias else None,
+        scales=scales if has_scales else None,
+        impl=kernel, interpret=interpret,
+    )
+    s_all = jax.lax.all_gather(s, axis)  # [ndev, B, k1]
+    i_all = jax.lax.all_gather(i, axis)
+    b = q_emb.shape[0]
+    s_flat = jnp.moveaxis(s_all, 0, 1).reshape(b, -1)
+    i_flat = jnp.moveaxis(i_all, 0, 1).reshape(b, -1)
+    top_s, pos = jax.lax.top_k(s_flat, k1)
+    top_i = jnp.take_along_axis(i_flat, pos, axis=1)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1).astype(jnp.int32)
+    return top_s, top_i
 
 
 def _encode_queries(
@@ -455,7 +484,7 @@ class FusedSearcher:
         s2_state_len = len(self.stage2._cache.state())
         searcher = self  # index/caches are built lazily, read at trace
 
-        def make_local(k1, k2, impl, use_bm25, d3b, d2b):
+        def make_local(k1, k2, impl, use_bm25, d3b, d2b, cl):
             recall_target = searcher.stage1.index.recall_target
 
             def local_tail(
@@ -465,28 +494,34 @@ class FusedSearcher:
                 corpus, count, bias, scale,
                 bm_ids, bm_scores,
                 s2_cache, d3_buf, d3_len,
+                pre_s1=None,                    # distributed-IVF probe
             ):
                 # ---- stage 1: local shard scan + all-gather merge
-                shard_rows = corpus.shape[0]
-                base = jax.lax.axis_index(axis) * shard_rows
-                local_count = jnp.clip(count - base, 0, shard_rows)
-                k_loc = min(k1, shard_rows)
-                if impl == "approx":
-                    s_loc, i_loc = masked_approx_topk(
-                        q_emb, corpus, local_count, k=k_loc, bias=bias,
-                        scale=scale, recall_target=recall_target,
-                    )
+                if pre_s1 is not None:
+                    d_s, d_i = pre_s1  # merged [k1] / [k1] i32
                 else:
-                    s_loc, i_loc = masked_topk(
-                        q_emb, corpus, local_count, k=k_loc, bias=bias,
-                        scale=scale,
+                    shard_rows = corpus.shape[0]
+                    base = jax.lax.axis_index(axis) * shard_rows
+                    local_count = jnp.clip(count - base, 0, shard_rows)
+                    k_loc = min(k1, shard_rows)
+                    if impl == "approx":
+                        s_loc, i_loc = masked_approx_topk(
+                            q_emb, corpus, local_count, k=k_loc, bias=bias,
+                            scale=scale, recall_target=recall_target,
+                        )
+                    else:
+                        s_loc, i_loc = masked_topk(
+                            q_emb, corpus, local_count, k=k_loc, bias=bias,
+                            scale=scale,
+                        )
+                    i_loc = jnp.where(i_loc >= 0, i_loc + base, -1)
+                    s_all = jax.lax.all_gather(s_loc[0], axis)  # [ndev, k']
+                    i_all = jax.lax.all_gather(i_loc[0], axis)
+                    d_s, pos = jax.lax.top_k(s_all.reshape(-1), k1)
+                    d_i = i_all.reshape(-1)[pos].astype(jnp.int32)
+                    d_i = jnp.where(
+                        jnp.isfinite(d_s) & (d_s > -1e29), d_i, -1
                     )
-                i_loc = jnp.where(i_loc >= 0, i_loc + base, -1)
-                s_all = jax.lax.all_gather(s_loc[0], axis)  # [ndev, k']
-                i_all = jax.lax.all_gather(i_loc[0], axis)
-                d_s, pos = jax.lax.top_k(s_all.reshape(-1), k1)
-                d_i = i_all.reshape(-1)[pos].astype(jnp.int32)
-                d_i = jnp.where(jnp.isfinite(d_s) & (d_s > -1e29), d_i, -1)
 
                 f_s, f_i = _fuse_stage1(
                     cfg, d_s, d_i, bm_ids, bm_scores, k1, use_bm25
@@ -554,24 +589,31 @@ class FusedSearcher:
 
             return local_tail
 
-        def make_single(k1, k2, impl, use_bm25, d3b, d2b):
-            tail = make_local(k1, k2, impl, use_bm25, d3b, d2b)
+        def make_single(k1, k2, impl, use_bm25, d3b, d2b, cl):
+            tail = make_local(k1, k2, impl, use_bm25, d3b, d2b, cl)
 
             def local_single(
                 s1p, s2p, s3p,
                 s1_ids, s1_mask, s1_types, s2_ids, s2_mask,
                 q3_row, q3_len,
                 corpus, count, bias, scale, bm_ids, bm_scores,
-                s2_cache, d3_buf, d3_len,
+                s2_cache, d3_buf, d3_len, cl_arrays,
             ):
                 q_emb, q2_all = _encode_queries(
                     s1_module, s2_module, s1p, s2p,
                     s1_ids, s1_mask, s1_types, s2_ids, s2_mask,
                 )
+                pre = None
+                if impl == "clustered":
+                    ps, pi = _clustered_topk_sharded(
+                        q_emb, cl_arrays, k1, cl, axis
+                    )
+                    pre = (ps[0], pi[0])
                 return tail(
                     s3p, q_emb, q2_all[0], s2_mask[0], q3_row, q3_len,
                     corpus, count, bias, scale, bm_ids, bm_scores,
                     s2_cache, d3_buf, d3_len,
+                    pre_s1=pre,
                 )
 
             return local_single
@@ -582,6 +624,13 @@ class FusedSearcher:
             if s2_state_len == 3
             else (P_(axis, None, None), P_(axis, None))
         )
+        # Distributed-IVF view (fused_cluster_state on a mesh): blocked
+        # corpus / row ids / centroids / bias / scales, all sharded
+        # over the BLOCK axis (round-robin interleaved at build).
+        cl_specs = (
+            P_(axis, None, None), P_(axis, None), P_(axis, None),
+            P_(axis, None), P_(axis, None),
+        )
         in_specs = (
             P_(), P_(), P_(),                    # params (replicated)
             P_(), P_(), P_(),                    # s1 query batch
@@ -590,6 +639,7 @@ class FusedSearcher:
             P_(axis, None), P_(), P_(axis), P_(axis),  # index state
             P_(), P_(),                          # bm25 lists
             s2_specs, P_(axis, None), P_(axis),  # device caches
+            cl_specs,                            # clustered view
         )
         # Hybrid ("dcn", "data") mesh (SURVEY.md §5.8): the batched
         # program shards the QUERY axis over "dcn" — each slice runs
@@ -619,9 +669,9 @@ class FusedSearcher:
                 check_vma=False,
             )(*args)
 
-        def fn(*args, k1, k2, impl, use_bm25, d3b, d2b):
+        def fn(*args, k1, k2, impl, use_bm25, d3b, d2b, cl):
             return shard_mapped(
-                make_single(k1, k2, impl, use_bm25, d3b, d2b), args
+                make_single(k1, k2, impl, use_bm25, d3b, d2b, cl), args
             )
 
         def fn_batch(
@@ -631,16 +681,16 @@ class FusedSearcher:
             b_q3_row, b_q3_len,
             corpus, count, bias, scale,
             b_bm_ids, b_bm_scores,
-            s2_cache, d3_buf, d3_len,
-            *, k1, k2, impl, use_bm25, d3b, d2b,
+            s2_cache, d3_buf, d3_len, cl_arrays,
+            *, k1, k2, impl, use_bm25, d3b, d2b, cl,
         ):
-            tail = make_local(k1, k2, impl, use_bm25, d3b, d2b)
+            tail = make_local(k1, k2, impl, use_bm25, d3b, d2b, cl)
 
             def local_batch(
                 s1p, s2p, s3p,
                 bi1, bm1, bt1, bi2, bm2, bq3r, bq3l,
                 corpus, count, bias, scale, bbmi, bbms,
-                s2_cache, d3_buf, d3_len,
+                s2_cache, d3_buf, d3_len, cl_arrays,
             ):
                 # batch-encode the queries ONCE per device (replicated
                 # work, but MXU-efficient vs B latency-bound batch-1
@@ -649,17 +699,31 @@ class FusedSearcher:
                     s1_module, s2_module, s1p, s2p, bi1, bm1, bt1, bi2, bm2,
                 )
 
+                # Distributed-IVF: probe the whole (slice-)local batch
+                # in one call, exactly like the staged sharded search.
+                pre_all = (
+                    _clustered_topk_sharded(q_embs, cl_arrays, k1, cl, axis)
+                    if impl == "clustered" else None
+                )
+
                 def body(qa):
-                    qe, q2, q2m, q3r, q3l, bmi, bms = qa
+                    if pre_all is not None:
+                        qe, q2, q2m, q3r, q3l, bmi, bms, ps, pi = qa
+                        pre = (ps, pi)
+                    else:
+                        qe, q2, q2m, q3r, q3l, bmi, bms = qa
+                        pre = None
                     return tail(
                         s3p, qe[None], q2, q2m, q3r, q3l,
                         corpus, count, bias, scale, bmi, bms,
                         s2_cache, d3_buf, d3_len,
+                        pre_s1=pre,
                     )
 
-                return jax.lax.map(body, (
-                    q_embs, q2_all, bm2, bq3r, bq3l, bbmi, bbms,
-                ))
+                xs = (q_embs, q2_all, bm2, bq3r, bq3l, bbmi, bbms)
+                if pre_all is not None:
+                    xs = xs + pre_all
+                return jax.lax.map(body, xs)
 
             return jax.shard_map(
                 local_batch, mesh=mesh, in_specs=in_specs_batch,
@@ -669,13 +733,16 @@ class FusedSearcher:
                 b_s1_ids, b_s1_mask, b_s1_types, b_s2_ids, b_s2_mask,
                 b_q3_row, b_q3_len,
                 corpus, count, bias, scale, b_bm_ids, b_bm_scores,
-                s2_cache, d3_buf, d3_len,
+                s2_cache, d3_buf, d3_len, cl_arrays,
             )
 
         self._fn_batch = jax.jit(
-            fn_batch, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b", "d2b")
+            fn_batch,
+            static_argnames=("k1", "k2", "impl", "use_bm25", "d3b", "d2b", "cl"),
         )
-        return jax.jit(fn, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b", "d2b"))
+        return jax.jit(
+            fn, static_argnames=("k1", "k2", "impl", "use_bm25", "d3b", "d2b", "cl")
+        )
 
     # ---- the host wrapper ----------------------------------------------------
 
@@ -791,33 +858,31 @@ class FusedSearcher:
         k1 = max(min(cfg.stage1_top_k, s1.index.capacity), 1)
 
         # Clustered (IVF-equivalent) stage-1 inside the funnel: probe
-        # state rides as one extra arg tuple on the single-device
-        # program (the shard-mapped builder keeps the scan path — its
-        # in_specs are fixed). fused_cluster_state() is None whenever
-        # the probe can't serve, which leaves impl on the scan exactly
-        # as before, so funnel eligibility never regresses.
+        # state rides as one extra arg tuple — the single-device program
+        # probes directly, the shard-mapped one runs the distributed-IVF
+        # local-probe + all-gather merge. fused_cluster_state() is None
+        # whenever the probe can't serve, which leaves impl on the scan
+        # exactly as before, so funnel eligibility never regresses.
         cl = None
-        cl_arrays = None
-        if self.mesh is None:
-            state = s1.index.fused_cluster_state(k1)
-            if state is not None:
-                impl = "clustered"
-                cl = (
-                    state["n_probe"], state["tile_q"], state["kernel"],
-                    state["bias"] is not None,
-                    state["scales"] is not None,
-                    state["kernel"] == "pallas"
-                    and jax.default_backend() == "cpu",
-                )
-                d2 = self._cl_dummy2()
-                cl_arrays = (
-                    state["blocked"], state["row_ids"],
-                    state["centroids"],
-                    state["bias"] if state["bias"] is not None else d2,
-                    state["scales"] if state["scales"] is not None else d2,
-                )
-            else:
-                cl_arrays = self._cl_dummies()
+        state = s1.index.fused_cluster_state(k1)
+        if state is not None:
+            impl = "clustered"
+            cl = (
+                state["n_probe"], state["tile_q"], state["kernel"],
+                state["bias"] is not None,
+                state["scales"] is not None,
+                state["kernel"] == "pallas"
+                and jax.default_backend() == "cpu",
+            )
+            d2 = self._cl_dummies()[3]
+            cl_arrays = (
+                state["blocked"], state["row_ids"],
+                state["centroids"],
+                state["bias"] if state["bias"] is not None else d2,
+                state["scales"] if state["scales"] is not None else d2,
+            )
+        else:
+            cl_arrays = self._cl_dummies()
         prep = {
             "params": (
                 s1.runtime.params,
@@ -851,32 +916,42 @@ class FusedSearcher:
                 d2b=self._d2_budget(),
             ),
         }
-        if self.mesh is None:
-            prep["caches"] = prep["caches"] + (cl_arrays,)
-            prep["statics"]["cl"] = cl
+        prep["caches"] = prep["caches"] + (cl_arrays,)
+        prep["statics"]["cl"] = cl
         return prep
-
-    def _cl_dummy2(self):
-        """Cached [1,1] f32 stand-in for absent bias/scales (jit keys on
-        shape/dtype; caching avoids a fresh host->device put per search)."""
-        d = getattr(self, "_cl_d2", None)
-        if d is None:
-            d = self._cl_d2 = jnp.zeros((1, 1), jnp.float32)
-        return d
 
     def _cl_dummies(self):
         """Cached placeholder cluster-arg tuple for non-clustered
-        dispatches (the arg slot exists on every single-device call;
-        the non-clustered trace never reads it)."""
+        dispatches (the arg slot exists on every call; a non-clustered
+        trace never reads it) — element [3] doubles as the bias/scales
+        stand-in when the real view has neither. On a mesh the dummies
+        carry one block per shard so the cl in_specs shard them
+        cleanly. Cached: jit keys on shape/dtype only, and a fresh
+        host->device put per search would be pure dispatch overhead."""
         d = getattr(self, "_cl_dum", None)
         if d is None:
-            d2 = self._cl_dummy2()
-            d = self._cl_dum = (
-                jnp.zeros((1, 1, 1), jnp.float32),
-                jnp.full((1, 1), -1, jnp.int32),
-                jnp.zeros((1, 1), jnp.float32),
-                d2, d2,
-            )
+            if self.mesh is None:
+                d2 = jnp.zeros((1, 1), jnp.float32)
+                d = (
+                    jnp.zeros((1, 1, 1), jnp.float32),
+                    jnp.full((1, 1), -1, jnp.int32),
+                    jnp.zeros((1, 1), jnp.float32),
+                    d2, d2,
+                )
+            else:
+                from jax.sharding import NamedSharding
+
+                S = self.mesh.shape[self.data_axis]
+                sh3 = NamedSharding(self.mesh, P(self.data_axis, None, None))
+                sh2 = NamedSharding(self.mesh, P(self.data_axis, None))
+                d2 = jax.device_put(jnp.zeros((S, 1), jnp.float32), sh2)
+                d = (
+                    jax.device_put(jnp.zeros((S, 1, 1), jnp.float32), sh3),
+                    jax.device_put(jnp.full((S, 1), -1, jnp.int32), sh2),
+                    jax.device_put(jnp.zeros((S, 1), jnp.float32), sh2),
+                    d2, d2,
+                )
+            self._cl_dum = d
         return d
 
     def search(self, query: str, top_k: Optional[int] = None) -> dict[str, Any]:

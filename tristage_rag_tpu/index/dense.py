@@ -668,15 +668,18 @@ class DenseIndex:
         fused funnel (engine/fused.py) — the IVF-equivalent stage-1
         inside the single-dispatch program. Returns None whenever the
         clustered path cannot serve (impl not "clustered", corpus below
-        the block floor, sharded mesh — the shard-mapped funnel keeps
-        the scan path — or k exceeding a full probe); callers then stay
-        on the ``search_state()`` scan, so eligibility never regresses.
-        Mirrors ``search()``'s rebuild-on-stale semantics: a stale view
-        (adds since the last build) re-runs k-means here, and the check
-        is O(1) when fresh."""
+        the block floor, k exceeding the probed pool); callers then stay
+        on the ``search_state()`` scan, so funnel eligibility never
+        regresses. Mirrors ``search()``'s rebuild-on-stale semantics: a
+        stale view (adds since the last build) re-runs k-means here, and
+        the check is O(1) when fresh.
+
+        On a mesh the arrays are the block-sharded distributed-IVF view
+        (round-robin interleaved blocks) and ``n_probe`` is the
+        PER-SHARD budget — the same split ``search()`` uses
+        (``_clustered_search_sharded``), so staged and fused mesh
+        searches probe identical pools."""
         if self._impl() != "clustered":
-            return None
-        if self.mesh is not None and self._shards > 1:
             return None
         if self._cluster is None or self._cluster.built_count != self.count:
             self.build_clusters()
@@ -686,9 +689,18 @@ class DenseIndex:
         nb = cv.row_ids.shape[0]
         if k > nb * cv.block_size:
             return None
-        n_probe = min(
-            nb, max(self.cluster_n_probe, -(-k // cv.block_size) + 1)
-        )
+        if self.mesh is not None and self._shards > 1:
+            S = self._shards
+            nbl = nb // S  # build pads nb to a multiple of S
+            n_probe = max(
+                -(-self.cluster_n_probe // S), -(-k // cv.block_size) + 1
+            )
+            if n_probe > nbl:
+                return None  # k/probe floor exceeds a shard's blocks
+        else:
+            n_probe = min(
+                nb, max(self.cluster_n_probe, -(-k // cv.block_size) + 1)
+            )
         return dict(
             blocked=cv.blocked,
             row_ids=cv.row_ids,
