@@ -19,7 +19,9 @@ which is the number a funnel user actually trades against latency.
 Run (TPU):
   PYTHONPATH=/root/repo:$PYTHONPATH python -u scripts/bench_funnel_scale.py \
       --docs 100000 --probes 32 64 128
-CPU smoke: --tiny --docs 512 --probes 8 (tiny models, recall-only value).
+CPU smoke: --tiny --docs 512 --block-size 32 --probes 4 8 (tiny models,
+recall-only value; the default 1024-row blocks need >=4096 docs to
+clear the clustering floor).
 """
 
 from __future__ import annotations

@@ -104,6 +104,35 @@ class TestFusedClusteredParity:
             assert a["timing"].get("fused") is True
             assert _ids(a) == _ids(b)
 
+    def test_bucket_pad_queries_cannot_steer_probe_tiles(self):
+        """search_batch_dispatch pads batches to a power-of-two bucket
+        with "" queries whose REAL encoder embeddings would otherwise
+        enter the tile max-pool and steer the shared probe set away
+        from the staged (unpadded) batch's blocks. The real-query mask
+        must neutralize them: a 3-query batch (padded to 4) must rank
+        identically to the staged path (code-review finding, session
+        12 — reproduced as a ranking divergence before the fix)."""
+        fused, staged = _pipelines(
+            index_cluster_block_size=8, index_cluster_n_probe=2,
+            stage1_top_k=8, stage2_top_k=6, stage3_top_k=4,
+        )
+        docs = _docs(n=128, seed=0)
+        fused.add_documents(docs)
+        staged.add_documents(docs)
+        # this (corpus, query) pair measurably diverges when the ""
+        # pad's embedding enters the probe max-pool (verified by
+        # re-running with the mask disabled)
+        qs = ["beta delta topic1"] * 3  # pads to bucket 4
+        bf = fused.batch_search(qs)
+        bs = staged.batch_search(qs)
+        for a, b in zip(bf, bs):
+            assert a["timing"].get("fused") is True
+            assert _ids(a) == _ids(b)
+        # mixed batch at a non-bucket size too
+        qs2 = ["alpha beta topic1", "mu nu topic5", "xi omicron topic2"]
+        for a, b in zip(fused.batch_search(qs2), staged.batch_search(qs2)):
+            assert _ids(a) == _ids(b)
+
     def test_delete_respected(self, clustered_pair):
         fused, staged, _ = clustered_pair
         q = "alpha beta topic3"

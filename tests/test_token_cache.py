@@ -276,10 +276,24 @@ class TestMaxLenTracking:
         cache = DeviceTokenCache(seq_len=16, dim=8, dtype="float32")
         rng = np.random.default_rng(0)
         emb = rng.standard_normal((1, 16, 8)).astype(np.float32)
-        mask = jnp.asarray(np.ones((1, 16), dtype=np.int32).at if False else np.eye(1, 16, dtype=np.int32))
+        mask = jnp.asarray(np.ones((1, 16), dtype=np.int32))
         cache.add([0], emb, mask)
         # a device mask would cost a fetch to inspect -> conservative
         assert cache.max_len == cache.seq_len
+
+    def test_interior_zero_mask_reports_last_position(self):
+        """max_len must be last-valid-position + 1, not popcount: a
+        mask with interior zeros (punctuation skiplists etc.) reaching
+        position 11 must not report 2 and let the _d2_budget slice
+        drop real tokens (code-review finding, session 12)."""
+        cache = DeviceTokenCache(seq_len=16, dim=8, dtype="float32")
+        rng = np.random.default_rng(5)
+        emb = rng.standard_normal((1, 16, 8)).astype(np.float32)
+        mask = np.zeros((1, 16), dtype=np.int32)
+        mask[0, 0] = 1
+        mask[0, 11] = 1  # two valid tokens, furthest at position 11
+        cache.add([0], emb, mask)
+        assert cache.max_len == 12
 
     def test_clear_resets(self):
         cache = DeviceTokenCache(seq_len=16, dim=8, dtype="float32")

@@ -131,7 +131,7 @@ def _gather_candidate_tokens(s2_cache, safe_ids, valid, width=None):
     return c_emb, c_mask
 
 
-def _clustered_topk(q_emb, cl_arrays, k1, cl):
+def _clustered_topk(q_emb, cl_arrays, k1, cl, real_mask=None):
     """Stage-1 clustered (IVF-equivalent) probe inside the fused
     program: centroid matmul -> top-n_probe block gather -> exact
     masked scoring (ops/blockskip.py — the reference's FAISS nlist/
@@ -146,12 +146,12 @@ def _clustered_topk(q_emb, cl_arrays, k1, cl):
         tile_q=tile_q,
         bias=bias if has_bias else None,
         scales=scales if has_scales else None,
-        impl=kernel, interpret=interpret,
+        impl=kernel, interpret=interpret, real_mask=real_mask,
     )
     return s, i.astype(jnp.int32)
 
 
-def _clustered_topk_sharded(q_emb, cl_arrays, k1, cl, axis):
+def _clustered_topk_sharded(q_emb, cl_arrays, k1, cl, axis, real_mask=None):
     """Distributed-IVF probe inside the shard-mapped funnel: each
     device probes ``n_probe`` (the per-shard budget from
     ``fused_cluster_state``) of its local blocks of the round-robin
@@ -167,7 +167,7 @@ def _clustered_topk_sharded(q_emb, cl_arrays, k1, cl, axis):
         tile_q=tile_q,
         bias=bias if has_bias else None,
         scales=scales if has_scales else None,
-        impl=kernel, interpret=interpret,
+        impl=kernel, interpret=interpret, real_mask=real_mask,
     )
     s_all = jax.lax.all_gather(s, axis)  # [ndev, B, k1]
     i_all = jax.lax.all_gather(i, axis)
@@ -392,7 +392,7 @@ class FusedSearcher:
             s1_params, s2_params, s3_params,
             b_s1_ids, b_s1_mask, b_s1_types,    # [B, L1]
             b_s2_ids, b_s2_mask,                # [B, L2q]
-            b_q3_row, b_q3_len,                 # [B, Rq], [B]
+            b_q3_row, b_q3_len, b_real,         # [B, Rq], [B], [B]
             corpus, count, bias, scale,
             b_bm_ids, b_bm_scores,              # [B, kb]
             s2_cache, d3_buf, d3_len, cl_arrays,
@@ -415,7 +415,7 @@ class FusedSearcher:
             # block set) then match the staged index.search(batch)
             # exactly, and the kernel's query-tile padding amortizes.
             pre_all = (
-                _clustered_topk(q_embs, cl_arrays, k1, cl)
+                _clustered_topk(q_embs, cl_arrays, k1, cl, real_mask=b_real)
                 if impl == "clustered" else None
             )
 
@@ -653,14 +653,16 @@ class FusedSearcher:
                 in_specs[:3]
                 + (P_(dcn, None), P_(dcn, None), P_(dcn, None))  # s1 batch
                 + (P_(dcn, None), P_(dcn, None))                 # s2 batch
-                + (P_(dcn, None), P_(dcn))                       # q3 row/len
+                + (P_(dcn, None), P_(dcn), P_(dcn))          # q3 row/len/real
                 + in_specs[10:14]
                 + (P_(dcn, None), P_(dcn, None))                 # bm25 lists
                 + in_specs[16:]
             )
             out_specs_batch = P_(dcn)
         else:
-            in_specs_batch = in_specs
+            # fn's single-query arg list has no real-query mask; the
+            # batched program inserts it after q3 row/len
+            in_specs_batch = in_specs[:10] + (P_(),) + in_specs[10:]
             out_specs_batch = P_()
 
         def shard_mapped(local, args):
@@ -678,7 +680,7 @@ class FusedSearcher:
             s1p, s2p, s3p,
             b_s1_ids, b_s1_mask, b_s1_types,
             b_s2_ids, b_s2_mask,
-            b_q3_row, b_q3_len,
+            b_q3_row, b_q3_len, b_real,
             corpus, count, bias, scale,
             b_bm_ids, b_bm_scores,
             s2_cache, d3_buf, d3_len, cl_arrays,
@@ -688,7 +690,7 @@ class FusedSearcher:
 
             def local_batch(
                 s1p, s2p, s3p,
-                bi1, bm1, bt1, bi2, bm2, bq3r, bq3l,
+                bi1, bm1, bt1, bi2, bm2, bq3r, bq3l, breal,
                 corpus, count, bias, scale, bbmi, bbms,
                 s2_cache, d3_buf, d3_len, cl_arrays,
             ):
@@ -702,7 +704,9 @@ class FusedSearcher:
                 # Distributed-IVF: probe the whole (slice-)local batch
                 # in one call, exactly like the staged sharded search.
                 pre_all = (
-                    _clustered_topk_sharded(q_embs, cl_arrays, k1, cl, axis)
+                    _clustered_topk_sharded(
+                        q_embs, cl_arrays, k1, cl, axis, real_mask=breal
+                    )
                     if impl == "clustered" else None
                 )
 
@@ -731,7 +735,7 @@ class FusedSearcher:
             )(
                 s1p, s2p, s3p,
                 b_s1_ids, b_s1_mask, b_s1_types, b_s2_ids, b_s2_mask,
-                b_q3_row, b_q3_len,
+                b_q3_row, b_q3_len, b_real,
                 corpus, count, bias, scale, b_bm_ids, b_bm_scores,
                 s2_cache, d3_buf, d3_len, cl_arrays,
             )
@@ -1024,11 +1028,17 @@ class FusedSearcher:
             b = max(b, n_real)
             b = ((b + self.ndcn - 1) // self.ndcn) * self.ndcn
         queries = list(queries) + [""] * max(b - n_real, 0)
+        # Pad queries get real encoder embeddings; the clustered probe
+        # max-pools centroid scores over each tile, so without this
+        # mask a "" pad could steer a tile's shared probe set away from
+        # the staged (unpadded) batch's blocks. Scan impls ignore it.
+        real_mask = np.zeros(len(queries), dtype=np.float32)
+        real_mask[:n_real] = 1.0
 
         p = self._prepare(queries)
         out = self._fn_batch(
             *p["params"], *p["tb1"], *p["tb2"],
-            p["q3_rows"], p["q3_lens"],
+            p["q3_rows"], p["q3_lens"], real_mask,
             *p["index_state"], *p["bm"], *p["caches"],
             **p["statics"],
         )

@@ -233,10 +233,19 @@ class DeviceTokenCache:
             self.max_len = self.seq_len
         else:
             m = np.asarray(masks)
+            m = m.reshape(m.shape[0], -1)
             if m.size:
-                self.max_len = max(
-                    self.max_len, int(m.reshape(m.shape[0], -1).sum(axis=1).max())
+                # last-valid-position + 1, NOT mask.sum(): a mask with
+                # interior zeros (e.g. a punctuation skiplist) must not
+                # under-report how far its valid tokens reach — the
+                # _d2_budget slice would drop real tokens.
+                nz = m != 0
+                last = np.where(
+                    nz.any(axis=1),
+                    m.shape[1] - np.argmax(nz[:, ::-1], axis=1),
+                    0,
                 )
+                self.max_len = max(self.max_len, int(last.max()))
         emb = jnp.asarray(embeddings)
         msk = jnp.asarray(masks)
         if emb.shape[1] != self.seq_len:

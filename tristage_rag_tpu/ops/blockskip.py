@@ -98,11 +98,20 @@ def blockskip_topk(
     scales=None,
     impl: str = "xla",
     interpret: bool = False,
+    real_mask=None,
 ):
     """Probed top-k over a blocked corpus.
 
     Args:
       queries: [B, d] query embeddings.
+      real_mask: optional [B] (bool/int/float) — 1 for real queries.
+        Callers that pad their batch with placeholder queries BEFORE
+        this call (the fused funnel buckets batches with "" queries)
+        pass it so the placeholders' real encoder embeddings cannot
+        steer a tile's shared probe set; rows marked 0 probe nothing
+        (all-NEG_INF centroid scores, same treatment as this
+        function's own internal batch padding) and their outputs are
+        garbage for the caller to drop.
       blocked: [n_blocks, block_size, d] packed corpus (f32/bf16/int8).
       row_ids: [n_blocks, block_size] int32 original ids, -1 = padding.
       centroids: [n_blocks, d] f32 probe targets (block_centroids).
@@ -158,6 +167,13 @@ def blockskip_topk(
         # centroid scores would out-rank real negative block scores in
         # the max-pool below.
         cscores = cscores.at[b:].set(NEG_INF)
+    if real_mask is not None:
+        rm = real_mask.astype(jnp.float32)
+        if b_pad != b:
+            rm = jnp.concatenate(
+                [rm, jnp.zeros((b_pad - b,), jnp.float32)]
+            )
+        cscores = jnp.where(rm[:, None] > 0, cscores, NEG_INF)
     tile_scores = cscores.reshape(t, tile_q, nb).max(axis=1)
     # All-padding blocks (sharded views pad nb to the shard count) have
     # zero centroids — score 0 would out-probe real blocks with
