@@ -242,6 +242,25 @@ class TestFusedClusteredEligibility:
         assert victim not in _ids(of2)
         assert _ids(of2) == _ids(staged.search("alpha beta topic3"))
 
+    def test_save_load_roundtrip_keeps_probe_and_ranking(self, tmp_path):
+        """load_index restores the persisted cluster ORDER (no k-means
+        re-run) and the reloaded fused funnel probes identically."""
+        fused, _ = _pipelines(index_dir=str(tmp_path / "idx"))
+        docs = _docs(seed=5)
+        fused.add_documents(docs)
+        q = "alpha beta topic3"
+        ref = _ids(fused.search(q))  # also builds the view
+        fused.save_index()
+        fresh, _ = _pipelines(index_dir=str(tmp_path / "idx"))
+        assert fresh.load_index()
+        idx = fresh.stage1.index
+        # the view restored from the saved order — already built
+        assert idx._cluster is not None
+        assert idx._cluster.built_count == idx.count
+        out = fresh.search(q)
+        assert out["timing"].get("fused") is True
+        assert _ids(out) == ref
+
     def test_int8_corpus_probes_with_scales(self):
         fused, staged = _pipelines(index_dtype="int8")
         docs = _docs(seed=3)
