@@ -3,7 +3,15 @@
 Prints ONE JSON line:
   {"metric": "stage1_qps", "value": N, "unit": "qps", "vs_baseline": R,
    "recall_at_k": r, "exact_qps": E,
-   "int8_approx_qps": Q8, "int8_recall_at_k": r8}
+   "int8_approx_qps": Q8, "int8_recall_at_k": r8,
+   "funnel_ms_per_query": F, "funnel_vs_target": 20/F,
+   "indexing_docs_s": D}
+
+The funnel fields are the END-TO-END tri-stage device time at the
+BASELINE.md protocol shape (full-size archs, 2k docs, 500/100/20,
+shipped default config), measured by scripts/bench_funnel_gate.py in
+a timeout-bounded subprocess (skipped, never fatal, on failure;
+BENCH_NO_FUNNEL=1 disables).
 
 The headline `value` is pinned to the DEFAULT storage path (bf16 corpus
 + XLA approx_max_k) so vs_baseline stays apples-to-apples across
@@ -47,7 +55,36 @@ def _timed_loop(step_fn, q, docs, iters: int):
     return chained_loop_time(step_fn, q, docs, iters)
 
 
+def _run_funnel_leg() -> dict:
+    """End-to-end funnel leg in a timeout-bounded SUBPROCESS (see
+    scripts/bench_funnel_gate.py). Runs BEFORE this process touches the
+    device: TPU runtimes are exclusive per-process, so the child must
+    own the chip while it measures. Never fatal — on any failure the
+    stage-1 headline ships without the funnel fields."""
+    if _os.environ.get("BENCH_NO_FUNNEL"):
+        return {}
+    import subprocess
+
+    try:
+        res = subprocess.run(
+            [sys.executable, "-u",
+             _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                           "scripts", "bench_funnel_gate.py")],
+            capture_output=True, text=True, timeout=1800,
+        )
+        for line in res.stdout.splitlines()[::-1]:
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        print(f"# funnel leg produced no JSON (rc={res.returncode}): "
+              f"{res.stderr[-300:]}", file=sys.stderr)
+    except Exception as e:
+        print(f"# funnel leg skipped: {e}", file=sys.stderr)
+    return {}
+
+
 def main() -> None:
+    funnel = _run_funnel_leg()  # before any device allocation here
     docs = jax.random.normal(jax.random.PRNGKey(0), (N, D), dtype=jnp.bfloat16)
     # L2-normalize on device (cosine / inner-product equivalence).
     norm = jnp.sqrt(jnp.sum(jnp.square(docs.astype(jnp.float32)), axis=1, keepdims=True))
@@ -185,6 +222,14 @@ def main() -> None:
             out[f"{pal}_qps"] = round(candidates[pal], 1)
             if pal in recalls:
                 out[f"{pal}_recall_at_k"] = round(recalls[pal], 4)
+    if "funnel_ms_per_query" in funnel:
+        out["funnel_ms_per_query"] = funnel["funnel_ms_per_query"]
+        # latency target ratio, higher = better (BASELINE.md <20 ms)
+        out["funnel_vs_target"] = round(
+            20.0 / max(funnel["funnel_ms_per_query"], 1e-9), 2
+        )
+        if "indexed_docs_s" in funnel:
+            out["indexing_docs_s"] = funnel["indexed_docs_s"]
     print(json.dumps(out))
 
 

@@ -201,6 +201,7 @@ class TestPerfProfile:
         assert cfg.index_search_impl == "approx"
         assert cfg.stage2_cache_int8 and cfg.stage3_weights_int8
         assert cfg.enable_result_cache and cfg.result_cache_size == 4096
+        assert cfg.compilation_cache_dir  # restart story, compile half
         cfg = dataclasses.replace(
             cfg, stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
             stage3_model="tiny-bert", stage1_top_k=8, stage2_top_k=6,
@@ -208,6 +209,7 @@ class TestPerfProfile:
             stage2_max_seq_length=32, stage3_max_length=64,
             mesh_data_parallel=1, compute_dtype="float32",
             index_dir=str(tmp_path),
+            compilation_cache_dir=str(tmp_path / "xla_cache"),
         )
         p = RetrievalPipeline(cfg)
         p.add_documents([f"doc {i} fox topic {i % 3}" for i in range(12)])

@@ -254,6 +254,15 @@ class PipelineConfig:
     # may miss the result cache (its dispatch can precede the first
     # query's fetch) — correctness is unaffected.
     serve_pipelined: bool = False
+    # Persistent XLA compilation cache (jax_compilation_cache_dir):
+    # compiled programs — including remote-compiled Mosaic kernels —
+    # are written here and reused across process restarts, the other
+    # half of restart cost next to persist_device_caches (a cold fused
+    # funnel pays tens of seconds of XLA compiles locally and minutes
+    # of remote Mosaic compiles over tunneled dev TPUs). The setting is
+    # process-global (jax.config): the first pipeline to set it wins
+    # for the process lifetime. None = off.
+    compilation_cache_dir: Optional[str] = None
 
     # ---- YAML ------------------------------------------------------------
 
@@ -329,6 +338,7 @@ class PipelineConfig:
             ("result_cache_size", "result_cache_size"),
             ("persist_device_caches", "persist_device_caches"),
             ("serve_pipelined", "serve_pipelined"),
+            ("compilation_cache_dir", "compilation_cache_dir"),
         ],
     }
 

@@ -49,6 +49,12 @@ class RetrievalPipeline:
             config = PipelineConfig.from_yaml(config)
         self.config = config
         self._setup_logging()
+        if getattr(config, "compilation_cache_dir", None):
+            from tristage_rag_tpu.utils.compilecache import (
+                enable_compilation_cache,
+            )
+
+            enable_compilation_cache(config.compilation_cache_dir)
         if getattr(config, "mesh_dcn_parallel", 1) > 1:
             self.mesh = create_hybrid_mesh(
                 config.mesh_dcn_parallel, config.mesh_data_parallel
