@@ -1,46 +1,58 @@
-"""Headline benchmark: stage-1 dense retrieval QPS on one TPU chip.
+"""Driver perf gate: stage-1 QPS headline + budgeted optional legs.
 
-Prints ONE JSON line:
+Prints the stage-1 headline JSON line the moment the stage-1 leg
+returns, then re-prints a MERGED line as each optional leg lands
+(end-to-end funnel, synthetic NDCG). The driver keeps the LAST JSON
+line, so every printed line is a complete superset of the previous
+one — an rc=124 kill during a later leg can no longer erase the
+headline (VERDICT r3 weak-1: round 3 shipped rc=124 with no JSON).
+
+Final merged line:
   {"metric": "stage1_qps", "value": N, "unit": "qps", "vs_baseline": R,
    "recall_at_k": r, "exact_qps": E,
    "int8_approx_qps": Q8, "int8_recall_at_k": r8,
    "funnel_ms_per_query": F, "funnel_vs_target": 20/F,
-   "indexing_docs_s": D}
+   "indexing_docs_s": D, "synthetic_ndcg_at_10": S}
 
-The funnel fields are the END-TO-END tri-stage device time at the
-BASELINE.md protocol shape (full-size archs, 2k docs, 500/100/20,
-shipped default config), measured by scripts/bench_funnel_gate.py in
-a timeout-bounded subprocess (skipped, never fatal, on failure;
-BENCH_NO_FUNNEL=1 disables).
+Process layout: the PARENT never imports jax or touches the device.
+Each leg is a timeout-bounded subprocess (TPU runtimes are exclusive
+per-process, so device legs run sequentially; the CPU-only NDCG leg
+runs concurrently from the start):
 
-The headline `value` is pinned to the DEFAULT storage path (bf16 corpus
-+ XLA approx_max_k) so vs_baseline stays apples-to-apples across
-rounds; the opt-in int8 storage mode is reported as its own fields with
-its own measured recall, and `exact_qps` is the exact XLA top_k path so
-a reader of the JSON alone can see what accuracy the headline trades.
+  1. ``bench.py --leg stage1``       device leg, cap BENCH_S1_TIMEOUT
+     (default 480 s) — the headline. If it fails, nothing is printed
+     and the gate exits non-zero (an honest tunnel-down signal).
+  2. ``scripts/bench_funnel_gate.py`` device leg, cap
+     BENCH_FUNNEL_TIMEOUT (default 300 s) — fused tri-stage device
+     time at the BASELINE.md protocol shape (full-size archs, 2k
+     docs, 500/100/20). Uses the persistent compile cache under
+     ./xla_cache so full-size Mosaic compiles amortize across runs.
+     BENCH_NO_FUNNEL=1 disables.
+  3. ``scripts/bench_ndcg_gate.py``   CPU leg, cap BENCH_NDCG_TIMEOUT
+     (default 420 s) — synthetic-LIMIT NDCG@10 of the tiny trained
+     stack (quality regression axis, VERDICT r3 next-10).
+     BENCH_NO_NDCG=1 disables.
 
-Setup mirrors BASELINE.md's north-star config: corpus of 1M (2^20)
-768-dim bf16 embeddings resident in HBM, query batch 128, exact-merge
-fused top-500. vs_baseline is measured QPS / 10,000 (the >10k QPS
-target; the reference publishes no numbers of its own — BASELINE.md).
-
-Timing method: the axon relay acks dispatches before device completion,
-so block_until_ready under-measures. We therefore time
-jit(fori_loop(op)) at two iteration counts and difference out the RTT +
-dispatch overhead (each iteration's output feeds the next input, so the
-device cannot overlap iterations).
+The stage-1 headline `value` stays pinned to the DEFAULT storage path
+(bf16 corpus + XLA approx_max_k) so vs_baseline is apples-to-apples
+across rounds; int8 storage reports as its own fields with its own
+measured recall, and `exact_qps` shows what accuracy the headline
+trades. Setup mirrors BASELINE.md's north-star config: 1M (2^20)
+768-dim bf16 embeddings resident in HBM, query batch 128, fused
+top-500; vs_baseline = QPS / 10,000. Timing method: the axon relay
+acks dispatches before device completion, so block_until_ready
+under-measures; we time jit(fori_loop(op)) at two iteration counts
+and difference out RTT + dispatch overhead (each iteration's output
+feeds the next input, so iterations cannot overlap).
 """
 
 from __future__ import annotations
 
 import json
+import os as _os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-
-import os as _os
 
 N = int(_os.environ.get("BENCH_N", 1 << 20))  # 1,048,576 docs
 D = 768
@@ -48,47 +60,36 @@ K = int(_os.environ.get("BENCH_K", 500))
 B = 128
 BASELINE_QPS = 10_000.0
 
+_REPO = _os.path.dirname(_os.path.abspath(__file__))
 
-def _timed_loop(step_fn, q, docs, iters: int):
+
+# ---------------------------------------------------------------- legs
+
+def _stage1_leg() -> None:
+    """Device leg: the stage-1 QPS headline. Prints ONE JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    if _os.environ.get("BENCH_FORCE_CPU"):  # local smoke validation
+        jax.config.update("jax_platforms", "cpu")
+
+    try:  # persistent compile cache: restarts reuse compiled programs
+        from tristage_rag_tpu.utils.compilecache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(_os.path.join(_REPO, "xla_cache"))
+    except Exception as e:
+        print(f"# compile cache unavailable: {e}", file=sys.stderr)
+
     from tristage_rag_tpu.utils.benchtime import chained_loop_time
 
-    return chained_loop_time(step_fn, q, docs, iters)
-
-
-def _run_funnel_leg() -> dict:
-    """End-to-end funnel leg in a timeout-bounded SUBPROCESS (see
-    scripts/bench_funnel_gate.py). Runs BEFORE this process touches the
-    device: TPU runtimes are exclusive per-process, so the child must
-    own the chip while it measures. Never fatal — on any failure the
-    stage-1 headline ships without the funnel fields."""
-    if _os.environ.get("BENCH_NO_FUNNEL"):
-        return {}
-    import subprocess
-
-    try:
-        res = subprocess.run(
-            [sys.executable, "-u",
-             _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                           "scripts", "bench_funnel_gate.py")],
-            capture_output=True, text=True, timeout=1800,
-        )
-        for line in res.stdout.splitlines()[::-1]:
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
-        print(f"# funnel leg produced no JSON (rc={res.returncode}): "
-              f"{res.stderr[-300:]}", file=sys.stderr)
-    except Exception as e:
-        print(f"# funnel leg skipped: {e}", file=sys.stderr)
-    return {}
-
-
-def main() -> None:
-    funnel = _run_funnel_leg()  # before any device allocation here
     docs = jax.random.normal(jax.random.PRNGKey(0), (N, D), dtype=jnp.bfloat16)
     # L2-normalize on device (cosine / inner-product equivalence).
-    norm = jnp.sqrt(jnp.sum(jnp.square(docs.astype(jnp.float32)), axis=1, keepdims=True))
-    docs = (docs.astype(jnp.float32) / jnp.maximum(norm, 1e-9)).astype(jnp.bfloat16)
+    norm = jnp.sqrt(jnp.sum(jnp.square(docs.astype(jnp.float32)), axis=1,
+                            keepdims=True))
+    docs = (docs.astype(jnp.float32) / jnp.maximum(norm, 1e-9)).astype(
+        jnp.bfloat16)
     q = jax.random.normal(jax.random.PRNGKey(1), (B, D), dtype=jnp.bfloat16)
     count = jnp.int32(N)
 
@@ -106,11 +107,8 @@ def main() -> None:
 
     # int8 storage mode (opt-in `index_int8` config): per-row symmetric
     # quantization, dequant fused into the matmul's HBM read — halves
-    # the corpus-read bytes that bound this op. Measured on v5e
-    # (2026-08-16): 1.55 ms/batch, 82,809 QPS, recall@500 = 0.981 vs
-    # exact (bf16 approx: 2.22 ms). Reported as its OWN metric fields,
-    # never as the headline (ADVICE r2: keep vs_baseline pinned to the
-    # shipped default path).
+    # the corpus-read bytes that bound this op. Reported as its OWN
+    # metric fields, never as the headline (ADVICE r2).
     int8_ready = False
     try:
         from tristage_rag_tpu.index.dense import _quantize_rows
@@ -129,13 +127,11 @@ def main() -> None:
     except Exception as e:
         print(f"# int8 path unavailable: {e}", file=sys.stderr)
     # Exact XLA top_k is ~77x slower at this scale, so it gets few
-    # iterations — it is here to put the recall cost of the headline in
-    # context, not to win. The fused Pallas kernel pays a ~5 min Mosaic
-    # remote-compile on tunneled dev TPUs, so it stays opt-in.
-    import os
-
+    # iterations — it contextualizes the headline's recall cost. The
+    # fused Pallas kernel pays a ~5 min Mosaic remote-compile on
+    # tunneled dev TPUs, so it stays opt-in (BENCH_PALLAS=1).
     paths.append(("xla_exact", xla_exact_step, docs))
-    if os.environ.get("BENCH_PALLAS"):
+    if _os.environ.get("BENCH_PALLAS"):
         from tristage_rag_tpu.ops.pallas_topk import fused_matmul_topk
 
         def pallas_step(q, d):
@@ -149,7 +145,7 @@ def main() -> None:
         if int8_ready:
             # int8 x int8 on the MXU + half the HBM read — the XLA
             # int8 path only gets the read saving (it dequantizes into
-            # a float dot, staying compute-bound: 82.8k vs 76.9k QPS).
+            # a float dot, staying compute-bound).
             def pallas_int8_step(q, d):
                 return fused_matmul_topk(
                     q.astype(jnp.float32), d, count, k=K, scales=scales
@@ -169,7 +165,9 @@ def main() -> None:
     iters_for = {"xla_exact": 6}
     for name, fn, corpus in paths:
         try:
-            per_iter = _timed_loop(fn, q, corpus, iters=iters_for.get(name, 30))
+            per_iter = chained_loop_time(
+                fn, q, corpus, iters_for.get(name, 30)
+            )
             candidates[name] = B / per_iter
             print(f"# {name}: {per_iter * 1e3:.3f} ms/batch "
                   f"({candidates[name]:.0f} qps)", file=sys.stderr)
@@ -187,7 +185,7 @@ def main() -> None:
         recall_paths = [("xla_approx", xla_approx_step, docs)]
         if int8_ready:
             recall_paths.append(("int8_approx", int8_approx_step, q8docs))
-        if os.environ.get("BENCH_PALLAS") and int8_ready:
+        if _os.environ.get("BENCH_PALLAS") and int8_ready:
             recall_paths += [
                 ("pallas_int8_exact", pallas_int8_step, q8docs),
                 ("pallas_int8_bank", pallas_int8_bank_step, q8docs),
@@ -199,7 +197,8 @@ def main() -> None:
                 for b in range(B)
             )
             recalls[name] = hit / float(B * K)
-            print(f"# {name} recall@{K}: {recalls[name]:.4f}", file=sys.stderr)
+            print(f"# {name} recall@{K}: {recalls[name]:.4f}",
+                  file=sys.stderr)
     except Exception as e:
         print(f"# recall measurement failed: {e}", file=sys.stderr)
 
@@ -222,15 +221,127 @@ def main() -> None:
             out[f"{pal}_qps"] = round(candidates[pal], 1)
             if pal in recalls:
                 out[f"{pal}_recall_at_k"] = round(recalls[pal], 4)
-    if "funnel_ms_per_query" in funnel:
-        out["funnel_ms_per_query"] = funnel["funnel_ms_per_query"]
-        # latency target ratio, higher = better (BASELINE.md <20 ms)
-        out["funnel_vs_target"] = round(
-            20.0 / max(funnel["funnel_ms_per_query"], 1e-9), 2
+    print(json.dumps(out), flush=True)
+
+
+# -------------------------------------------------------- orchestrator
+
+def _last_json_line(text: str) -> dict | None:
+    for line in text.splitlines()[::-1]:
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except Exception:
+                continue
+    return None
+
+
+def _run_leg(argv: list[str], timeout_s: float, label: str) -> dict | None:
+    """Run one leg to completion; return its last JSON line (or None).
+    Leg stderr passes through for diagnostics; never raises."""
+    if timeout_s <= 5:
+        print(f"# {label} leg skipped: budget exhausted", file=sys.stderr)
+        return None
+    try:
+        res = subprocess.run(
+            argv, capture_output=True, text=True, timeout=timeout_s,
+            cwd=_REPO,
         )
-        if "indexed_docs_s" in funnel:
-            out["indexing_docs_s"] = funnel["indexed_docs_s"]
-    print(json.dumps(out))
+        if res.stderr:
+            sys.stderr.write(res.stderr[-2000:])
+        parsed = _last_json_line(res.stdout)
+        if parsed is None:
+            print(f"# {label} leg produced no JSON (rc={res.returncode})",
+                  file=sys.stderr)
+        return parsed
+    except subprocess.TimeoutExpired:
+        print(f"# {label} leg timed out after {timeout_s:.0f}s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# {label} leg failed: {e}", file=sys.stderr)
+    return None
+
+
+def main() -> None:
+    if "--leg" in sys.argv:
+        assert sys.argv[sys.argv.index("--leg") + 1] == "stage1"
+        _stage1_leg()
+        return
+
+    budget = float(_os.environ.get("BENCH_BUDGET_S", 1100))
+    deadline = time.time() + budget
+
+    def remaining() -> float:
+        return deadline - time.time()
+
+    # CPU-only NDCG leg runs concurrently from the start — it never
+    # touches the chip (it forces the CPU platform before compute).
+    ndcg_proc = None
+    if not _os.environ.get("BENCH_NO_NDCG"):
+        ndcg_proc = subprocess.Popen(
+            [sys.executable, "-u",
+             _os.path.join(_REPO, "scripts", "bench_ndcg_gate.py")],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=_REPO,
+        )
+
+    def join_ndcg() -> dict | None:
+        if ndcg_proc is None:
+            return None
+        n_cap = float(_os.environ.get("BENCH_NDCG_TIMEOUT", 420))
+        try:
+            out, err = ndcg_proc.communicate(
+                timeout=max(5.0, min(n_cap, remaining()))
+            )
+            if err:
+                sys.stderr.write(err[-2000:])
+            return _last_json_line(out)
+        except subprocess.TimeoutExpired:
+            ndcg_proc.kill()
+            ndcg_proc.communicate()
+            print("# ndcg leg timed out", file=sys.stderr)
+        except Exception as e:
+            print(f"# ndcg leg failed: {e}", file=sys.stderr)
+        return None
+
+    s1_cap = float(_os.environ.get("BENCH_S1_TIMEOUT", 480))
+    headline = _run_leg(
+        [sys.executable, "-u", _os.path.abspath(__file__),
+         "--leg", "stage1"],
+        min(s1_cap, remaining()), "stage1",
+    )
+    if not headline or "value" not in headline:
+        if ndcg_proc is not None:
+            ndcg_proc.kill()
+            ndcg_proc.communicate()
+        raise SystemExit("stage-1 headline leg failed — no JSON emitted")
+
+    print(json.dumps(headline), flush=True)  # line 1: headline FIRST
+
+    if not _os.environ.get("BENCH_NO_FUNNEL"):
+        f_cap = float(_os.environ.get("BENCH_FUNNEL_TIMEOUT", 300))
+        funnel = _run_leg(
+            [sys.executable, "-u",
+             _os.path.join(_REPO, "scripts", "bench_funnel_gate.py")],
+            min(f_cap, remaining() - 30), "funnel",
+        )
+        if funnel and "funnel_ms_per_query" in funnel:
+            headline["funnel_ms_per_query"] = funnel["funnel_ms_per_query"]
+            # latency target ratio, higher = better (BASELINE.md <20 ms)
+            headline["funnel_vs_target"] = round(
+                20.0 / max(funnel["funnel_ms_per_query"], 1e-9), 2
+            )
+            if "indexed_docs_s" in funnel:
+                headline["indexing_docs_s"] = funnel["indexed_docs_s"]
+            print(json.dumps(headline), flush=True)  # line 2: +funnel
+
+    ndcg = join_ndcg()
+    if ndcg and "synthetic_ndcg_at_10" in ndcg:
+        headline["synthetic_ndcg_at_10"] = ndcg["synthetic_ndcg_at_10"]
+        if "synthetic_recall_at_10" in ndcg:
+            headline["synthetic_recall_at_10"] = ndcg["synthetic_recall_at_10"]
+        print(json.dumps(headline), flush=True)  # line 3: +quality axis
 
 
 if __name__ == "__main__":

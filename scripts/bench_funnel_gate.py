@@ -26,6 +26,10 @@ from bench_tristage import make_docs  # noqa: E402  (same dir)
 
 def main() -> None:
     n_docs = int(os.environ.get("BENCH_FUNNEL_DOCS", 2000))
+    if os.environ.get("BENCH_FORCE_CPU"):  # local smoke validation
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from tristage_rag_tpu.engine.config import PipelineConfig
     from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
 
@@ -45,6 +49,13 @@ def main() -> None:
         enable_fused_search=True,
         stage2_cache_doc_embeddings=True,
         mesh_data_parallel=1,
+        # persistent compile cache: the full-size Mosaic compiles run
+        # REMOTELY (~minutes each) on tunneled dev TPUs — warm runs
+        # reload executables so this leg fits bench.py's 300 s budget
+        compilation_cache_dir=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "xla_cache",
+        ),
         **models,
     )
     p = RetrievalPipeline(cfg)
