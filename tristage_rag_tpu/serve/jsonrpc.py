@@ -87,12 +87,11 @@ class StdioJsonRpcServer:
                 await self._send({"jsonrpc": "2.0", "id": msg_id, "result": result})
         except JsonRpcError as e:
             if not is_notification:
+                err: dict[str, Any] = {"code": e.code, "message": str(e)}
+                if e.data is not None:  # JSON-RPC 2.0: data MAY be omitted
+                    err["data"] = e.data
                 await self._send(
-                    {
-                        "jsonrpc": "2.0",
-                        "id": msg_id,
-                        "error": {"code": e.code, "message": str(e), "data": e.data},
-                    }
+                    {"jsonrpc": "2.0", "id": msg_id, "error": err}
                 )
         except Exception as e:
             logger.exception("handler %s failed", method)

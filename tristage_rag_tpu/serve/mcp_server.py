@@ -34,6 +34,9 @@ from tristage_rag_tpu.serve.jsonrpc import JsonRpcError, StdioJsonRpcServer
 logger = logging.getLogger(__name__)
 
 PROTOCOL_VERSION = "2024-11-05"
+SUPPORTED_PROTOCOL_VERSIONS = (PROTOCOL_VERSION,)
+# MCP-defined JSON-RPC error code (2024-11-05 resources spec):
+RESOURCE_NOT_FOUND = -32002
 from tristage_rag_tpu.version import __version__
 
 SERVER_INFO = {"name": "tristage-rag-tpu", "version": __version__}
@@ -285,8 +288,18 @@ class RetrievalMCPServer:
 
         @rpc.method("initialize")
         async def initialize(params):
+            # 2024-11-05 lifecycle: respond with the client's requested
+            # version iff the server supports it; otherwise with the
+            # latest version the server DOES support (echoing an
+            # arbitrary unsupported version back would falsely claim
+            # support for it).
+            requested = params.get("protocolVersion")
             return {
-                "protocolVersion": params.get("protocolVersion", PROTOCOL_VERSION),
+                "protocolVersion": (
+                    requested
+                    if requested in SUPPORTED_PROTOCOL_VERSIONS
+                    else PROTOCOL_VERSION
+                ),
                 "capabilities": {"tools": {}, "resources": {}},
                 "serverInfo": SERVER_INFO,
             }
@@ -439,7 +452,11 @@ class RetrievalMCPServer:
             return self.pipeline.config.as_dict()
         if uri == "pipeline://status":
             return await self._run(self.pipeline.get_pipeline_info)
-        raise JsonRpcError(-32602, f"Unknown resource: {uri}")
+        # MCP resources spec: unknown resource is -32002 "Resource not
+        # found" with the uri in error.data (not generic invalid-params)
+        raise JsonRpcError(
+            RESOURCE_NOT_FOUND, "Resource not found", data={"uri": uri}
+        )
 
     async def run(self, reader=None, writer=None) -> None:
         await self.batcher.start()
