@@ -307,33 +307,40 @@ def run_mteb(
     register_model(model)
     evaluation = mteb.MTEB(tasks=[task_cls()])
     results = evaluation.run(model, output_folder=output_folder)
+    return results, extract_main_scores(results)
 
-    def _extract(res) -> Optional[float]:
-        scores = getattr(res, "scores", None) or (
-            res.get("scores") if isinstance(res, dict) else None
-        )
-        if isinstance(scores, dict):
-            for split_scores in scores.values():
-                rows = (
-                    split_scores if isinstance(split_scores, list)
-                    else [split_scores]
-                )
-                for row in rows:
-                    if isinstance(row, dict):
-                        for key in ("ndcg_at_10", "main_score"):
-                            if key in row:
-                                return float(row[key])
-        return None
 
-    main_scores = {}
+def _extract_main_score(res) -> Optional[float]:
+    scores = getattr(res, "scores", None) or (
+        res.get("scores") if isinstance(res, dict) else None
+    )
+    if isinstance(scores, dict):
+        for split_scores in scores.values():
+            rows = (
+                split_scores if isinstance(split_scores, list)
+                else [split_scores]
+            )
+            for row in rows:
+                if isinstance(row, dict):
+                    for key in ("ndcg_at_10", "main_score"):
+                        if key in row:
+                            return float(row[key])
+    return None
+
+
+def extract_main_scores(results) -> dict[str, float]:
+    """Best-effort ``{task_name: main score}`` from MTEB v2's
+    list-of-TaskResult-objects OR list-of-dicts result shapes
+    (mirrors benchmark/run_mteb_evaluation.py:337-386)."""
+    main_scores: dict[str, float] = {}
     for res in results or []:
         name = getattr(res, "task_name", None) or (
             res.get("task_name") if isinstance(res, dict) else "task"
         )
-        score = _extract(res)
+        score = _extract_main_score(res)
         if score is not None:
             main_scores[str(name)] = score
-    return results, main_scores
+    return main_scores
 
 
 def _build_limit_metadata(variant: str):
