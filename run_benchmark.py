@@ -54,8 +54,22 @@ def main() -> int:
         help="run even when a stage has no checkpoint (scores will be "
         "meaningless; they are watermarked in the output)",
     )
+    ap.add_argument(
+        "--preflight", action="store_true",
+        help="verify every asset the real run needs (checkpoints, "
+        "tokenizers, dataset JSONL) and print the exact command "
+        "sequence; no device work",
+    )
     args = ap.parse_args()
     logging.basicConfig(level=getattr(logging, args.log_level.upper(), logging.INFO))
+
+    if args.preflight:
+        from tristage_rag_tpu.eval.preflight import run_preflight
+
+        return run_preflight(
+            _resolve_config(args.config), args.data_dir, args.variant,
+            low_mem=args.low_mem,
+        )
 
     from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
     from tristage_rag_tpu.eval.limit import download_limit, load_limit

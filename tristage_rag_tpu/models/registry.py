@@ -126,6 +126,22 @@ ENCODER_CONFIGS: dict[str, EncoderConfig] = {
         embedding_scale=True,
         embedding_norm=False,
         query_scale=256.0,
+        # real checkpoint attention layout (config.json of
+        # google/embeddinggemma-300m): 5 sliding-window layers per
+        # global layer (layers 5/11/17/23 global — Gemma counts
+        # (i+1) % pattern, unlike ModernBERT's i % pattern, so the
+        # pattern is spelled out), window 512 in the hub file's
+        # convention (band |q-k| <= 256), dual rope thetas — kept in
+        # the fallback so random-weight runs use the true architecture
+        # (tests/test_fullsize_load_parity.py pins this against the
+        # checkpoint-derived config)
+        sliding_window=512,
+        global_attn_every=6,
+        layer_types=(
+            ("sliding_attention",) * 5 + ("full_attention",)
+        ) * 4,
+        rope_theta=1_000_000.0,
+        rope_local_theta=10_000.0,
     ),
     "gte-moderncolbert": EncoderConfig(
         vocab_size=50368,
