@@ -152,14 +152,6 @@ def main() -> None:
     ap.add_argument("--int8-stage3", action="store_true",
                     help="also measure int8 cross-encoder weights at "
                          "each width")
-    ap.add_argument("--act-int8", action="store_true",
-                    help="also measure int8-activation cross-encoder "
-                         "(int8 x int8 MXU; stage3_act_int8) at each "
-                         "width")
-    ap.add_argument("--act-int8-static", action="store_true",
-                    help="also measure the static-scale int8-activation "
-                         "mode (stage3_act_int8='static': calibrated "
-                         "per-tensor scales, ALL projections int8)")
     ap.add_argument("--act-int8-pallas", action="store_true",
                     help="also measure the fused Pallas int8 kernel "
                          "(stage3_act_int8='pallas': quant/dot/dequant/"
@@ -248,10 +240,6 @@ def main() -> None:
     variants = [v("bf16")]
     if args.int8_stage3:
         variants.append(v("int8_s3", stage3_weights_int8=True))
-    if args.act_int8:
-        variants.append(v("act_int8", stage3_act_int8=True))
-    if args.act_int8_static:
-        variants.append(v("act_int8_static", stage3_act_int8="static"))
     if args.act_int8_pallas:
         variants.append(v("act_int8_pallas", stage3_act_int8="pallas"))
     if args.act_int8_static_pallas:

@@ -66,8 +66,7 @@ def main():
     ap.add_argument("--tuned", action="store_true",
                     help="bigger encode batches + shorter s1 padding")
     ap.add_argument("--act-int8", default=None,
-                    choices=("dynamic", "static", "pallas",
-                             "static-pallas"),
+                    choices=("pallas", "static-pallas"),
                     help="run the stage-1/2 encoders with int8 "
                          "activations (stage{1,2}_act_int8) — the "
                          "indexing-throughput int8 x int8 MXU lever; "
@@ -119,8 +118,8 @@ def main():
             stage1_max_text_length=256,
         )
     if args.act_int8:
-        mode = True if args.act_int8 == "dynamic" else args.act_int8
-        cfg.update(stage1_act_int8=mode, stage2_act_int8=mode)
+        cfg.update(stage1_act_int8=args.act_int8,
+                   stage2_act_int8=args.act_int8)
     # default is "auto" (kernel on for TPU): pin both ways so the
     # control leg really is the module path
     cfg.update(stage1_fused_mlp=args.fused_mlp,

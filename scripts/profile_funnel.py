@@ -32,8 +32,8 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/funnel_traces")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--variants", nargs="+",
-                    default=["bf16", "static"],
-                    choices=["bf16", "dynamic", "static", "pallas",
+                    default=["bf16", "static-pallas"],
+                    choices=["bf16", "pallas",
                              "static-pallas", "flash", "fused-mlp",
                              "flash-fused-mlp", "weights-int8",
                              "weights-int8-module", "dense-attn",
@@ -62,7 +62,7 @@ def main() -> None:
             f"memory bandwidth index shard " * 4 for i in range(args.docs)]
     query = "retrieval kernel latency topic 3"
 
-    mode_map = {"bf16": False, "dynamic": True, "static": "static",
+    mode_map = {"bf16": False,
                 "pallas": "pallas", "static-pallas": "static-pallas"}
     kernel_map = {  # bf16 kernel variants (no quantization)
         "flash": {"stage3_flash_attention": True,

@@ -116,7 +116,7 @@ class TestStage3ActInt8:
         # batch by the extremes, amplifying per-score deltas ~3x)
         base = CrossEncoderReranker(_base(stage3_normalize_scores=False))
         q = CrossEncoderReranker(
-            _base(stage3_act_int8=True, stage3_normalize_scores=False)
+            _base(stage3_act_int8="pallas", stage3_normalize_scores=False)
         )
         # same seed => same random init; param trees must be identical
         import jax
@@ -148,7 +148,7 @@ class TestStage3ActInt8:
         from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
 
         p_base = RetrievalPipeline(_base())
-        p_q = RetrievalPipeline(_base(stage3_act_int8=True))
+        p_q = RetrievalPipeline(_base(stage3_act_int8="pallas"))
         p_base.add_documents(DOCS)
         p_q.add_documents(DOCS)
         for query in ("quick brown fox", "topic 1 doc"):
@@ -167,7 +167,7 @@ class TestStage3ActInt8:
         )
         p1 = RetrievalPipeline(_base(**extra))
         p1.add_documents(list(DOCS))
-        p2 = RetrievalPipeline(_base(stage3_act_int8=True, **extra))
+        p2 = RetrievalPipeline(_base(stage3_act_int8="pallas", **extra))
         p2.add_documents(list(DOCS))
         for q in ("quick brown fox topic 2", "doc topic fox"):
             o1 = p1.search(q, top_k=3)
@@ -180,8 +180,8 @@ class TestStage3ActInt8:
     def test_yaml_roundtrip_carries_flag(self, tmp_path):
         from tristage_rag_tpu.engine.config import PipelineConfig
 
-        cfg = _base(stage3_act_int8=True)
+        cfg = _base(stage3_act_int8="pallas")
         path = tmp_path / "c.yaml"
         cfg.export(path)
         back = PipelineConfig.from_yaml(path)
-        assert back.stage3_act_int8 is True
+        assert back.stage3_act_int8 == "pallas"

@@ -38,7 +38,7 @@ QUERIES = ("quick brown fox topic 2", "doc topic fox", "topic 3 doc")
 
 
 class TestStage1ActInt8:
-    @pytest.mark.parametrize("mode", [True, "static"])
+    @pytest.mark.parametrize("mode", ["pallas", "static-pallas"])
     def test_embeddings_close_to_bf16(self, mode):
         from tristage_rag_tpu.engine.stage1 import Stage1Retriever
 
@@ -46,7 +46,7 @@ class TestStage1ActInt8:
         qz = Stage1Retriever(_base(stage1_act_int8=mode))
         e_base = base.encode(DOCS[:8])
         e_q = qz.encode(DOCS[:8])
-        if mode == "static":
+        if mode == "static-pallas":
             assert not qz.runtime.needs_act_calibration
         # unit-norm embeddings: cosine of each pair near 1
         cos = np.sum(e_base * e_q, axis=-1) / (
@@ -54,7 +54,7 @@ class TestStage1ActInt8:
         )
         assert cos.min() > 0.98, cos.min()
 
-    @pytest.mark.parametrize("mode", [True, "static"])
+    @pytest.mark.parametrize("mode", ["pallas", "static-pallas"])
     def test_funnel_top_set_stable(self, mode):
         from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
 
@@ -81,7 +81,7 @@ class TestStage1ActInt8:
         from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
 
         p = RetrievalPipeline(_base(
-            stage1_act_int8="static", stage2_cache_doc_embeddings=True,
+            stage1_act_int8="static-pallas", stage2_cache_doc_embeddings=True,
             enable_fused_search=True,
         ))
         p.add_documents(list(DOCS))
@@ -96,7 +96,7 @@ class TestStage1ActInt8:
 
 
 class TestStage2ActInt8:
-    @pytest.mark.parametrize("mode", [True, "static"])
+    @pytest.mark.parametrize("mode", ["pallas", "static-pallas"])
     def test_rescoring_close_to_bf16(self, mode):
         from tristage_rag_tpu.engine.stage2 import ColBERTScorer
 
@@ -130,7 +130,7 @@ class TestStage2ActInt8:
         p_base = RetrievalPipeline(_base(**extra))
         p_base.add_documents(list(DOCS))
         p_q = RetrievalPipeline(_base(
-            stage1_act_int8="static", stage2_act_int8="static", **extra
+            stage1_act_int8="static-pallas", stage2_act_int8="static-pallas", **extra
         ))
         p_q.add_documents(list(DOCS))
         agree = 0
@@ -147,7 +147,7 @@ class TestStaticCalibrationPaths:
         from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
 
         p = RetrievalPipeline(_base(
-            stage1_act_int8="static", stage2_act_int8="static",
+            stage1_act_int8="static-pallas", stage2_act_int8="static-pallas",
             stage2_cache_doc_embeddings=True, enable_fused_search=True,
         ))
         p.initialize_stages()
@@ -164,8 +164,8 @@ class TestStaticCalibrationPaths:
         from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
 
         cfg_kw = dict(
-            stage1_act_int8="static", stage2_act_int8="static",
-            stage3_act_int8="static",
+            stage1_act_int8="static-pallas", stage2_act_int8="static-pallas",
+            stage3_act_int8="static-pallas",
             stage2_cache_doc_embeddings=True, enable_fused_search=True,
         )
         p0 = RetrievalPipeline(_base(**cfg_kw))
@@ -192,12 +192,12 @@ class TestConfigSurface:
     def test_yaml_roundtrip(self, tmp_path):
         from tristage_rag_tpu.engine.config import PipelineConfig
 
-        cfg = _base(stage1_act_int8="static", stage2_act_int8=True)
+        cfg = _base(stage1_act_int8="static-pallas", stage2_act_int8="pallas")
         path = tmp_path / "c.yaml"
         cfg.export(path)
         back = PipelineConfig.from_yaml(path)
-        assert back.stage1_act_int8 == "static"
-        assert back.stage2_act_int8 is True
+        assert back.stage1_act_int8 == "static-pallas"
+        assert back.stage2_act_int8 == "pallas"
 
     @pytest.mark.parametrize("knob", ["stage1_act_int8", "stage2_act_int8"])
     def test_invalid_mode_names_knob(self, knob):
@@ -205,3 +205,14 @@ class TestConfigSurface:
 
         with pytest.raises(ValueError, match=knob):
             act_int8_overrides("int4", knob)
+
+    @pytest.mark.parametrize("mode", [True, "dynamic", "static"])
+    def test_removed_xla_modes_fail_loudly(self, mode):
+        """The plain-XLA act-int8 modes were pruned after measuring as
+        in-context losses (VERDICT r3 next-7) — configs carrying them
+        must fail with a pointer to the surviving modes, not silently
+        run a different quantization."""
+        from tristage_rag_tpu.engine.factory import act_int8_overrides
+
+        with pytest.raises(ValueError, match="removed"):
+            act_int8_overrides(mode, "stage1_act_int8")

@@ -1,4 +1,4 @@
-"""Static-scale int8 activations (``stage3_act_int8="static"``).
+"""Static-scale int8 activations (``stage3_act_int8="static-pallas"``).
 
 Dynamic per-token quantization pays an abs-max reduction over the
 activations before every dot, which makes contraction-heavy shapes
@@ -86,7 +86,7 @@ class TestScaleParams:
     def _cross_runtime(self, static=True):
         from tristage_rag_tpu.engine.stage3 import CrossEncoderReranker
 
-        mode = "static" if static else False
+        mode = "static-pallas" if static else False
         return CrossEncoderReranker(
             _base(stage3_act_int8=mode, stage3_normalize_scores=False)
         )
@@ -171,7 +171,7 @@ class TestStage3Static:
 
         base = CrossEncoderReranker(_base(stage3_normalize_scores=False))
         stat = CrossEncoderReranker(
-            _base(stage3_act_int8="static", stage3_normalize_scores=False)
+            _base(stage3_act_int8="static-pallas", stage3_normalize_scores=False)
         )
         query = "quick brown fox topic 2"
         s_base = np.asarray(base.predict(query, DOCS))
@@ -183,7 +183,7 @@ class TestStage3Static:
         from tristage_rag_tpu.engine.stage3 import CrossEncoderReranker
 
         stat = CrossEncoderReranker(
-            _base(stage3_act_int8="static", stage3_normalize_scores=False)
+            _base(stage3_act_int8="static-pallas", stage3_normalize_scores=False)
         )
         q = "topic 1 doc"
         first = np.asarray(stat.predict(q, DOCS))
@@ -199,7 +199,7 @@ class TestStage3Static:
         )
         p_base = RetrievalPipeline(_base(**extra))
         p_base.add_documents(list(DOCS))
-        p_stat = RetrievalPipeline(_base(stage3_act_int8="static", **extra))
+        p_stat = RetrievalPipeline(_base(stage3_act_int8="static-pallas", **extra))
         p_stat.add_documents(list(DOCS))
         assert p_stat.stage3.runtime.needs_act_calibration
         for q in ("quick brown fox topic 2", "doc topic fox"):
@@ -221,7 +221,7 @@ class TestStage3Static:
         from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
 
         p = RetrievalPipeline(_base(
-            stage3_act_int8="static", stage2_cache_doc_embeddings=True,
+            stage3_act_int8="static-pallas", stage2_cache_doc_embeddings=True,
             enable_fused_search=True,
         ))
         p.add_documents(list(DOCS))
@@ -237,11 +237,11 @@ class TestStage3Static:
     def test_yaml_roundtrip_carries_static(self, tmp_path):
         from tristage_rag_tpu.engine.config import PipelineConfig
 
-        cfg = _base(stage3_act_int8="static")
+        cfg = _base(stage3_act_int8="static-pallas")
         path = tmp_path / "c.yaml"
         cfg.export(path)
         back = PipelineConfig.from_yaml(path)
-        assert back.stage3_act_int8 == "static"
+        assert back.stage3_act_int8 == "static-pallas"
 
     def test_invalid_mode_rejected(self):
         from tristage_rag_tpu.engine.factory import act_int8_overrides
@@ -255,7 +255,7 @@ class TestLoadParamsTransforms:
         from tristage_rag_tpu.engine.stage3 import CrossEncoderReranker
 
         return CrossEncoderReranker(_base(
-            stage3_act_int8="static", stage3_normalize_scores=False,
+            stage3_act_int8="static-pallas", stage3_normalize_scores=False,
         ))
 
     def test_calibrated_tree_keeps_scales(self):

@@ -219,12 +219,20 @@ class TestRankingStability:
             for a, b in zip(sorted(sc_b), sorted(sc_s)):
                 assert abs(a - b) < 0.02
 
-    def test_static_pallas_matches_static_xla(self):
-        xla = _run(stage1_act_int8="static", stage2_act_int8="static",
-                   stage3_act_int8="static")
+    def test_static_pallas_close_to_bf16(self):
+        """Quantization error of the full static-pallas stack stays
+        within ranking-stability tolerance of the bf16 baseline (the
+        XLA static mode it used to be compared against was pruned —
+        VERDICT r3 next-7)."""
+        base = _run()
         pal = _run(stage1_act_int8="static-pallas",
                    stage2_act_int8="static-pallas",
                    stage3_act_int8="static-pallas")
-        for (ids_x, sc_x), (ids_p, sc_p) in zip(xla, pal):
-            assert ids_x == ids_p
-            np.testing.assert_allclose(sc_x, sc_p, atol=1e-3)
+        for (ids_b, sc_b), (ids_p, sc_p) in zip(base, pal):
+            assert ids_b[0] == ids_p[0]  # top-1 stable
+            assert set(ids_b) == set(ids_p)
+            # full-stack int8 quantization error vs bf16 is real
+            # (~0.08 on sigmoid scores at tiny shapes); the ranking
+            # assertions above are the stability contract
+            for a, b in zip(sorted(sc_b), sorted(sc_p)):
+                assert abs(a - b) < 0.15

@@ -152,49 +152,66 @@ class TestKernelVsXLA:
 
 
 class TestQDenseRouting:
-    def test_qdense_pallas_matches_xla_dynamic(self):
+    def test_qdense_kernel_matches_xla_reference(self):
+        """QDense is kernel-first since the XLA act-int8 modes were
+        pruned (VERDICT r3 next-7); its output must match the explicit
+        XLA int8 reference (_int8_matmul) within kernel/XLA float
+        tolerance at aligned shapes."""
         import jax
         import jax.numpy as jnp
         import flax.linen as nn
 
-        from tristage_rag_tpu.models.layers import QDense
+        from tristage_rag_tpu.models.layers import QDense, _int8_matmul
 
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal((40, 128)), jnp.float32)
         p = nn.Dense(features=256).init(jax.random.PRNGKey(1), x)
-        y_xla = np.asarray(QDense(features=256).apply(p, x))
-        y_pal = np.asarray(QDense(features=256, pallas=True).apply(p, x))
-        np.testing.assert_allclose(y_pal, y_xla, atol=1e-4)
+        kernel = p["params"]["kernel"]
+        bias = p["params"]["bias"]
+        y_ref = np.asarray(
+            _int8_matmul(x, kernel, jnp.float32) + bias
+        )
+        y_q = np.asarray(QDense(features=256).apply(p, x))
+        np.testing.assert_allclose(y_q, y_ref, atol=1e-4)
 
-    def test_qdense_pallas_unaligned_falls_back(self):
+    def test_qdense_unaligned_falls_back_to_xla(self):
+        """At lane-misaligned shapes the kernel refuses and QDense must
+        take the XLA fallback EXACTLY (bit-equal to _int8_matmul)."""
         import jax
         import jax.numpy as jnp
         import flax.linen as nn
 
-        from tristage_rag_tpu.models.layers import QDense
+        from tristage_rag_tpu.models.layers import QDense, _int8_matmul
 
         rng = np.random.default_rng(1)
         x = jnp.asarray(rng.standard_normal((8, 48)), jnp.float32)
         p = nn.Dense(features=12).init(jax.random.PRNGKey(1), x)
-        y_xla = np.asarray(QDense(features=12).apply(p, x))
-        y_pal = np.asarray(QDense(features=12, pallas=True).apply(p, x))
-        np.testing.assert_allclose(y_pal, y_xla, atol=1e-6)
+        y_ref = np.asarray(
+            _int8_matmul(x, p["params"]["kernel"], jnp.float32)
+            + p["params"]["bias"]
+        )
+        y_q = np.asarray(QDense(features=12).apply(p, x))
+        np.testing.assert_allclose(y_q, y_ref, atol=1e-6)
 
-    def test_qdense_general_pallas_matches(self):
+    def test_qdense_general_matches_xla_reference(self):
         import jax
         import jax.numpy as jnp
         import flax.linen as nn
 
-        from tristage_rag_tpu.models.layers import QDenseGeneral
+        from tristage_rag_tpu.models.layers import (
+            QDenseGeneral, _int8_matmul,
+        )
 
         rng = np.random.default_rng(2)
         x = jnp.asarray(rng.standard_normal((4, 8, 128)), jnp.float32)
         p = nn.DenseGeneral(features=(2, 64)).init(jax.random.PRNGKey(0), x)
-        y_xla = np.asarray(QDenseGeneral(features=(2, 64)).apply(p, x))
-        y_pal = np.asarray(
-            QDenseGeneral(features=(2, 64), pallas=True).apply(p, x)
-        )
-        np.testing.assert_allclose(y_pal, y_xla, atol=1e-4)
+        kern2d = p["params"]["kernel"].reshape(128, 128)
+        bias = p["params"]["bias"].reshape(-1)
+        y_ref = np.asarray(
+            _int8_matmul(x.reshape(-1, 128), kern2d, jnp.float32) + bias
+        ).reshape(4, 8, 2, 64)
+        y_q = np.asarray(QDenseGeneral(features=(2, 64)).apply(p, x))
+        np.testing.assert_allclose(y_q, y_ref, atol=1e-4)
 
 
 class TestEncoderLayerParity:
@@ -232,7 +249,7 @@ class TestEncoderLayerParity:
             int8_activations=True, int8_act_static=True,
         ))
         y_pal, _ = self._run(self._layer_cfg(
-            int8_activations=True, int8_act_static=True, int8_pallas=True,
+            int8_activations=True, int8_act_static=True,
         ), params=params)
         np.testing.assert_allclose(y_pal, y_xla, atol=1e-4)
 
@@ -250,7 +267,7 @@ class TestEncoderLayerParity:
         for extra in (
             {},
             {"int8_activations": True},
-            {"int8_activations": True, "int8_pallas": True},
+            {"int8_activations": True},
         ):
             p = EncoderLayer(self._layer_cfg(**extra), 0).init(
                 jax.random.PRNGKey(0), x, bias, None, None
@@ -269,7 +286,7 @@ class TestEncoderLayerParity:
     def test_dynamic_pallas_close_to_bf16(self):
         y_ref, params = self._run(self._layer_cfg())
         y_pal, _ = self._run(self._layer_cfg(
-            int8_activations=True, int8_pallas=True,
+            int8_activations=True,
         ), params=params)
         denom = max(np.abs(y_ref).max(), 1e-6)
         assert np.abs(y_pal - y_ref).max() / denom < 0.05
@@ -378,7 +395,7 @@ class TestFusedMlp:
         x = jnp.ones((2, 4, 128), jnp.float32)
         p_ref = Mlp(EncoderConfig(**base)).init(jax.random.PRNGKey(0), x)
         p_pal = Mlp(EncoderConfig(
-            **base, int8_activations=True, int8_pallas=True,
+            **base, int8_activations=True,
         )).init(jax.random.PRNGKey(0), x)
         assert (
             jax.tree_util.tree_structure(p_ref)
@@ -407,7 +424,7 @@ class TestFusedMlp:
         params = m_ref.init(jax.random.PRNGKey(0), x)
         y_ref = np.asarray(m_ref.apply(params, x))
         y_pal = np.asarray(Mlp(EncoderConfig(
-            **base, int8_activations=True, int8_pallas=True,
+            **base, int8_activations=True,
         )).apply(params, x))
         denom = max(np.abs(y_ref).max(), 1e-6)
         assert np.abs(y_pal - y_ref).max() / denom < 0.05
@@ -709,7 +726,7 @@ class TestFusedMlpBf16:
 
         ov = encoder_perf_overrides(C(), "stage3")
         assert ov == {
-            "int8_activations": True, "int8_pallas": True,
+            "int8_activations": True,
             "fused_mlp": True,
         }
 
@@ -794,11 +811,10 @@ class TestConfigPlumbing:
         from tristage_rag_tpu.engine.factory import act_int8_overrides
 
         assert act_int8_overrides("pallas") == {
-            "int8_activations": True, "int8_pallas": True,
+            "int8_activations": True,
         }
         assert act_int8_overrides("static-pallas") == {
             "int8_activations": True, "int8_act_static": True,
-            "int8_pallas": True,
         }
         with pytest.raises(ValueError):
             act_int8_overrides("mystery")

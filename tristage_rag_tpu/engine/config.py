@@ -139,20 +139,17 @@ class PipelineConfig:
     # scripts/bench_funnel_width.py --int8-stage3.
     stage3_weights_int8: bool = False
     # int8 x int8 MXU matmuls for the cross-encoder's dense projections
-    # (models/layers.py::QDense). The measured stage-3 latency lever —
-    # weight-only int8 is latency-neutral because the stage is MXU
-    # compute-bound (BENCH_NOTES round-3); int8 activations tap the
-    # MXU's 2x int8 throughput. Values: False | True/"dynamic"
-    # (per-token abs-max quant in-jit; expansion-shaped projections
-    # only) | "static" (per-tensor scales abs-max-calibrated on the
-    # first real batch; ALL projections incl. o_proj/down_proj run
-    # int8, recovering the static column of bench_int8_mxu) |
-    # "pallas" / "static-pallas" (the same two quant modes through the
-    # fused quant/dot/dequant kernel ops/pallas_qdense.py — one VMEM
-    # pass, no HBM materialization of int8 codes / int32 accumulator;
-    # the lever for the in-context fusion loss BENCH_NOTES measured on
-    # the XLA lowering). Scores shift ~1e-2; rankings verified on tiny
-    # stacks (tests/test_int8_act.py, test_int8_act_static.py,
+    # through the fused quant/dot/dequant Pallas kernel
+    # (ops/pallas_qdense.py — one VMEM pass, no HBM materialization of
+    # int8 codes / int32 accumulator). Values: False | "pallas"
+    # (dynamic per-row scales computed in VMEM) | "static-pallas"
+    # (per-tensor scales abs-max-calibrated on the first real batch).
+    # The plain-XLA modes (True/"dynamic"/"static") were REMOVED after
+    # measuring as in-context losses at every level (BENCH_NOTES
+    # round-3: dots 1.2-2.9x faster isolated, funnel 10-25% slower) —
+    # a config carrying them fails loudly with this pointer. Scores
+    # shift ~1e-2; rankings verified on tiny stacks
+    # (tests/test_int8_act.py, test_int8_act_static.py,
     # test_pallas_qdense.py).
     stage3_act_int8: bool | str = False
     # bf16 fused MLP for the cross-encoder (see stage1_fused_mlp;

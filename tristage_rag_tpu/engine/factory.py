@@ -128,34 +128,35 @@ def _load_prompts(ckpt, model_name: str, mode: str = "auto") -> dict:
 
 
 def act_int8_overrides(mode, knob: str = "act_int8") -> Optional[dict]:
-    """Map a ``stage{1,2,3}_act_int8`` knob (False | True/"dynamic" |
-    "static" | "pallas" | "static-pallas") to EncoderConfig overrides
-    (models/layers.py::QDense).
+    """Map a ``stage{1,2,3}_act_int8`` knob (False | "pallas" |
+    "static-pallas") to EncoderConfig overrides.
 
-    Dynamic = per-token abs-max quant in-jit, expansion-shaped
-    projections only; static = per-tensor scales calibrated abs-max on
-    the first real batch, ALL projections int8 (BENCH_NOTES round-3
-    int8 x int8 MXU microbench). The ``*pallas`` variants route every
-    int8 projection through the fused quant/dot/dequant kernel
-    (ops/pallas_qdense.py) instead of the XLA lowering — all sites
-    quantize in both pallas modes since the quant pass is VMEM-local."""
+    Both modes route every int8 projection through the fused
+    quant/dot/dequant Pallas kernel (ops/pallas_qdense.py); "pallas"
+    uses dynamic per-row scales computed in VMEM, "static-pallas" uses
+    per-tensor scales calibrated abs-max on the first real batch. The
+    plain-XLA modes (True/"dynamic"/"static") were REMOVED after
+    measuring as in-context losses at every pipeline level
+    (BENCH_NOTES round-3: dots 1.2-2.9x faster isolated, funnel
+    10-25% slower; the "+35% indexing" reading did not survive
+    re-measurement) — the XLA lowering survives only as the internal
+    fallback for lane-misaligned shapes."""
     if not mode:
         return None
-    if mode in (True, "dynamic", "true"):
-        return {"int8_activations": True}
-    if mode == "static":
-        return {"int8_activations": True, "int8_act_static": True}
     if mode == "pallas":
-        return {"int8_activations": True, "int8_pallas": True}
+        return {"int8_activations": True}
     if mode == "static-pallas":
-        return {
-            "int8_activations": True,
-            "int8_act_static": True,
-            "int8_pallas": True,
-        }
+        return {"int8_activations": True, "int8_act_static": True}
+    if mode in (True, "true", "dynamic", "static"):
+        raise ValueError(
+            f"{knob}={mode!r} was removed: the plain-XLA int8 "
+            f"activation modes measured as in-context LOSSES "
+            f"(BENCH_NOTES round-3) and were pruned (VERDICT r3). Use "
+            f"'pallas' / 'static-pallas' (fused kernel), or "
+            f"stage*_weights_int8 for the weight-HBM-bound case."
+        )
     raise ValueError(
-        f"{knob} must be False, True/'dynamic', 'static', 'pallas' or"
-        f" 'static-pallas'; got {mode!r}"
+        f"{knob} must be False, 'pallas' or 'static-pallas'; got {mode!r}"
     )
 
 

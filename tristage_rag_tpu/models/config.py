@@ -81,31 +81,24 @@ class EncoderConfig:
     dtype: str = "bfloat16"  # compute dtype; params are float32
     # int8 x int8 MXU matmuls for all dense projections (dynamic
     # per-token activation quantization, per-output-channel weights).
-    # The stage-3 latency lever: v5e int8 MXU peak is 2x bf16
-    # (BENCH_NOTES round-3 measured weight-only int8 latency-neutral
-    # because the stage is compute-bound). Attention score/probs
-    # einsums stay bf16.
+    # int8 activations x int8 weights on the MXU (v5e int8 peak is 2x
+    # bf16), routed through the fused Pallas kernel
+    # (ops/pallas_qdense.py): quant -> int8 dot -> dequant+bias in one
+    # VMEM pass. The plain-XLA int8 lowering was REMOVED after
+    # measuring as an in-context loss (BENCH_NOTES round-3: per-dot
+    # 1.2-2.9x faster isolated, in-funnel 10-25% SLOWER — the quant/
+    # dequant epilogues break XLA's matmul fusions); it survives only
+    # as the automatic fallback for lane-misaligned shapes the kernel
+    # refuses. Mosaic TPU backends only; on CPU the kernel runs
+    # interpreted (tests). Attention score/probs einsums stay bf16.
     int8_activations: bool = False
     # Static (calibrated) per-tensor activation scales instead of the
-    # dynamic per-token abs-max. Removes the per-row reduction pass the
-    # dynamic mode pays before every dot (which makes contraction-heavy
-    # shapes LOSE — bench_int8_mxu: 3072->768 at 0.87x dynamic vs 2.91x
-    # static), so o_proj and down_proj run int8 x int8 as well. Scales
-    # live in the param tree (``*_scale`` scalars) and are filled by an
-    # abs-max calibration pass on the first real batch
+    # kernel's dynamic per-row abs-max. Scales live in the param tree
+    # (``*_scale`` scalars) and are filled by an abs-max calibration
+    # pass on the first real batch
     # (EncoderRuntime.calibrate_act_static); out-of-range activations
     # saturate at +-127.
     int8_act_static: bool = False
-    # Run int8 projections through the fused Pallas kernel
-    # (ops/pallas_qdense.py): quant -> int8 MXU dot -> dequant+bias in
-    # one VMEM pass, recovering the epilogue fusions the XLA lowering
-    # loses (BENCH_NOTES round-3: per-dot 1.2-2.9x faster, in-funnel
-    # 10-25% SLOWER via XLA). With the quant pass fused on-chip the
-    # dynamic per-row reduction is VMEM-local, so ALL projection sites
-    # quantize (o_proj/down_proj included — the dynamic_ok gate only
-    # exists because the XLA quant pass is an HBM read). Mosaic TPU
-    # backends only; on CPU the kernel runs interpreted (tests).
-    int8_pallas: bool = False
     # bf16 whole-block fused MLP (ops/pallas_qdense.py::fused_mlp_bf16)
     # when int8 activations are OFF: gate/up/act/mul/down in one kernel
     # — the [M, mlp_dim] intermediate stays in VMEM instead of

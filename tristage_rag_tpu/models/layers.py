@@ -211,27 +211,28 @@ def _int8_matmul(x2d, kernel, out_dtype, pre=None) -> jax.Array:
     return y.astype(out_dtype)
 
 
-def _int8_dense(x2d, kernel, bias, out_dtype, pre=None, pallas=False):
-    """One int8 projection, routed to the fused Pallas kernel
-    (ops/pallas_qdense.py — quant/dot/dequant/bias in one VMEM pass)
-    when ``pallas`` is set, else the XLA lowering (:func:`_int8_matmul`
-    + bias). ``bias`` is a flat ``[N]`` array or None. Falls back to
-    XLA on shapes the kernel refuses (K or N not lane-aligned)."""
-    if pallas:
-        from tristage_rag_tpu.ops.pallas_qdense import fused_qdense
+def _int8_dense(x2d, kernel, bias, out_dtype, pre=None):
+    """One int8 projection through the fused Pallas kernel
+    (ops/pallas_qdense.py — quant/dot/dequant/bias in one VMEM pass).
+    ``bias`` is a flat ``[N]`` array or None. Shapes the kernel
+    refuses (K or N not lane-aligned) fall back to the XLA lowering
+    (:func:`_int8_matmul` + bias) — the only remaining use of that
+    path after the measured-off XLA act-int8 modes were pruned
+    (VERDICT r3 next-7)."""
+    from tristage_rag_tpu.ops.pallas_qdense import fused_qdense
 
-        wq, ws = _weights_int8_kn(kernel)  # [K,N]; O(K*N), trivial vs dot
-        # Static mode hands the calibrated scalar to the kernel; in
-        # dynamic mode the kernel computes per-row scales in VMEM and
-        # the shared `pre` codes are dead (DCE'd by XLA).
-        xs = pre[1] if (pre is not None and pre[1].ndim == 0) else None
-        try:
-            return fused_qdense(
-                x2d, wq, ws, bias=bias, x_scale=xs, out_dtype=out_dtype,
-                interpret=jax.default_backend() == "cpu",
-            )
-        except ValueError:
-            pass
+    wq, ws = _weights_int8_kn(kernel)  # [K,N]; O(K*N), trivial vs dot
+    # Static mode hands the calibrated scalar to the kernel; in
+    # dynamic mode the kernel computes per-row scales in VMEM and
+    # the shared `pre` codes are dead (DCE'd by XLA).
+    xs = pre[1] if (pre is not None and pre[1].ndim == 0) else None
+    try:
+        return fused_qdense(
+            x2d, wq, ws, bias=bias, x_scale=xs, out_dtype=out_dtype,
+            interpret=jax.default_backend() == "cpu",
+        )
+    except ValueError:
+        pass
     y = _int8_matmul(x2d, kernel, out_dtype, pre=pre)
     if bias is not None:
         y = y + bias.astype(out_dtype)
@@ -261,13 +262,9 @@ def _act_site(mod: nn.Module, cfg, name: str, x2d, dynamic_ok: bool = True):
     # (dynamic_ok=False at o_proj/down_proj) does not apply — but only
     # when the kernel will actually take these shapes (K and the
     # output hidden lane-aligned); otherwise _int8_dense falls back to
-    # exactly the XLA dynamic-quant configuration bench_int8_mxu
-    # measured below 1x on contraction shapes.
-    if (
-        getattr(cfg, "int8_pallas", False)
-        and x2d.shape[1] % 128 == 0
-        and cfg.hidden_size % 128 == 0
-    ):
+    # the XLA dynamic-quant lowering bench_int8_mxu measured below 1x
+    # on contraction shapes.
+    if x2d.shape[1] % 128 == 0 and cfg.hidden_size % 128 == 0:
         dynamic_ok = True
     if cfg.int8_act_static:
         s = mod.param(name + "_scale", nn.initializers.ones, ())
@@ -293,7 +290,6 @@ class QDense(nn.Module):
     features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
-    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, pre=None):
@@ -308,8 +304,7 @@ class QDense(nn.Module):
         )
         lead = x.shape[:-1]
         y = _int8_dense(
-            x.reshape(-1, x.shape[-1]), kernel, b, self.dtype,
-            pre=pre, pallas=self.pallas,
+            x.reshape(-1, x.shape[-1]), kernel, b, self.dtype, pre=pre,
         )
         return y.reshape(*lead, self.features)
 
@@ -325,7 +320,6 @@ class QDenseGeneral(nn.Module):
     axis: Any = -1
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
-    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, pre=None):
@@ -364,8 +358,7 @@ class QDenseGeneral(nn.Module):
             else None
         )
         y = _int8_dense(
-            x.reshape(-1, k), kern2d, b, self.dtype,
-            pre=pre, pallas=self.pallas,
+            x.reshape(-1, k), kern2d, b, self.dtype, pre=pre,
         )
         return y.reshape(*lead, *feats)
 
@@ -550,15 +543,13 @@ class Attention(nn.Module):
         if blk:
             return self._fused_block(x, mask, post_ln, dt)
         if pre is not None:
-            qkv = (
-                self._fused_qkv(x, pre, dt) if cfg.int8_pallas else None
-            )
+            qkv = self._fused_qkv(x, pre, dt)
             if qkv is not None:
                 q, k, v = qkv
             else:
                 dense = lambda feats, name: QDenseGeneral(
                     features=feats, use_bias=cfg.attn_bias, dtype=dt,
-                    name=name, pallas=cfg.int8_pallas,
+                    name=name,
                 )
                 q = dense((h, hd), "q_proj")(x, pre=pre)
                 k = dense((kvh, hd), "k_proj")(x, pre=pre)
@@ -663,7 +654,6 @@ class Attention(nn.Module):
             return QDenseGeneral(
                 features=cfg.hidden_size, axis=(-2, -1),
                 use_bias=cfg.attn_bias, dtype=dt, name="o_proj",
-                pallas=cfg.int8_pallas,
             )(out, pre=o_pre)
         return nn.DenseGeneral(
             features=cfg.hidden_size,
@@ -861,12 +851,7 @@ class Mlp(nn.Module):
             and cfg.mlp_dim % 128 == 0
             and cfg.activation in self._FUSED_ACTS
         )
-        if (
-            cfg.int8_activations
-            and getattr(cfg, "int8_pallas", False)
-            and not calibrating
-            and aligned
-        ):
+        if cfg.int8_activations and not calibrating and aligned:
             return self._fused_pallas(x, glu)
         if self.fused_bf16_engages(cfg):
             return self._fused_bf16(
@@ -886,7 +871,7 @@ class Mlp(nn.Module):
         if pre is not None:
             qdense = lambda feats, name: QDense(
                 features=feats, use_bias=cfg.mlp_bias_flag, dtype=dt,
-                name=name, pallas=cfg.int8_pallas,
+                name=name,
             )
         else:
             qdense = dense
@@ -920,7 +905,7 @@ class Mlp(nn.Module):
         if mid_pre is not None:
             return QDense(
                 features=cfg.hidden_size, use_bias=cfg.mlp_bias_flag,
-                dtype=dt, name="down_proj", pallas=cfg.int8_pallas,
+                dtype=dt, name="down_proj",
             )(h, pre=mid_pre)
         return dense(cfg.hidden_size, "down_proj")(h)
 

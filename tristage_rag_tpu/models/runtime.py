@@ -486,9 +486,7 @@ class EncoderRuntime:
         from flax.traverse_util import flatten_dict, unflatten_dict
 
         cast_kernels = getattr(self, "_precast_kernels", True) and not (
-            self.cfg.int8_activations
-            or self.cfg.int8_act_static
-            or self.cfg.int8_pallas
+            self.cfg.int8_activations or self.cfg.int8_act_static
         )
         flat = dict(flatten_dict(params))
         changed = False
