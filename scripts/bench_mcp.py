@@ -74,9 +74,12 @@ async def _bench(args) -> dict:
         # bench any YAML profile (e.g. configs/perf.yaml) end-to-end
         # through the serving stack
         cfg = PipelineConfig.from_yaml(args.config)
-        cfg.enable_result_cache = (
-            cfg.enable_result_cache or bool(args.result_cache)
-        )
+        if args.no_result_cache:
+            cfg.enable_result_cache = False  # A/B: force OFF over YAML
+        else:
+            cfg.enable_result_cache = (
+                cfg.enable_result_cache or bool(args.result_cache)
+            )
     elif args.full:
         cfg = PipelineConfig(stage2_cache_doc_embeddings=True, **cache_kw)
     else:
@@ -259,6 +262,9 @@ def main():
     ap.add_argument("--pipelined", action="store_true",
                     help="two-phase serving: overlap the next batch's "
                          "dispatch with this batch's fetch round-trip")
+    ap.add_argument("--no-result-cache", action="store_true",
+                    help="force the result cache OFF even if the "
+                         "--config YAML enables it (cache A/B legs)")
     ap.add_argument("--result-cache", action="store_true",
                     help="enable the pipeline result cache")
     ap.add_argument("--cpu", action="store_true",

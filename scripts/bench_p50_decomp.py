@@ -92,23 +92,32 @@ def main() -> None:
                else PipelineConfig(enable_fused_search=True,
                                    stage2_cache_doc_embeddings=True))
 
+    # the result cache would satisfy repeated queries host-side and
+    # fake a ~0 ms wall clock — pin it off for this decomposition
+    cfg = cfg.__class__(**{**cfg.as_dict(), "enable_result_cache": False})
+
     rtt_ms = measure_rtt()
     print(f"# rtt: {rtt_ms:.2f} ms", file=sys.stderr)
 
     p = RetrievalPipeline(cfg)
     p.add_documents(make_docs(args.docs))
-    q = "semantic retrieval ranking kernel"
-    out = p.search(q)  # warm every shape
+    # distinct queries so no host- or device-side memo can short-cut;
+    # same token-length bucket so no recompiles ride the clock
+    queries = [
+        f"semantic retrieval ranking kernel topic {i}"
+        for i in range(args.reps)
+    ]
+    out = p.search(queries[0])  # warm every shape
     assert out["timing"].get("fused"), out["timing"]
 
-    probe = p._fused.device_time_probe(q, iters=32)
+    probe = p._fused.device_time_probe(queries[0], iters=32)
     device_ms = probe["per_query_ms"]
     print(f"# device: {device_ms:.2f} ms/query", file=sys.stderr)
 
     # full search() wall clock, single query at a time (includes host
     # prep, ONE dispatch, ONE fetch, formatting)
     walls = []
-    for _ in range(args.reps):
+    for q in queries:
         t0 = time.perf_counter()
         p.search(q)
         walls.append((time.perf_counter() - t0) * 1e3)
