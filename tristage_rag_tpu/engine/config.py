@@ -231,7 +231,11 @@ class PipelineConfig:
     # Serving result cache: repeated (query, top_k) hits skip the whole
     # funnel (the fused path's query encode lives inside its single XLA
     # dispatch, so only result-level caching can help serving).
-    # Invalidated on any index mutation.
+    # Invalidated on any index mutation. Measured guidance (BENCH_NOTES
+    # round 4, Zipf-1.5 off/on/off A/B/A under the pipelined server,
+    # 37% hit rate): hits cut p50/p95 ~35% but cost ~38% QPS (lock +
+    # invalidation churn serializes the batcher) — a LATENCY knob, not
+    # a throughput knob. Default off.
     enable_result_cache: bool = False
     result_cache_size: int = 1024
     # Persist the stage-2 token-embedding cache + stage-3 token-id
