@@ -39,11 +39,12 @@ class PipelineConfig:
     stage1_dense_weight: float = 0.7
     stage1_bm25_weight: float = 0.3
     # int8 x int8 MXU matmuls for the bi-encoder (same knob semantics
-    # as stage3_act_int8: False | True/"dynamic" | "static"). Speeds
-    # the indexing-time corpus encode; queries and docs encode through
+    # as stage3_act_int8: False | "pallas" | "static-pallas"; the
+    # plain-XLA modes were removed — see stage3_act_int8). Speeds the
+    # indexing-time corpus encode; queries and docs encode through
     # the same quantized forward so similarities stay consistent.
     # Embedding shift ~1e-2 — measure recall before enabling at scale
-    # (scripts/bench_indexing.py --act-int8).
+    # (scripts/bench_indexing.py --act-int8 pallas).
     stage1_act_int8: bool | str = False
     # Weight-only per-channel int8 for the bi-encoder (same mechanics
     # as stage3_weights_int8). The serving funnel's stage-1 query
