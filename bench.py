@@ -277,33 +277,47 @@ def main() -> None:
 
     # CPU-only NDCG leg runs concurrently from the start — it never
     # touches the chip (it forces the CPU platform before compute).
+    # Output goes to temp FILES, not PIPEs: an undrained pipe would
+    # block a chatty leg mid-run, and files let the join below be a
+    # plain wait.
+    import tempfile
+
     ndcg_proc = None
+    ndcg_out = ndcg_err = None
+    ndcg_start = time.time()
     if not _os.environ.get("BENCH_NO_NDCG"):
+        ndcg_out = tempfile.TemporaryFile(mode="w+")
+        ndcg_err = tempfile.TemporaryFile(mode="w+")
         ndcg_proc = subprocess.Popen(
             [sys.executable, "-u",
              _os.path.join(_REPO, "scripts", "bench_ndcg_gate.py")],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            cwd=_REPO,
+            stdout=ndcg_out, stderr=ndcg_err, text=True, cwd=_REPO,
         )
 
     def join_ndcg() -> dict | None:
         if ndcg_proc is None:
             return None
+        # BENCH_NDCG_TIMEOUT caps the leg's RUNTIME from its launch
+        # (not from this join): a hung leg dies at launch+cap even
+        # though the device legs ran in between.
         n_cap = float(_os.environ.get("BENCH_NDCG_TIMEOUT", 420))
+        wait_s = min(n_cap - (time.time() - ndcg_start), remaining())
         try:
-            out, err = ndcg_proc.communicate(
-                timeout=max(5.0, min(n_cap, remaining()))
-            )
-            if err:
-                sys.stderr.write(err[-2000:])
-            return _last_json_line(out)
+            ndcg_proc.wait(timeout=max(5.0, wait_s))
         except subprocess.TimeoutExpired:
             ndcg_proc.kill()
-            ndcg_proc.communicate()
+            ndcg_proc.wait()
             print("# ndcg leg timed out", file=sys.stderr)
+            return None
         except Exception as e:
             print(f"# ndcg leg failed: {e}", file=sys.stderr)
-        return None
+            return None
+        ndcg_err.seek(0)
+        err = ndcg_err.read()
+        if err:
+            sys.stderr.write(err[-2000:])
+        ndcg_out.seek(0)
+        return _last_json_line(ndcg_out.read())
 
     s1_cap = float(_os.environ.get("BENCH_S1_TIMEOUT", 480))
     headline = _run_leg(

@@ -68,7 +68,7 @@ def main() -> int:
 
         return run_preflight(
             _resolve_config(args.config), args.data_dir, args.variant,
-            low_mem=args.low_mem,
+            low_mem=args.low_mem, config_path=args.config,
         )
 
     from tristage_rag_tpu.engine.pipeline import RetrievalPipeline

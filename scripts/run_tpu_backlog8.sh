@@ -30,7 +30,12 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 
 # --- 1. driver gate: warm, then validate at driver budget ----------
-run gate_warming 5400 python -u bench.py
+# Warming must bypass bench.py's internal leg caps: on a COLD compile
+# cache the full-size Mosaic compiles take minutes each and the gate's
+# 300 s funnel cap would kill them before they land in ./xla_cache —
+# run the funnel gate directly (it owns the chip, no internal cap),
+# then validate the whole gate at driver budget against the warm cache.
+run funnel_warm 5400 python -u scripts/bench_funnel_gate.py
 run gate_budget 1200 env BENCH_BUDGET_S=1100 python -u bench.py
 
 # --- 2. p50 decomposition + pipelined serving A/B/A ----------------

@@ -244,18 +244,17 @@ class TestEncoderLayerParity:
             params = layer.init(jax.random.PRNGKey(0), x, bias, None, None)
         return np.asarray(layer.apply(params, x, bias, None, None)), params
 
-    def test_static_pallas_matches_static_xla(self):
-        y_xla, params = self._run(self._layer_cfg(
-            int8_activations=True, int8_act_static=True,
-        ))
-        y_pal, _ = self._run(self._layer_cfg(
-            int8_activations=True, int8_act_static=True,
-        ), params=params)
-        np.testing.assert_allclose(y_pal, y_xla, atol=1e-4)
+    # NOTE: the former layer-level "static-pallas vs static-XLA" test
+    # became a self-comparison when the XLA modes were pruned (VERDICT
+    # r3 next-7) and was removed: meaningful static-mode numerics need
+    # CALIBRATED scales, which only exist at runtime level — covered by
+    # tests/test_int8_act_static.py and
+    # test_kernel_stack_pipeline.py::test_static_pallas_close_to_bf16.
 
     def test_param_tree_identical_across_modes(self):
-        """bf16, int8-XLA and int8-pallas (fused QKV + fused MLP) must
-        produce the same param tree so checkpoints swap freely."""
+        """bf16 and int8-kernel (fused QKV + fused MLP) must produce
+        the same param tree so checkpoints swap freely. (Static mode
+        differs BY DESIGN: it adds the calibrated *_scale leaves.)"""
         import jax
         import jax.numpy as jnp
 
@@ -266,7 +265,6 @@ class TestEncoderLayerParity:
         trees = []
         for extra in (
             {},
-            {"int8_activations": True},
             {"int8_activations": True},
         ):
             p = EncoderLayer(self._layer_cfg(**extra), 0).init(

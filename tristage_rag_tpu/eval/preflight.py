@@ -222,7 +222,8 @@ def check_dataset(data_dir: str, variant: str) -> list[CheckResult]:
 
 
 def run_preflight(
-    config, data_dir: str, variant: str, low_mem: bool = False
+    config, data_dir: str, variant: str, low_mem: bool = False,
+    config_path: Optional[str] = None,
 ) -> int:
     """Print a readiness report + the exact command sequence. Returns
     0 when every blocking check passes, 1 otherwise."""
@@ -269,5 +270,5 @@ def run_preflight(
     print(f"  python run_benchmark.py --data-dir {data_dir} "
           f"--variant {variant} --mteb"
           + (" --low-mem" if low_mem else "")
-          + (f" --config {config_path}" if (config_path := getattr(config, '_source_path', None)) else ""))
+          + (f" --config {config_path}" if config_path else ""))
     return 1 if blocking else 0
