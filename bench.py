@@ -12,7 +12,12 @@ Final merged line:
    "recall_at_k": r, "exact_qps": E,
    "int8_approx_qps": Q8, "int8_recall_at_k": r8,
    "funnel_ms_per_query": F, "funnel_vs_target": 20/F,
+   "funnel_perf_ms_per_query": FP, "funnel_perf_vs_target": 20/FP,
    "indexing_docs_s": D, "synthetic_ndcg_at_10": S}
+
+The funnel fields come in two flavors: the shipped DEFAULT config
+(cross-round comparable) and the tuned perf stack (configs/perf.yaml,
+`funnel_perf_*`) at the same protocol shape.
 
 Process layout: the PARENT never imports jax or touches the device.
 Each leg is a timeout-bounded subprocess (TPU runtimes are exclusive
@@ -238,6 +243,12 @@ def _last_json_line(text: str) -> dict | None:
 
 
 def _run_leg(argv: list[str], timeout_s: float, label: str) -> dict | None:
+    return _run_leg_env(argv, timeout_s, label, None)
+
+
+def _run_leg_env(
+    argv: list[str], timeout_s: float, label: str, env: dict | None
+) -> dict | None:
     """Run one leg to completion; return its last JSON line (or None).
     Leg stderr passes through for diagnostics; never raises."""
     if timeout_s <= 5:
@@ -246,7 +257,7 @@ def _run_leg(argv: list[str], timeout_s: float, label: str) -> dict | None:
     try:
         res = subprocess.run(
             argv, capture_output=True, text=True, timeout=timeout_s,
-            cwd=_REPO,
+            cwd=_REPO, env=env,
         )
         if res.stderr:
             sys.stderr.write(res.stderr[-2000:])
@@ -349,6 +360,28 @@ def main() -> None:
             if "indexed_docs_s" in funnel:
                 headline["indexing_docs_s"] = funnel["indexed_docs_s"]
             print(json.dumps(headline), flush=True)  # line 2: +funnel
+
+        # line 3: the tuned perf stack (configs/perf.yaml) at the same
+        # protocol shape — the best-stack number, budget permitting
+        perf_yaml = _os.path.join(_REPO, "configs", "perf.yaml")
+        if (
+            _os.path.exists(perf_yaml) and remaining() > 60
+            and not _os.environ.get("BENCH_FUNNEL_TINY")  # CPU smokes
+        ):
+            env = dict(_os.environ, BENCH_FUNNEL_CONFIG=perf_yaml)
+            perf = _run_leg_env(
+                [sys.executable, "-u",
+                 _os.path.join(_REPO, "scripts", "bench_funnel_gate.py")],
+                min(f_cap, remaining() - 30), "funnel-perf", env,
+            )
+            if perf and "funnel_ms_per_query" in perf:
+                headline["funnel_perf_ms_per_query"] = (
+                    perf["funnel_ms_per_query"]
+                )
+                headline["funnel_perf_vs_target"] = round(
+                    20.0 / max(perf["funnel_ms_per_query"], 1e-9), 2
+                )
+                print(json.dumps(headline), flush=True)
 
     ndcg = join_ndcg()
     if ndcg and "synthetic_ndcg_at_10" in ndcg:

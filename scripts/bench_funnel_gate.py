@@ -33,6 +33,32 @@ def main() -> None:
     from tristage_rag_tpu.engine.config import PipelineConfig
     from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
 
+    yaml_cfg = os.environ.get("BENCH_FUNNEL_CONFIG")
+    if yaml_cfg:
+        # measure a YAML profile (e.g. configs/perf.yaml — the tuned
+        # serving stack) instead of the shipped defaults; bench.py
+        # runs this as a second leg so the driver JSON carries BOTH
+        # the default-config and best-stack funnel numbers
+        cfg = PipelineConfig.from_yaml(yaml_cfg)
+        cfg.enable_fused_search = True
+        cfg.stage2_cache_doc_embeddings = True
+        cfg.mesh_data_parallel = 1
+        p = RetrievalPipeline(cfg)
+        docs = make_docs(n_docs)
+        t0 = time.time()
+        p.add_documents(docs)
+        dt = time.time() - t0
+        q = "semantic retrieval ranking kernel"
+        out = p.search(q)
+        assert out["timing"].get("fused") is True, out["timing"]
+        probe = p._fused.device_time_probe(q, iters=32)
+        print(json.dumps({
+            "funnel_ms_per_query": round(probe["per_query_ms"], 3),
+            "indexed_docs_s": round(n_docs / dt, 1),
+            "config": yaml_cfg,
+        }))
+        return
+
     if os.environ.get("BENCH_FUNNEL_TINY"):  # CPU smoke only
         models = dict(stage1_model="tiny-gemma",
                       stage2_model="tiny-modernbert",
