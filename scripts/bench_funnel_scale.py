@@ -44,6 +44,9 @@ def main() -> None:
                     help="distinct queries for the overlap check")
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--cache-int8", action="store_true",
+                    help="int8 stage-2 token cache — the capacity knob "
+                         "that fits >100k-doc corpora in one chip's HBM")
     args = ap.parse_args()
 
     if args.tiny:
@@ -74,6 +77,11 @@ def main() -> None:
         stage2_cache_doc_embeddings=True, enable_fused_search=True,
         mesh_data_parallel=1,
         index_cluster_block_size=args.block_size,
+        # the fused path needs the token cache covering EVERY doc —
+        # the default 100k cap would silently fall back to the staged
+        # path at larger corpora (and fail the ready() assert below)
+        stage2_cache_max_docs=max(args.docs, 100_000),
+        stage2_cache_int8=args.cache_int8,
         **models,
     )
     p = RetrievalPipeline(cfg)
