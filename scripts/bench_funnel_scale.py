@@ -47,6 +47,12 @@ def main() -> None:
     ap.add_argument("--cache-int8", action="store_true",
                     help="int8 stage-2 token cache — the capacity knob "
                          "that fits >100k-doc corpora in one chip's HBM")
+    ap.add_argument("--s2-seq", type=int, default=192,
+                    help="stage-2 token-cache window; at 500k docs the "
+                         "192-token int8 cache (12.3 GB) OOMs at "
+                         "search-compile time on one 16 GB chip — 128 "
+                         "fits (8.2 GB) and stores identical content "
+                         "when docs are shorter than the window")
     args = ap.parse_args()
 
     if args.tiny:
@@ -82,6 +88,7 @@ def main() -> None:
         # path at larger corpora (and fail the ready() assert below)
         stage2_cache_max_docs=max(args.docs, 100_000),
         stage2_cache_int8=args.cache_int8,
+        stage2_max_seq_length=args.s2_seq,
         **models,
     )
     p = RetrievalPipeline(cfg)
