@@ -114,9 +114,17 @@ def main() -> None:
         ) / len(b)
 
     rows = []
+
+    def add_row(name, ms, ov):
+        # print as rows land: a later-leg crash (e.g. clustered build
+        # OOM at the HBM envelope) must not lose earlier measurements
+        rows.append((name, ms, ov))
+        print(f"ROW {name}: {ms:.2f} ms/q overlap@{args.top_k} {ov:.3f}",
+              flush=True)
+
     ms, base_ranks = measure("scan")
     impl = p.stage1.index._impl()
-    rows.append((f"scan ({impl})", ms, 1.0))
+    add_row(f"scan ({impl})", ms, 1.0)
 
     # control: pre-_d2_budget gather width (cache.max_len -> full)
     cache = p.stage2._cache
@@ -124,8 +132,8 @@ def main() -> None:
         saved = cache.max_len
         cache.max_len = cache.seq_len
         ms_full, ranks_full = measure("scan-full-d2")
-        rows.append(("scan-full-d2 (control)", ms_full,
-                     overlap(ranks_full, base_ranks)))
+        add_row("scan-full-d2 (control)", ms_full,
+                overlap(ranks_full, base_ranks))
         cache.max_len = saved
     else:
         print("d2 control skipped: corpus fills the stage-2 window",
@@ -136,17 +144,28 @@ def main() -> None:
         idx = p.stage1.index
         for n_probe in args.probes:
             idx.cluster_n_probe = n_probe
-            st = idx.fused_cluster_state(500)
+            try:
+                st = idx.fused_cluster_state(500)
+            except Exception as e:
+                # building the clustered view needs a SECOND device
+                # copy of the corpus (pack_blocks) + k-means transients
+                # — at the full-cache HBM envelope (e.g. 500k docs on
+                # one 16 GB chip) there is no headroom and the build
+                # OOMs; record that instead of losing the scan rows
+                print(f"clustered build failed at this HBM envelope "
+                      f"({type(e).__name__}); skipping clustered legs",
+                      flush=True)
+                break
             if st is None:
                 print(f"clustered@{n_probe}: ineligible "
                       f"(corpus below the block floor?)", flush=True)
                 continue
             ms_c, ranks_c = measure(f"clustered@{n_probe}")
             nb = st["row_ids"].shape[0]
-            rows.append((
+            add_row(
                 f"clustered n_probe={st['n_probe']}/{nb} blocks",
                 ms_c, overlap(ranks_c, base_ranks),
-            ))
+            )
     finally:
         del os.environ["TRISTAGE_SEARCH_IMPL"]
 
