@@ -200,7 +200,11 @@ class TestPerfProfile:
         assert cfg.index_dtype == "int8"
         assert cfg.index_search_impl == "approx"
         assert cfg.stage2_cache_int8 and cfg.stage3_weights_int8
-        assert cfg.enable_result_cache and cfg.result_cache_size == 4096
+        # the result cache is deliberately OFF since the round-4
+        # Zipf-1.5 A/B/A (-38% QPS for -35% p50: a latency knob, not a
+        # throughput knob — BENCH_NOTES round 4)
+        assert not cfg.enable_result_cache
+        assert cfg.result_cache_size == 4096
         assert cfg.compilation_cache_dir  # restart story, compile half
         cfg = dataclasses.replace(
             cfg, stage1_model="tiny-gemma", stage2_model="tiny-modernbert",
@@ -218,5 +222,10 @@ class TestPerfProfile:
         assert p.stage2._cache is not None and p.stage2._cache.quantized
         out = p.search("fox topic 1", top_k=3)
         assert out["results"]
+        # perf.yaml ships the result cache OFF (round-4 Zipf A/B/A:
+        # throughput loss); a repeat query must NOT be served host-side
         hit = p.search("fox topic 1", top_k=3)
-        assert hit["timing"].get("cached") is True
+        assert hit["timing"].get("cached") is not True
+        assert [r["doc_id"] for r in hit["results"]] == [
+            r["doc_id"] for r in out["results"]
+        ]
