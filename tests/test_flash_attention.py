@@ -75,7 +75,9 @@ class TestFlashParity:
         y_dense, params = _run_encoder(_cfg(), ids, mask)
         from tristage_rag_tpu.models import encoder as enc_mod
 
-        enc_mod._flash_warned.discard(96)
+        # reset the dedupe set fully: entries are tuples like ("len", 96),
+        # so discarding a bare int would be a no-op (ADVICE r4)
+        enc_mod._flash_warned.clear()
         with caplog.at_level(
             logging.WARNING, logger="tristage_rag_tpu.models.encoder"
         ):
