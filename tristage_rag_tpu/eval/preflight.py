@@ -271,4 +271,6 @@ def run_preflight(
           f"--variant {variant} --mteb"
           + (" --low-mem" if low_mem else "")
           + (f" --config {config_path}" if config_path else ""))
+    print("Full egress-day checklist (downloads -> tests -> reference "
+          "baseline -> parity table): docs/EGRESS_DAY.md")
     return 1 if blocking else 0
