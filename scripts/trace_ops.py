@@ -51,6 +51,35 @@ def _device_planes(xs):
             yield plane
 
 
+def device_total_us(trace_dir: str, per_iter: int = 1) -> float | None:
+    """Total synchronous device-op time across every xplane.pb under
+    ``trace_dir``, in microseconds per iteration — the per-program
+    ground-truth number BENCH_NOTES' method notes call "trace-derived
+    device time" (reproduces to ~1 us run-to-run, unlike the chained
+    probe whose reading includes relay throttling gaps). Returns None
+    when no trace or no device events exist (e.g. CPU platform)."""
+    pbs = sorted(glob.glob(
+        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
+    ))
+    total_ps = 0.0
+    seen = False
+    for pb in pbs:
+        try:
+            xs = _load_xplane(pb)
+        except Exception:
+            continue
+        for plane in _device_planes(xs):
+            for line in plane.lines:
+                if (line.name or "") != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    total_ps += ev.duration_ps
+                    seen = True
+    if not seen:
+        return None
+    return total_ps * 1e-6 / max(per_iter, 1)
+
+
 def summarize(path: str, top: int, per_iter: int, line_filter: str | None):
     xs = _load_xplane(path)
     groups: dict[str, list[float, int]] = defaultdict(lambda: [0.0, 0])

@@ -1056,13 +1056,22 @@ class FusedSearcher:
 
         return finalize
 
-    def device_time_probe(self, query: str, iters: int = 32) -> dict[str, float]:
+    def device_time_probe(
+        self, query: str, iters: int = 32, trace_dir: str | None = None,
+    ) -> dict[str, float]:
         """Estimate pure device time per query: dispatch the fused
         program ``iters`` times and block only on the LAST result.
         Dispatches queue in-order on the device stream, so
         (total - one round trip) / iters bounds the per-query device
         execution time — robust against relays that ack dispatches
-        before completion (BENCH_NOTES.md method note)."""
+        before completion (BENCH_NOTES.md method note).
+
+        ``trace_dir``: additionally capture a ``jax.profiler`` trace of
+        the dispatch loop there — parse it with
+        ``scripts/trace_ops.py::device_total_us`` for the per-program
+        device-time ground truth (the chained reading above includes
+        relay throttling gaps; the trace total reproduces to ~1 us)."""
+        import contextlib
         import time as _t
 
         p = self._prepare([query], with_bm25=False)
@@ -1083,12 +1092,17 @@ class FusedSearcher:
         )
         kw = p["statics"]
         np.asarray(self._fn(*args, **kw))  # warm
-        t0 = _t.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = self._fn(*args, **kw)
-        np.asarray(out)  # block on the last dispatch only
-        total = _t.perf_counter() - t0
+        ctx = (
+            jax.profiler.trace(trace_dir) if trace_dir
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            t0 = _t.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = self._fn(*args, **kw)
+            np.asarray(out)  # block on the last dispatch only
+            total = _t.perf_counter() - t0
         return {"total_s": total, "per_query_ms": total / iters * 1000.0}
 
     def _format(
