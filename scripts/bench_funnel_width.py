@@ -42,10 +42,12 @@ def _task_pairs(task) -> list[tuple[str, str]]:
     ]
 
 
-def _train_tiny_stack(task, steps: int, models: dict) -> dict:
+def _train_tiny_stack(task, steps: int, models: dict, seed: int = 0) -> dict:
     """Fine-tune the three tiny models on the task's (query, relevant
     doc) pairs — bi/colbert InfoNCE + cross BCE — returning trained
-    param trees keyed by stage. Runs on the measurement device."""
+    param trees keyed by stage. Runs on the measurement device.
+    ``seed`` drives sampling, init, and warm-start (seed 0 is
+    bit-identical to the historical single-seed protocol)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -57,7 +59,7 @@ def _train_tiny_stack(task, steps: int, models: dict) -> dict:
     from tristage_rag_tpu.train.data import cross_pair_batch
 
     pairs = _task_pairs(task)
-    rng_np = np.random.default_rng(0)
+    rng_np = np.random.default_rng(seed)
     bs = min(32, len(pairs))
 
     # BM25-mined hard negatives for the cross-encoder: the top-ranked
@@ -92,7 +94,7 @@ def _train_tiny_stack(task, steps: int, models: dict) -> dict:
         ("stage3", "cross", CrossEncoderTrainer),
     ):
         runtime, tok = build_runtime(
-            kind, models[f"{stage}_model"], model_dir="", seed=0,
+            kind, models[f"{stage}_model"], model_dir="", seed=seed,
             compute_dtype="float32",
         )
         trainer = cls(runtime.module, tcfg)
@@ -113,7 +115,7 @@ def _train_tiny_stack(task, steps: int, models: dict) -> dict:
                     jnp.asarray(db.input_ids), jnp.asarray(db.attn_mask))
 
         b0 = batch()
-        state = trainer.init_state(jax.random.PRNGKey(0), b0[0], b0[1])
+        state = trainer.init_state(jax.random.PRNGKey(seed), b0[0], b0[1])
         # warm-start from the runtime's deterministic init so the
         # trained tree matches the params the pipeline will build.
         # Copy via host: the train step DONATES its state, and

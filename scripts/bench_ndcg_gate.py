@@ -1,19 +1,25 @@
 """Synthetic-LIMIT NDCG@10 leg for the driver gate (VERDICT r3 next-10).
 
-Trains the tiny three-stage stack on a fixed-seed synthetic LIMIT task
+Trains the tiny three-stage stack on fixed-seed synthetic LIMIT tasks
 (queries are token subsets of their relevant doc — lexically grounded,
 so funnel attrition is measurable without real checkpoints), runs the
-full fused funnel over it, and prints ONE JSON line:
+full fused funnel over each, and prints ONE JSON line:
 
-  {"synthetic_ndcg_at_10": X, "synthetic_recall_at_10": Y}
+  {"synthetic_ndcg_at_10": mean, "synthetic_ndcg_spread": max-min,
+   "synthetic_ndcg_per_seed": [...], "synthetic_recall_at_10": mean}
+
+Multiple seeds (default 3, BENCH_NDCG_SEEDS) give the quality axis an
+error bar: round 4's single-seed 0.4591 was bit-reproducible but
+uninterpretable if it ever moved (VERDICT r4 weak-7). Seeds run in ONE
+process so jit caches carry across (same shapes — marginal seeds cost
+train+eval steps only, not compiles); a soft deadline stops early with
+whatever seeds finished rather than losing the whole leg.
 
 CPU-only (forces the CPU platform before any compute) so bench.py can
-run it CONCURRENTLY with the device legs. Everything is seeded; the
-number is comparable across rounds — a quality regression in the
-funnel (ranking, fusion, masking, kernel numerics) moves it, latency
-changes don't.
+run it CONCURRENTLY with the device legs. Everything is seeded; seed 0
+reproduces the historical protocol exactly (0.4591 at round 4).
 
-Protocol: 400 docs / 24 queries / seed 0, tiny models trained 40
+Per-seed protocol: 400 docs / 24 queries, tiny models trained 40
 steps (bi+colbert InfoNCE, cross BCE with BM25-mined hard negatives —
 scripts/bench_funnel_width.py::_train_tiny_stack), funnel
 500/25/20 fused. Reference counterpart: the MTEB NDCG@10 main score
@@ -26,17 +32,13 @@ import json
 import os
 import sys
 import tempfile
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    assert jax.devices()[0].platform == "cpu"
-
+def _one_seed(seed: int) -> dict:
     from bench_funnel_width import _inject_trained, _train_tiny_stack
 
     from tristage_rag_tpu.engine.config import PipelineConfig
@@ -45,8 +47,8 @@ def main() -> None:
     from tristage_rag_tpu.eval.limit import load_limit
     from tristage_rag_tpu.eval.synthetic import generate_synthetic_task
 
-    data_dir = tempfile.mkdtemp(prefix="ndcg_gate_")
-    generate_synthetic_task(data_dir, n_docs=400, n_queries=24, seed=0)
+    data_dir = tempfile.mkdtemp(prefix=f"ndcg_gate_s{seed}_")
+    generate_synthetic_task(data_dir, n_docs=400, n_queries=24, seed=seed)
     task = load_limit(data_dir, "limit-small")
 
     models = dict(
@@ -54,7 +56,7 @@ def main() -> None:
         stage2_model="tiny-modernbert",
         stage3_model="tiny-bert",
     )
-    trained = _train_tiny_stack(task, steps=40, models=models)
+    trained = _train_tiny_stack(task, steps=40, models=models, seed=seed)
 
     cfg = PipelineConfig(
         stage1_top_k=500, stage2_top_k=25, stage3_top_k=20,
@@ -66,9 +68,43 @@ def main() -> None:
     p = RetrievalPipeline(cfg)
     _inject_trained(p, trained)
     out = run_evaluation(p, task, top_k=20)
+    return out["metrics"]
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu"
+
+    n_seeds = int(os.environ.get("BENCH_NDCG_SEEDS", 3))
+    # soft budget: bench.py's hard cap (BENCH_NDCG_TIMEOUT, 420 s
+    # default) kills the whole leg with NO output; stopping ourselves
+    # a bit short keeps the seeds already measured
+    budget = float(os.environ.get("BENCH_NDCG_BUDGET_S", 380))
+    t0 = time.time()
+
+    ndcgs: list[float] = []
+    recalls: list[float] = []
+    for seed in range(n_seeds):
+        if ndcgs:
+            per_seed = (time.time() - t0) / len(ndcgs)
+            if time.time() - t0 + per_seed > budget:
+                print(f"# stopping after {len(ndcgs)} seeds "
+                      f"(soft budget {budget:.0f}s)", file=sys.stderr)
+                break
+        m = _one_seed(seed)
+        ndcgs.append(m["ndcg_at_10"])
+        recalls.append(m["recall_at_10"])
+        print(f"# seed {seed}: ndcg@10 {ndcgs[-1]:.4f} "
+              f"({time.time() - t0:.0f}s elapsed)", flush=True,
+              file=sys.stderr)
+
     print(json.dumps({
-        "synthetic_ndcg_at_10": round(out["metrics"]["ndcg_at_10"], 4),
-        "synthetic_recall_at_10": round(out["metrics"]["recall_at_10"], 4),
+        "synthetic_ndcg_at_10": round(sum(ndcgs) / len(ndcgs), 4),
+        "synthetic_ndcg_spread": round(max(ndcgs) - min(ndcgs), 4),
+        "synthetic_ndcg_per_seed": [round(v, 4) for v in ndcgs],
+        "synthetic_recall_at_10": round(sum(recalls) / len(recalls), 4),
     }), flush=True)
 
 
