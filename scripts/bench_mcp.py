@@ -71,7 +71,7 @@ async def _bench(args) -> dict:
 
     cache_kw = dict(enable_result_cache=bool(args.result_cache))
     if args.config:
-        # bench any YAML profile (e.g. configs/perf.yaml) end-to-end
+        # bench any YAML profile (e.g. configs/scale.yaml) end-to-end
         # through the serving stack
         cfg = PipelineConfig.from_yaml(args.config)
         if args.no_result_cache:
@@ -246,7 +246,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None,
                     help="bench a YAML pipeline profile "
-                         "(e.g. configs/perf.yaml) instead of the "
+                         "(e.g. configs/scale.yaml) instead of the "
                          "built-in full/tiny configs")
     ap.add_argument("--full", action="store_true",
                     help="full-size architectures (default: tiny)")

@@ -62,7 +62,7 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=2000)
     ap.add_argument("--reps", type=int, default=40)
     ap.add_argument("--config", default=None,
-                    help="pipeline YAML (default: configs/perf.yaml if "
+                    help="pipeline YAML (default: configs/scale.yaml if "
                          "present, else shipped defaults)")
     args = ap.parse_args()
 
@@ -87,7 +87,7 @@ def main() -> None:
         cfg = PipelineConfig.from_yaml(args.config)
     else:
         perf = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "configs", "perf.yaml")
+            os.path.abspath(__file__))), "configs", "scale.yaml")
         cfg = (PipelineConfig.from_yaml(perf) if os.path.exists(perf)
                else PipelineConfig(enable_fused_search=True,
                                    stage2_cache_doc_embeddings=True))

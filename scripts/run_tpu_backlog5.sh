@@ -28,7 +28,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 # Serving A/B at the shipped perf profile, 8 concurrent clients with
 # live adds (the BENCH_NOTES serving scenario). A/B/A to bound
 # tunnel-noise: baseline, pipelined, baseline again.
-MCP="python -u scripts/bench_mcp.py --config configs/perf.yaml --docs 256 --clients 8 --queries 400"
+MCP="python -u scripts/bench_mcp.py --config configs/scale.yaml --docs 256 --clients 8 --queries 400"
 run mcp_baseline_a 3600 $MCP
 run mcp_pipelined  3600 $MCP --pipelined
 run mcp_baseline_b 3600 $MCP

@@ -40,7 +40,7 @@ run gate_budget 1200 env BENCH_BUDGET_S=1100 python -u bench.py
 
 # --- 2. p50 decomposition + pipelined serving A/B/A ----------------
 run p50_decomp 3600 python -u scripts/bench_p50_decomp.py
-MCP="python -u scripts/bench_mcp.py --config configs/perf.yaml --docs 256 --clients 8 --queries 400"
+MCP="python -u scripts/bench_mcp.py --config configs/scale.yaml --docs 256 --clients 8 --queries 400"
 run mcp_baseline_a 3600 $MCP
 run mcp_pipelined  3600 $MCP --pipelined
 run mcp_baseline_b 3600 $MCP
@@ -48,7 +48,7 @@ run mcp_seq_base      1800 $MCP --clients 1 --queries 120
 run mcp_seq_pipelined 1800 $MCP --clients 1 --queries 120 --pipelined
 
 # --- 3. result cache at Zipf 1.5, pipelined ------------------------
-ZIPF="python -u scripts/bench_mcp.py --config configs/perf.yaml --docs 256 --clients 8 --queries 800 --zipf 1.5 --query-pool 64 --pipelined"
+ZIPF="python -u scripts/bench_mcp.py --config configs/scale.yaml --docs 256 --clients 8 --queries 800 --zipf 1.5 --query-pool 64 --pipelined"
 run zipf15_nocache 3600 $ZIPF
 run zipf15_cache   3600 $ZIPF --result-cache
 

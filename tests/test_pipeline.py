@@ -183,9 +183,10 @@ class TestMeshPipeline:
         assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
 
 
-class TestPerfProfile:
-    def test_perf_yaml_all_accelerators_active(self, tmp_path):
-        """configs/perf.yaml turns on every opt-in accelerator; loading
+class TestScaleProfile:
+    def test_scale_yaml_all_accelerators_active(self, tmp_path):
+        """configs/scale.yaml (the capacity profile; named perf.yaml
+        through round 4) turns on every opt-in accelerator; loading
         it (with tiny models substituted) must yield a pipeline where
         each knob is really active — not just parsed."""
         import dataclasses
@@ -195,7 +196,7 @@ class TestPerfProfile:
         from tristage_rag_tpu.engine.pipeline import RetrievalPipeline
 
         cfg = PipelineConfig.from_yaml(
-            Path(__file__).parent.parent / "configs" / "perf.yaml"
+            Path(__file__).parent.parent / "configs" / "scale.yaml"
         )
         assert cfg.index_dtype == "int8"
         assert cfg.index_search_impl == "approx"
@@ -222,7 +223,7 @@ class TestPerfProfile:
         assert p.stage2._cache is not None and p.stage2._cache.quantized
         out = p.search("fox topic 1", top_k=3)
         assert out["results"]
-        # perf.yaml ships the result cache OFF (round-4 Zipf A/B/A:
+        # scale.yaml ships the result cache OFF (round-4 Zipf A/B/A:
         # throughput loss); a repeat query must NOT be served host-side
         hit = p.search("fox topic 1", top_k=3)
         assert hit["timing"].get("cached") is not True
