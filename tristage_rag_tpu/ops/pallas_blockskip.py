@@ -40,7 +40,7 @@ def _gather_scores_kernel(
     sel_ref,  # SMEM [T, P] int32 (scalar prefetch)
     q_ref,  # VMEM [tile_q, D]
     docs_ref,  # VMEM [1, BS, D] — block sel[t, p]
-    *refs,  # quantized: (qs [tile_q,1], ds [1,BS], out); else (out,)
+    *refs,  # quantized: (qs [tile_q,1], ds [1,1,BS], out); else (out,)
     quantized: bool = False,
 ):
     if quantized:
@@ -54,7 +54,7 @@ def _gather_scores_kernel(
         preferred_element_type=jnp.int32 if quantized else jnp.float32,
     )  # [tile_q, BS]
     if quantized:
-        s = s.astype(jnp.float32) * qs_ref[:] * ds_ref[:]
+        s = s.astype(jnp.float32) * qs_ref[:] * ds_ref[0]
     out_ref[0, 0] = s.astype(jnp.float32)
 
 
@@ -120,7 +120,12 @@ def gathered_block_scores(
             q8,
             blocked,
             qs.astype(jnp.float32).reshape(b, 1),
-            scales.astype(jnp.float32),
+            # [nb, 1, bs]: a (1, 1, bs) block keeps the LAST TWO dims
+            # Mosaic-tileable (second-to-last 1 == the array's own 1;
+            # a 2-D (1, bs) block of [nb, bs] violates the sublane
+            # rule and refuses to lower on real TPU — caught by the
+            # round-5 TPU drive, masked by CPU interpret mode)
+            scales.astype(jnp.float32).reshape(nb, 1, bs),
         ]
         in_specs += [
             pl.BlockSpec(
@@ -128,8 +133,8 @@ def gathered_block_scores(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, bs),
-                lambda t, p, sel: (sel[t, p], 0),
+                (1, 1, bs),
+                lambda t, p, sel: (sel[t, p], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ]
