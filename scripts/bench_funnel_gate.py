@@ -45,11 +45,14 @@ PROBE_ITERS = int(os.environ.get("BENCH_FUNNEL_ITERS", 32))
 def _dependent_fetch(*arrays) -> None:
     """Block until the device really finished (the relay acks
     dispatches before completion, so wall-clock around an un-fetched
-    add_documents under-measures)."""
+    add_documents under-measures). Flattens nested state tuples
+    (e.g. TieredTokenCache.state())."""
     import numpy as np
 
     for a in arrays:
-        if a is not None and hasattr(a, "dtype"):
+        if isinstance(a, (tuple, list)):
+            _dependent_fetch(*a)
+        elif a is not None and hasattr(a, "dtype"):
             np.asarray(a[..., :1])
 
 

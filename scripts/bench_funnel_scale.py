@@ -53,6 +53,18 @@ def main() -> None:
                          "search-compile time on one 16 GB chip — 128 "
                          "fits (8.2 GB) and stores identical content "
                          "when docs are shorter than the window")
+    ap.add_argument("--hot-window", type=int, default=0,
+                    help="two-tier stage-2 cache (TieredTokenCache): "
+                         "every doc pays for this many tokens, only "
+                         "docs exceeding it occupy a tail slot to "
+                         "--s2-seq. The one-chip answer to the 192-"
+                         "window 500k OOM when the long-doc share is "
+                         "below ~0.9 (VERDICT r4 weak-8)")
+    ap.add_argument("--long-frac", type=float, default=1.0,
+                    help="fraction of docs generated LONG (~160 "
+                         "tokens, crossing a 128 hot window); the rest "
+                         "stay ~60 tokens — sets the tail occupancy "
+                         "the tiered cache's saving scales with")
     args = ap.parse_args()
 
     if args.tiny:
@@ -73,8 +85,15 @@ def main() -> None:
                       stage2_model="gte-moderncolbert",
                       stage3_model="minilm-l6-cross")
 
-    docs = [f"doc {i}: retrieval kernel fusion latency topic {i % 7} "
-            f"memory bandwidth index shard " * 4 for i in range(args.docs)]
+    docs = []
+    for i in range(args.docs):
+        # rep 30 ≈ 130 words ≈ 160 tokens — safely past a 128 hot
+        # window; rep 4 ≈ 26 words ≈ 35 tokens — safely inside it
+        rep = 30 if (i / max(args.docs, 1)) < args.long_frac else 4
+        docs.append(
+            f"doc {i}: retrieval kernel fusion latency topic {i % 7} "
+            + "memory bandwidth index shard " * rep
+        )
     queries = [f"retrieval kernel latency topic {i % 7} shard {i}"
                for i in range(args.queries)]
 
@@ -89,6 +108,7 @@ def main() -> None:
         stage2_cache_max_docs=max(args.docs, 100_000),
         stage2_cache_int8=args.cache_int8,
         stage2_max_seq_length=args.s2_seq,
+        stage2_cache_hot_window=args.hot_window,
         **models,
     )
     p = RetrievalPipeline(cfg)
@@ -128,7 +148,14 @@ def main() -> None:
 
     # control: pre-_d2_budget gather width (cache.max_len -> full)
     cache = p.stage2._cache
-    if cache is not None and 0 < cache.max_len < cache.seq_len:
+    if args.hot_window and cache is not None:
+        print(f"tiered cache: {cache.tail_docs}/{cache.size} docs "
+              f"occupy a tail slot (occupancy "
+              f"{cache.tail_docs / max(cache.size, 1):.2f})", flush=True)
+    if (
+        cache is not None and 0 < cache.max_len < cache.seq_len
+        and not isinstance(getattr(type(cache), "max_len", None), property)
+    ):
         saved = cache.max_len
         cache.max_len = cache.seq_len
         ms_full, ranks_full = measure("scan-full-d2")

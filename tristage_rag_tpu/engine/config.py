@@ -128,6 +128,16 @@ class PipelineConfig:
     # tokens (same class as DenseIndex int8 mode). Both staged and
     # fused paths dequantize through the same gather.
     stage2_cache_int8: bool = False
+    # Two-tier cache (index/token_cache.py::TieredTokenCache): every
+    # doc pays for the first `hot_window` tokens; only docs that
+    # actually exceed it occupy a tail slot covering the rest of
+    # stage2_max_seq_length. 0 = flat single-tier cache. The one-chip
+    # answer to the 192-token-window 500k-doc OOM (the flat int8 cache
+    # is 12.3 GB there; two-tier costs 8.2 GB + tail-share): scores
+    # are identical to the flat cache at the same total window.
+    # Single-device only — multi-chip capacity scales by sharding the
+    # flat cache over the mesh instead.
+    stage2_cache_hot_window: int = 0
 
     # Stage 3
     stage3_model: str = "cross-encoder/ms-marco-MiniLM-L6-v2"
@@ -297,6 +307,7 @@ class PipelineConfig:
             ("cache_doc_embeddings", "stage2_cache_doc_embeddings"),
             ("cache_max_docs", "stage2_cache_max_docs"),
             ("cache_int8", "stage2_cache_int8"),
+            ("cache_hot_window", "stage2_cache_hot_window"),
             ("act_int8", "stage2_act_int8"),
             ("weights_int8", "stage2_weights_int8"),
             ("fused_mlp", "stage2_fused_mlp"),

@@ -114,7 +114,34 @@ def _gather_candidate_tokens(s2_cache, safe_ids, valid, width=None):
     valid tokens fit inside it, so MaxSim scores are bit-identical while
     the per-query gathered block shrinks from [k1, L2, D] to
     [k1, width, D] (full-length perf profile: 49 MB -> 8 MB f32 at
-    k1=500, L2=192, D=128, width=32 short-doc corpora)."""
+    k1=500, L2=192, D=128, width=32 short-doc corpora).
+
+    A TIERED cache (TieredTokenCache.state(): nested
+    ``(hot_state, tail_state, doc->slot map)``) gathers the hot window
+    plus a map-indirected tail gather concatenated on the token axis —
+    and when the static ``width`` fits the hot window the tail gather
+    is dropped at trace time entirely."""
+    if s2_cache and isinstance(s2_cache[0], (tuple, list)):
+        hot_state, tail_state, tmap = s2_cache
+        hot_len = hot_state[0].shape[1]
+        w_hot = None if width is None else min(width, hot_len)
+        e1, m1 = _gather_candidate_tokens(
+            hot_state, safe_ids, valid, width=w_hot
+        )
+        if width is not None and width <= hot_len:
+            return e1, m1
+        slots = jnp.take(tmap, safe_ids, axis=0)
+        t_valid = valid & (slots >= 0)
+        tail_cap = tail_state[0].shape[0]
+        safe_slots = jnp.clip(slots, 0, max(tail_cap - 1, 0))
+        w_tail = None if width is None else width - hot_len
+        e2, m2 = _gather_candidate_tokens(
+            tail_state, safe_slots, t_valid, width=w_tail
+        )
+        return (
+            jnp.concatenate([e1, e2], axis=1),
+            jnp.concatenate([m1, m2], axis=1),
+        )
     if len(s2_cache) == 3:  # int8 cache: gather + fused dequant
         s2_q, s2_scale, s2_mask_buf = s2_cache
         c_emb = dequantize_gather(s2_q, s2_scale, safe_ids, width=width)
@@ -331,7 +358,12 @@ class FusedSearcher:
 
             # ---- stage 2: gather cached token embeddings + MaxSim
             valid1 = f_i >= 0
-            safe1 = jnp.clip(f_i, 0, s2_cache[0].shape[0] - 1)
+            s2_cap = (
+                s2_cache[0][0].shape[0]
+                if isinstance(s2_cache[0], (tuple, list))  # tiered
+                else s2_cache[0].shape[0]
+            )
+            safe1 = jnp.clip(f_i, 0, s2_cap - 1)
             c_emb, c_mask = _gather_candidate_tokens(
                 s2_cache, safe1, valid1, d2b
             )

@@ -70,15 +70,42 @@ class ColBERTScorer:
         # per-query host traffic = the candidate id list only).
         self._cache = None
         if config.stage2_cache_doc_embeddings:
-            from tristage_rag_tpu.index.token_cache import DeviceTokenCache
-
-            self._cache = DeviceTokenCache(
-                seq_len=config.stage2_max_seq_length,
-                dim=self.token_dim,
-                max_docs=config.stage2_cache_max_docs,
-                quantize=config.stage2_cache_int8,
-                mesh=mesh,
+            from tristage_rag_tpu.index.token_cache import (
+                DeviceTokenCache, TieredTokenCache,
             )
+
+            hot = int(getattr(config, "stage2_cache_hot_window", 0) or 0)
+            if hot:
+                if mesh is not None:
+                    # The sharded funnel row-shards the FLAT cache over
+                    # the mesh (capacity already scales with devices);
+                    # the tiered form targets the one-chip envelope.
+                    raise ValueError(
+                        "stage2_cache_hot_window is single-device only "
+                        "— on a mesh, cache capacity scales by row-"
+                        "sharding the flat cache instead"
+                    )
+                if not 0 < hot < config.stage2_max_seq_length:
+                    raise ValueError(
+                        f"stage2_cache_hot_window={hot} must be in "
+                        f"(0, stage2_max_seq_length="
+                        f"{config.stage2_max_seq_length})"
+                    )
+                self._cache = TieredTokenCache(
+                    seq_len=config.stage2_max_seq_length,
+                    dim=self.token_dim,
+                    hot_len=hot,
+                    max_docs=config.stage2_cache_max_docs,
+                    quantize=config.stage2_cache_int8,
+                )
+            else:
+                self._cache = DeviceTokenCache(
+                    seq_len=config.stage2_max_seq_length,
+                    dim=self.token_dim,
+                    max_docs=config.stage2_cache_max_docs,
+                    quantize=config.stage2_cache_int8,
+                    mesh=mesh,
+                )
 
     def encode_query(self, query: str) -> tuple[np.ndarray, np.ndarray]:
         """([Lq, D] token embeddings, [Lq] mask) — un-padded semantics

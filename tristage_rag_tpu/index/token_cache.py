@@ -365,3 +365,276 @@ class DeviceTokenCache:
         # buffers kept allocated; masks zeroed lazily on reuse
         if self._mask is not None:
             self._mask = jnp.zeros_like(self._mask)
+
+
+class TieredTokenCache:
+    """Two-tier stage-2 token cache: a hot window every doc pays for,
+    plus a tail pool only docs that actually exceed it occupy.
+
+    HBM cost = cap * hot_len + (#long docs) * (seq_len - hot_len)
+    per (token x dim) cell, vs cap * seq_len flat — the difference is
+    what OOMed the 192-token window at 500k docs on one 16 GB chip
+    while the 128-token window fit (VERDICT r4 weak-8): with a
+    128-token hot window, only the docs that really run past 128
+    tokens pay for slots 128..191.
+
+    Layout: ``hot`` and ``tail`` are ordinary DeviceTokenCaches (same
+    dtype/int8 mode); ``tail`` rows are SLOTS, not doc ids, with a
+    device-resident ``doc id -> tail slot`` map (-1 = doc fits the hot
+    window). Gathers stay single-dispatch: hot gather + map-indirected
+    tail gather + concat along the token axis, all static shapes —
+    when the gather-width bucket (`engine/fused.py::_d2_budget`) fits
+    inside the hot window the tail gather is skipped at trace time.
+
+    Single-device by design: the sharded funnel already scales cache
+    capacity linearly with the mesh (rows sharded over "data"), so the
+    tiered form targets the one-chip envelope; the pipeline refuses
+    the combination loudly.
+    """
+
+    def __init__(
+        self,
+        seq_len: int,
+        dim: int,
+        hot_len: int,
+        dtype: str = "bfloat16",
+        max_docs: int = 100_000,
+        quantize: bool = False,
+    ):
+        if not 0 < hot_len < seq_len:
+            raise ValueError(
+                f"hot_len must be in (0, seq_len={seq_len}), got {hot_len}"
+            )
+        self.seq_len = seq_len
+        self.hot_len = hot_len
+        self.dim = dim
+        self.quantized = bool(quantize)
+        self.dtype = jnp.dtype("int8" if quantize else dtype)
+        self.max_docs = max_docs
+        self.mesh = None
+        self.hot = DeviceTokenCache(
+            seq_len=hot_len, dim=dim, dtype=dtype, max_docs=max_docs,
+            quantize=quantize,
+        )
+        self.tail = DeviceTokenCache(
+            seq_len=seq_len - hot_len, dim=dim, dtype=dtype,
+            max_docs=max_docs, quantize=quantize,
+        )
+        # doc id -> tail slot; host copy for allocation, device array
+        # for the fused program (scatter-updated, never refetched)
+        self._map_host = np.full((0,), -1, dtype=np.int32)
+        self._map_dev: Optional[jax.Array] = None
+        self._next_slot = 0
+
+    # ---- DeviceTokenCache-compatible surface ---------------------------
+
+    def __contains__(self, doc_id: int) -> bool:
+        return doc_id in self.hot._present
+
+    @property
+    def size(self) -> int:
+        return self.hot.size
+
+    @property
+    def capacity(self) -> int:
+        return self.hot.capacity
+
+    @property
+    def max_len(self) -> int:
+        h = self.hot.max_len
+        t = self.tail.max_len if self.tail.size else 0
+        return (self.hot_len + t) if t else h
+
+    @property
+    def tail_docs(self) -> int:
+        """How many cached docs actually occupy a tail slot."""
+        return self._next_slot
+
+    def covers(self, doc_ids) -> bool:
+        return self.hot.covers(doc_ids)
+
+    def reserve(self, max_id: int) -> bool:
+        ok = self.hot.reserve(max_id)
+        self._sync_map_capacity()
+        return ok
+
+    def _sync_map_capacity(self) -> None:
+        cap = self.hot.capacity
+        if cap > self._map_host.shape[0]:
+            grown = np.full((cap,), -1, dtype=np.int32)
+            grown[: self._map_host.shape[0]] = self._map_host
+            self._map_host = grown
+            self._map_dev = jnp.asarray(grown)
+
+    def _row_lengths(self, masks, n: int) -> np.ndarray:
+        """Last-valid-position per row (same interior-zero-safe rule as
+        DeviceTokenCache.add). A device-array mask costs a fetch to
+        inspect, so it conservatively tails EVERY row."""
+        if isinstance(masks, jax.Array):
+            return np.full((n,), self.seq_len, dtype=np.int64)
+        m = np.asarray(masks).reshape(n, -1)
+        nz = m != 0
+        return np.where(
+            nz.any(axis=1), m.shape[1] - np.argmax(nz[:, ::-1], axis=1), 0
+        )
+
+    def add(self, doc_ids, embeddings, masks) -> int:
+        ids = np.asarray(doc_ids, dtype=np.int32)
+        if ids.size == 0:
+            return 0
+        emb = jnp.asarray(embeddings)
+        if emb.shape[1] != self.seq_len:
+            raise ValueError(
+                f"expected seq_len {self.seq_len}, got {emb.shape[1]}"
+            )
+        msk_np = (
+            masks if not isinstance(masks, jax.Array) else None
+        )
+        lengths = self._row_lengths(masks, ids.size)
+        msk = jnp.asarray(masks)
+        stored = self.hot.add(
+            ids, emb[:, : self.hot_len],
+            (np.asarray(msk_np)[:, : self.hot_len] if msk_np is not None
+             else msk[:, : self.hot_len]),
+        )
+        if not stored:
+            return 0
+        self._sync_map_capacity()
+        long_rows = np.nonzero(lengths > self.hot_len)[0]
+        if long_rows.size:
+            long_ids = ids[long_rows]
+            slots = self._map_host[long_ids].copy()
+            fresh = slots < 0
+            n_new = int(fresh.sum())
+            if n_new:
+                new_slots = np.arange(
+                    self._next_slot, self._next_slot + n_new, dtype=np.int32
+                )
+                slots[fresh] = new_slots
+                self._next_slot += n_new
+                self._map_host[long_ids] = slots
+                self._map_dev = self._map_dev.at[
+                    jnp.asarray(long_ids)
+                ].set(jnp.asarray(slots))
+            t_emb = emb[jnp.asarray(long_rows), self.hot_len:]
+            t_msk = (
+                np.asarray(msk_np)[long_rows, self.hot_len:]
+                if msk_np is not None
+                else msk[jnp.asarray(long_rows), self.hot_len:]
+            )
+            self.tail.add(slots, t_emb, t_msk)
+        return stored
+
+    def gather(self, doc_ids) -> tuple[jax.Array, jax.Array]:
+        """([n, seq_len, D] f32, [n, seq_len] i32) — hot + tail concat,
+        zero/masked tail for docs without a slot."""
+        ids = np.asarray(doc_ids, dtype=np.int32)
+        e1, m1 = self.hot.gather(ids)
+        safe_ids = np.clip(ids, 0, max(self.hot.capacity - 1, 0))
+        slots = self._map_host[safe_ids]
+        slots[ids < 0] = -1
+        e2, m2 = self.tail.gather(slots)
+        # A slotless doc's clipped gather returns slot 0's values with
+        # an all-zero mask; zero them so raw gathers match a flat cache
+        # bit-for-bit (consumers mask anyway — this is defense in depth)
+        e2 = e2 * m2[..., None].astype(e2.dtype)
+        return (
+            jnp.concatenate([e1, e2], axis=1),
+            jnp.concatenate([m1, m2], axis=1),
+        )
+
+    def state(self) -> tuple:
+        """(hot_state, tail_state, doc->slot map) for the fused
+        program — ``engine/fused.py::_gather_candidate_tokens``
+        detects the nested form and skips the tail gather entirely
+        when the static gather width fits the hot window."""
+        return (self.hot.state(), self.tail.state(), self._map_dev)
+
+    # ---- persistence ---------------------------------------------------
+
+    def save(self, path) -> None:
+        import json as _json
+
+        def flat(prefix, c):
+            buf = np.asarray(jax.device_get(c._buf))
+            out = {
+                f"{prefix}mask": np.asarray(jax.device_get(c._mask)),
+                f"{prefix}present": np.asarray(
+                    sorted(c._present), dtype=np.int64
+                ),
+            }
+            if str(buf.dtype) == "bfloat16":
+                out[f"{prefix}buf_u16"] = buf.view(np.uint16)
+            else:
+                out[f"{prefix}buf"] = buf
+            if c.quantized:
+                out[f"{prefix}scale"] = np.asarray(jax.device_get(c._scale))
+            return out
+
+        meta = dict(
+            kind="tiered_token_cache", seq_len=self.seq_len,
+            hot_len=self.hot_len, dim=self.dim, dtype=str(self.dtype),
+            quantized=self.quantized, capacity=self.hot.capacity,
+            tail_capacity=self.tail.capacity, next_slot=self._next_slot,
+            hot_max_len=self.hot.max_len, tail_max_len=self.tail.max_len,
+        )
+        _atomic_savez(
+            path,
+            meta=np.frombuffer(_json.dumps(meta).encode(), dtype=np.uint8),
+            map=self._map_host,
+            **flat("hot_", self.hot), **flat("tail_", self.tail),
+        )
+
+    def load(self, path) -> bool:
+        import json as _json
+
+        try:
+            z = np.load(path)
+            meta = _json.loads(bytes(z["meta"]).decode())
+        except Exception:
+            return False
+        if (
+            meta.get("kind") != "tiered_token_cache"
+            or meta["seq_len"] != self.seq_len
+            or meta["hot_len"] != self.hot_len
+            or meta["dim"] != self.dim
+            or meta["dtype"] != str(self.dtype)
+            or meta["quantized"] != self.quantized
+        ):
+            return False
+
+        def restore(prefix, c, cap, max_len):
+            if f"{prefix}buf_u16" in z:
+                import ml_dtypes
+
+                buf = z[f"{prefix}buf_u16"].view(ml_dtypes.bfloat16)
+            else:
+                buf = z[f"{prefix}buf"]
+            c.capacity = cap
+            c._buf = jax.device_put(jnp.asarray(buf))
+            c._mask = jax.device_put(jnp.asarray(z[f"{prefix}mask"]))
+            c._scale = (
+                jax.device_put(jnp.asarray(z[f"{prefix}scale"]))
+                if c.quantized else None
+            )
+            c._present = set(int(i) for i in z[f"{prefix}present"])
+            c.max_len = max_len
+
+        restore("hot_", self.hot, int(meta["capacity"]),
+                int(meta["hot_max_len"]))
+        restore("tail_", self.tail, int(meta["tail_capacity"]),
+                int(meta["tail_max_len"]))
+        self._map_host = np.asarray(z["map"], dtype=np.int32)
+        self._map_dev = jnp.asarray(self._map_host)
+        self._next_slot = int(meta["next_slot"])
+        return True
+
+    def clear(self) -> None:
+        self.hot.clear()
+        self.tail.clear()
+        self._map_host = np.full(
+            (self._map_host.shape[0],), -1, dtype=np.int32
+        )
+        if self._map_dev is not None:
+            self._map_dev = jnp.asarray(self._map_host)
+        self._next_slot = 0
