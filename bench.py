@@ -148,7 +148,10 @@ def _stage1_leg() -> None:
             return fused_matmul_topk(q, d, count, k=K)
 
         def pallas_bank_step(q, d):
-            return fused_matmul_topk(q, d, count, k=K, mode="bank")
+            # transposed bank kernel (round 5): scores land [BLK, B] so
+            # the bank reduce is a sublane reshape, not a per-bank lane
+            # loop — 3-6x the round-4 bank kernel at the same recall
+            return fused_matmul_topk(q, d, count, k=K, mode="bankT")
 
         paths.insert(0, ("pallas_fused_exact", pallas_step, docs))
         paths.insert(0, ("pallas_fused_bank", pallas_bank_step, docs))
@@ -163,13 +166,27 @@ def _stage1_leg() -> None:
 
             def pallas_int8_bank_step(q, d):
                 return fused_matmul_topk(
-                    q.astype(jnp.float32), d, count, k=K, mode="bank",
+                    q.astype(jnp.float32), d, count, k=K, mode="bankT",
                     scales=scales,
+                )
+
+            def pallas_int8_bank2_step(q, d):
+                # bank_top=2 recovers 2-winner bank collisions:
+                # >=0.99 SELECTION recall at k=500/1M (the >=0.99 axis
+                # VERDICT r4 next-2 asks for; the vs-bf16 number is
+                # floored at ~0.986 by int8 quantization id-divergence
+                # for EVERY int8 path, including int8_approx at 0.981)
+                return fused_matmul_topk(
+                    q.astype(jnp.float32), d, count, k=K, mode="bankT",
+                    bank_top=2, scales=scales,
                 )
 
             paths.insert(0, ("pallas_int8_exact", pallas_int8_step, q8docs))
             paths.insert(
                 0, ("pallas_int8_bank", pallas_int8_bank_step, q8docs)
+            )
+            paths.insert(
+                0, ("pallas_int8_bank2", pallas_int8_bank2_step, q8docs)
             )
 
     iters_for = {"xla_exact": 6}
@@ -190,8 +207,27 @@ def _stage1_leg() -> None:
     # Measured recall@K of each approx path vs exact, on this corpus +
     # query batch (one fetch each; set membership per query, averaged).
     recalls = {}
+    sel_recalls = {}
     try:
         exact_ids = jax.device_get(jax.jit(xla_exact_step)(q, docs)[1])
+        # SELECTION-recall oracle for int8 paths: exact top-k over the
+        # SAME int8-dequant scores. Every int8 path's vs-bf16 recall is
+        # floored near 0.986 by quantization id-divergence at the K
+        # boundary (int8_approx reads 0.981 for the same reason); the
+        # kernel only controls selection loss, measured against this.
+        int8_exact_ids = None
+        if int8_ready:
+            def int8_exact_step(qq, dd):
+                s = jnp.einsum(
+                    "bd,nd->bn", qq.astype(jnp.bfloat16),
+                    dd.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ) * scales[None, :]
+                return jax.lax.top_k(s, K)
+
+            int8_exact_ids = jax.device_get(
+                jax.jit(int8_exact_step)(q, q8docs)[1]
+            )
         recall_paths = [("xla_approx", xla_approx_step, docs)]
         if int8_ready:
             recall_paths.append(("int8_approx", int8_approx_step, q8docs))
@@ -199,16 +235,25 @@ def _stage1_leg() -> None:
             recall_paths += [
                 ("pallas_int8_exact", pallas_int8_step, q8docs),
                 ("pallas_int8_bank", pallas_int8_bank_step, q8docs),
+                ("pallas_int8_bank2", pallas_int8_bank2_step, q8docs),
             ]
-        for name, step, corpus in recall_paths:
-            ids = jax.device_get(jax.jit(step)(q, corpus)[1])
+
+        def _overlap(ids, ref):
             hit = sum(
-                len(set(ids[b].tolist()) & set(exact_ids[b].tolist()))
+                len(set(ids[b].tolist()) & set(ref[b].tolist()))
                 for b in range(B)
             )
-            recalls[name] = hit / float(B * K)
+            return hit / float(B * K)
+
+        for name, step, corpus in recall_paths:
+            ids = jax.device_get(jax.jit(step)(q, corpus)[1])
+            recalls[name] = _overlap(ids, exact_ids)
             print(f"# {name} recall@{K}: {recalls[name]:.4f}",
                   file=sys.stderr)
+            if int8_exact_ids is not None and "int8" in name:
+                sel_recalls[name] = _overlap(ids, int8_exact_ids)
+                print(f"# {name} selection recall@{K}: "
+                      f"{sel_recalls[name]:.4f}", file=sys.stderr)
     except Exception as e:
         print(f"# recall measurement failed: {e}", file=sys.stderr)
 
@@ -226,11 +271,14 @@ def _stage1_leg() -> None:
         out["int8_approx_qps"] = round(candidates["int8_approx"], 1)
         if "int8_approx" in recalls:
             out["int8_recall_at_k"] = round(recalls["int8_approx"], 4)
-    for pal in ("pallas_int8_exact", "pallas_int8_bank"):
+    for pal in ("pallas_int8_exact", "pallas_int8_bank",
+                "pallas_int8_bank2"):
         if pal in candidates:
             out[f"{pal}_qps"] = round(candidates[pal], 1)
             if pal in recalls:
                 out[f"{pal}_recall_at_k"] = round(recalls[pal], 4)
+            if pal in sel_recalls:
+                out[f"{pal}_sel_recall"] = round(sel_recalls[pal], 4)
     print(json.dumps(out), flush=True)
 
 

@@ -116,6 +116,56 @@ class TestBankMode:
         idx = np.asarray(idx)
         assert ((idx >= -1) & (idx < 40)).all()
 
+    def test_bank_top2_recovers_two_winner_collisions(self):
+        """bank_top=2 keeps each bank's top TWO: any bank holding
+        exactly two global winners no longer loses one, so recall at
+        high occupancy must strictly beat top-1 and every top-1 result
+        stays included (top-2 candidates are a superset per bank)."""
+        rng = np.random.default_rng(5)
+        n, k, t = 16384, 100, 8
+        docs = rng.standard_normal((n, 128)).astype(np.float32)
+        docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+        q = rng.standard_normal((4, 128)).astype(np.float32)
+        v1, exact = masked_topk(
+            jnp.asarray(q), jnp.asarray(docs), jnp.int32(n), k=k
+        )
+        args = (jnp.asarray(q), jnp.asarray(docs), jnp.int32(n))
+        _, top1 = fused_matmul_topk(
+            *args, k=k, block_size=1024, per_block_k=t, mode="bank",
+            interpret=True,
+        )
+        _, top2 = fused_matmul_topk(
+            *args, k=k, block_size=1024, per_block_k=t, mode="bank",
+            bank_top=2, interpret=True,
+        )
+        exact, top1, top2 = map(np.asarray, (exact, top1, top2))
+
+        def recall(ids):
+            return np.mean(
+                [len(set(exact[r]) & set(ids[r])) / k for r in range(4)]
+            )
+
+        r1, r2 = recall(top1), recall(top2)
+        assert r2 > r1, (r1, r2)
+        # 128 banks for k=100 is ~0.78 occupancy: >=3-winner banks are
+        # common (E ~5.6), so ~0.93 here; production shapes (1M docs,
+        # 8192 banks, k=500) put occupancy at 0.06 -> ~0.999
+        assert r2 >= 0.9, r2
+        # the global best is always its bank's max on both paths
+        assert (top1[:, 0] == exact[:, 0]).all()
+        assert (top2[:, 0] == exact[:, 0]).all()
+
+    def test_bank_top_exceeding_width_refused(self):
+        rng = np.random.default_rng(2)
+        docs = rng.standard_normal((1024, 128)).astype(np.float32)
+        q = rng.standard_normal((2, 128)).astype(np.float32)
+        with pytest.raises(ValueError, match="bank_top"):
+            fused_matmul_topk(
+                jnp.asarray(q), jnp.asarray(docs), jnp.int32(1024), k=16,
+                block_size=1024, per_block_k=512, mode="bank", bank_top=4,
+                interpret=True,
+            )
+
 
 class TestExactnessGuard:
     def test_bank_mode_exempt_from_exactness_guard(self):
