@@ -329,6 +329,29 @@ class TestExactnessGuard:
         s_d, i_d = pal.search(emb[:1], k=8)
         assert int(i_p[0, 0]) not in set(i_d[0].tolist())
 
+    def test_dense_index_pallas_bank_impl(self):
+        """search_impl="pallas-bank" routes the transposed bank kernel
+        at bank_top=2 (the ~0.99-selection-recall point, BENCH_NOTES
+        round 5): high overlap with exact on the same buffer, and the
+        fused-composite state downgrades to a non-kernel impl (the
+        single-dispatch funnel has no bank variant)."""
+        from tristage_rag_tpu.index.dense import DenseIndex
+
+        rng = np.random.default_rng(6)
+        emb = rng.standard_normal((1500, 64)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        pal = DenseIndex(dim=64, search_impl="pallas-bank")
+        ref = DenseIndex(dim=64, search_impl="exact")
+        pal.add(emb)
+        ref.add(emb)
+        assert pal._impl() == "pallas-bank"
+        s_p, i_p = pal.search(emb[:4], k=16)
+        s_r, i_r = ref.search(emb[:4], k=16)
+        for r in range(4):
+            assert i_p[r, 0] == i_r[r, 0]
+            assert len(set(i_p[r].tolist()) & set(i_r[r].tolist())) >= 14
+        assert pal.search_state()[4] in ("exact", "approx")
+
     def test_dense_index_falls_back_to_exact(self):
         """DenseIndex with search_impl=pallas on a small corpus + big k
         must return the exact results via the XLA path."""

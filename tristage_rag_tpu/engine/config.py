@@ -200,7 +200,10 @@ class PipelineConfig:
     # Stage-1 dense search path: "auto" picks exact below ~100k rows
     # and approx_max_k above (the reference's flat-vs-IVF switch,
     # src/stage1_retriever.py:274-291); "exact"/"approx"/"pallas"
-    # force one. recall_target feeds approx_max_k.
+    # force one. recall_target feeds approx_max_k. "pallas-bank" runs
+    # the transposed bank kernel at bank_top=2 — ~0.99 SELECTION
+    # recall at 2.4-2.7x the exact-merge kernel's QPS (BENCH_NOTES
+    # round 5): the high-recall high-throughput kernel point.
     index_search_impl: str = "auto"
     index_recall_target: float = 0.95
     # Clustered (IVF-equivalent) stage-1: index_search_impl "clustered"

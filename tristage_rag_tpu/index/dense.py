@@ -355,7 +355,7 @@ class DenseIndex:
         impl = os.environ.get("TRISTAGE_SEARCH_IMPL", self.search_impl)
         if impl in ("exact", "xla"):
             return "exact"
-        if impl in ("approx", "pallas"):
+        if impl in ("approx", "pallas", "pallas-bank"):
             return impl
         if impl == "clustered":
             # IVF-equivalent block skipping needs enough blocks to skip
@@ -729,6 +729,10 @@ class DenseIndex:
             # clustered probing is a two-step-path optimization (like
             # pallas+int8 below). Keep composites on the masked scan.
             impl = "approx" if self.count >= APPROX_THRESHOLD else "exact"
+        if impl == "pallas-bank":
+            # The composites have no bank-kernel variant; mirror the
+            # clustered downgrade so fused configs keep one dispatch.
+            impl = "approx" if self.count >= APPROX_THRESHOLD else "exact"
         if impl == "pallas" and self.quantized:
             # The fused-funnel/fused-dispatch composites (the callers
             # of this method) have no int8-kernel variant yet; keep
@@ -773,13 +777,21 @@ class DenseIndex:
                     bias=bias, scale=self._scales,
                 )
             s, i = out
-        elif impl == "pallas":
+        elif impl in ("pallas", "pallas-bank"):
             from tristage_rag_tpu.ops.pallas_topk import fused_matmul_topk
 
             # The fused kernel masks by count only; over-fetch by the
             # tombstone count and filter host-side (deletions are rare
             # relative to capacity).
             extra = min(len(self._deleted), self.capacity - k_eff)
+            # "pallas-bank" = the transposed bank kernel at bank_top=2:
+            # ~0.99 selection recall at 2.4-2.7x the exact-merge
+            # kernel's QPS (BENCH_NOTES round 5) — the high-recall
+            # high-throughput point on the kernel frontier.
+            mode_kw = (
+                dict(mode="bankT", bank_top=2)
+                if impl == "pallas-bank" else {}
+            )
             try:
                 s, i = fused_matmul_topk(
                     q, self._buf, jnp.int32(self.count), k=k_eff + extra,
@@ -791,6 +803,7 @@ class DenseIndex:
                     # Mosaic is TPU-only; interpret keeps the forced-
                     # pallas path testable on the CPU suite.
                     interpret=jax.default_backend() == "cpu",
+                    **mode_kw,
                 )
             except ValueError:
                 # corpus too small for this k's per-block margin — the
