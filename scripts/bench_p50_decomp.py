@@ -62,8 +62,10 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=2000)
     ap.add_argument("--reps", type=int, default=40)
     ap.add_argument("--config", default=None,
-                    help="pipeline YAML (default: configs/scale.yaml if "
-                         "present, else shipped defaults)")
+                    help="pipeline YAML (default: configs/default.yaml "
+                         "— the measured latency optimum at this "
+                         "corpus size; pass configs/scale.yaml to "
+                         "decompose the capacity profile instead)")
     args = ap.parse_args()
 
     if args.tiny:
@@ -86,9 +88,9 @@ def main() -> None:
     elif args.config:
         cfg = PipelineConfig.from_yaml(args.config)
     else:
-        perf = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "configs", "scale.yaml")
-        cfg = (PipelineConfig.from_yaml(perf) if os.path.exists(perf)
+        dflt = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "configs", "default.yaml")
+        cfg = (PipelineConfig.from_yaml(dflt) if os.path.exists(dflt)
                else PipelineConfig(enable_fused_search=True,
                                    stage2_cache_doc_embeddings=True))
 
@@ -114,6 +116,17 @@ def main() -> None:
     device_ms = probe["per_query_ms"]
     print(f"# device: {device_ms:.2f} ms/query", file=sys.stderr)
 
+    # host PREP alone (tokenize 3 ways + BM25 + arg assembly — no
+    # device work): itemizes the host term so a >10 ms residual is
+    # attributable (VERDICT r4 next-4) instead of a lumped subtraction
+    preps = []
+    for q in queries:
+        t0 = time.perf_counter()
+        p._fused._prepare([q])
+        preps.append((time.perf_counter() - t0) * 1e3)
+    prep_ms = statistics.median(preps)
+    print(f"# host prep: {prep_ms:.2f} ms/query", file=sys.stderr)
+
     # full search() wall clock, single query at a time (includes host
     # prep, ONE dispatch, ONE fetch, formatting)
     walls = []
@@ -128,7 +141,14 @@ def main() -> None:
         "rtt_ms": round(rtt_ms, 2),
         "device_ms": round(device_ms, 2),
         "host_ms": round(host_ms, 2),
+        "host_prep_ms": round(prep_ms, 2),
+        # what remains after prep is format + relay ack->completion
+        # gaps the chained probe cannot see
+        "host_residual_ms": round(max(0.0, host_ms - prep_ms), 2),
         "search_wall_p50_ms": round(wall_p50, 2),
+        "search_wall_p90_ms": round(
+            statistics.quantiles(walls, n=10)[-1], 2
+        ),
         "p50_net_of_tunnel_ms": round(wall_p50 - rtt_ms, 2),
         "target_ms": 20.0,
         "meets_target_net_of_tunnel": (wall_p50 - rtt_ms) < 20.0,
