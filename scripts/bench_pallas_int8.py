@@ -79,16 +79,22 @@ def main():
     results = {}
 
     if args.path in ("all", "bank"):
-        def bank_step(qq, dd):
-            return fused_matmul_topk(qq, dd, count, k=k, mode="bank")
+        # bankT (round 5): transposed scores make the bank reduce a
+        # sublane reshape — 3-6x the lane-sliced bank form; top2 is
+        # the ~0.99-selection point (BENCH_NOTES round 5)
+        for name, btop in (("pallas_bankT", 1), ("pallas_bankT2", 2)):
+            def bank_step(qq, dd, _bt=btop):
+                return fused_matmul_topk(
+                    qq, dd, count, k=k, mode="bankT", bank_top=_bt
+                )
 
-        rec = recall_vs_exact(bank_step, q[:16], docs, k, exact_ids)
-        ms = timed_loop(bank_step, q, docs, args.iters) * 1000
-        results["pallas_bank"] = {
-            "ms_per_batch": ms, "qps": b / ms * 1000, "recall_at_k": rec,
-        }
-        print(json.dumps({"path": "pallas_bank", **results["pallas_bank"]}),
-              flush=True)
+            rec = recall_vs_exact(bank_step, q[:16], docs, k, exact_ids)
+            ms = timed_loop(bank_step, q, docs, args.iters) * 1000
+            results[name] = {
+                "ms_per_batch": ms, "qps": b / ms * 1000,
+                "recall_at_k": rec,
+            }
+            print(json.dumps({"path": name, **results[name]}), flush=True)
 
     if args.path in ("all", "int8"):
         q8corpus, scales = _quantize_rows(docs.astype(jnp.float32))
