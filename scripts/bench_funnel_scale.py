@@ -44,6 +44,9 @@ def main() -> None:
                     help="distinct queries for the overlap check")
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--index-int8", action="store_true",
+                    help="int8 dense index (halves the stage-1 corpus "
+                         "HBM; the scale profile's setting)")
     ap.add_argument("--cache-int8", action="store_true",
                     help="int8 stage-2 token cache — the capacity knob "
                          "that fits >100k-doc corpora in one chip's HBM")
@@ -109,6 +112,7 @@ def main() -> None:
         stage2_cache_int8=args.cache_int8,
         stage2_max_seq_length=args.s2_seq,
         stage2_cache_hot_window=args.hot_window,
+        index_dtype="int8" if args.index_int8 else "bfloat16",
         **models,
     )
     p = RetrievalPipeline(cfg)
