@@ -141,7 +141,15 @@ def _stage1_leg() -> None:
     # fused Pallas kernel pays a ~5 min Mosaic remote-compile on
     # tunneled dev TPUs, so it stays opt-in (BENCH_PALLAS=1).
     paths.append(("xla_exact", xla_exact_step, docs))
-    if _os.environ.get("BENCH_PALLAS"):
+    # Pallas kernel legs: ON by default since round 5 (the xla_cache
+    # in-repo compile cache makes them cheap on warm driver runs;
+    # each path degrades independently on failure). BENCH_NO_PALLAS=1
+    # disables; the legacy BENCH_PALLAS=1 is still accepted.
+    run_pallas = (
+        not _os.environ.get("BENCH_NO_PALLAS")
+        and jax.default_backend() != "cpu"
+    ) or _os.environ.get("BENCH_PALLAS")
+    if run_pallas:
         from tristage_rag_tpu.ops.pallas_topk import fused_matmul_topk
 
         def pallas_step(q, d):
@@ -231,7 +239,7 @@ def _stage1_leg() -> None:
         recall_paths = [("xla_approx", xla_approx_step, docs)]
         if int8_ready:
             recall_paths.append(("int8_approx", int8_approx_step, q8docs))
-        if _os.environ.get("BENCH_PALLAS") and int8_ready:
+        if run_pallas and int8_ready:
             recall_paths += [
                 ("pallas_int8_exact", pallas_int8_step, q8docs),
                 ("pallas_int8_bank", pallas_int8_bank_step, q8docs),
