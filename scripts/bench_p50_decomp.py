@@ -137,6 +137,8 @@ def main() -> None:
     wall_p50 = statistics.median(walls)
     host_ms = max(0.0, wall_p50 - rtt_ms - device_ms)
 
+    qs = statistics.quantiles(walls, n=10)
+    wall_p10 = qs[0]
     result = {
         "rtt_ms": round(rtt_ms, 2),
         "device_ms": round(device_ms, 2),
@@ -145,11 +147,18 @@ def main() -> None:
         # what remains after prep is format + relay ack->completion
         # gaps the chained probe cannot see
         "host_residual_ms": round(max(0.0, host_ms - prep_ms), 2),
+        "search_wall_p10_ms": round(wall_p10, 2),
         "search_wall_p50_ms": round(wall_p50, 2),
-        "search_wall_p90_ms": round(
-            statistics.quantiles(walls, n=10)[-1], 2
+        "search_wall_p90_ms": round(qs[-1], 2),
+        # best-case residual: if p10's residual ~0 while p50's is
+        # large, the lump is RELAY QUEUE VARIANCE (per-dispatch
+        # scheduling jitter on the tunneled chip), not a real per-query
+        # cost a local deployment would pay
+        "p10_residual_ms": round(
+            max(0.0, wall_p10 - rtt_ms - device_ms - prep_ms), 2
         ),
         "p50_net_of_tunnel_ms": round(wall_p50 - rtt_ms, 2),
+        "p10_net_of_tunnel_ms": round(wall_p10 - rtt_ms, 2),
         "target_ms": 20.0,
         "meets_target_net_of_tunnel": (wall_p50 - rtt_ms) < 20.0,
         "docs": args.docs,
