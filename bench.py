@@ -173,9 +173,12 @@ def _stage1_leg() -> None:
                 )
 
             def pallas_int8_bank_step(q, d):
+                # blk2048 measured best for the int8 bankT legs
+                # (fewer grid iterations; blk4096 loses to VMEM
+                # pressure — BENCH_NOTES round 5)
                 return fused_matmul_topk(
                     q.astype(jnp.float32), d, count, k=K, mode="bankT",
-                    scales=scales,
+                    scales=scales, block_size=2048, per_block_k=16,
                 )
 
             def pallas_int8_bank2_step(q, d):
@@ -186,7 +189,8 @@ def _stage1_leg() -> None:
                 # for EVERY int8 path, including int8_approx at 0.981)
                 return fused_matmul_topk(
                     q.astype(jnp.float32), d, count, k=K, mode="bankT",
-                    bank_top=2, scales=scales,
+                    bank_top=2, scales=scales, block_size=2048,
+                    per_block_k=16,
                 )
 
             paths.insert(0, ("pallas_int8_exact", pallas_int8_step, q8docs))

@@ -788,8 +788,21 @@ class DenseIndex:
             # ~0.99 selection recall at 2.4-2.7x the exact-merge
             # kernel's QPS (BENCH_NOTES round 5) — the high-recall
             # high-throughput point on the kernel frontier.
+            # blk2048 amortizes grid iterations at scale (BENCH_NOTES
+            # round 5: 42.5k vs 31.8k QPS at 1M docs); small corpora
+            # keep blk1024's auto bank sizing (fewer total banks at
+            # fixed width would concentrate winners and cost recall)
+            blk = (
+                2048
+                if self.capacity >= (1 << 18)
+                and self.capacity % 2048 == 0
+                else 1024
+            )
             mode_kw = (
-                dict(mode="bankT", bank_top=2)
+                dict(
+                    mode="bankT", bank_top=2, block_size=blk,
+                    **({"per_block_k": 16} if blk == 2048 else {}),
+                )
                 if impl == "pallas-bank" else {}
             )
             try:
