@@ -38,7 +38,11 @@ runs concurrently from the start):
      docs, 500/100/20). Uses the persistent compile cache under
      ./xla_cache so full-size Mosaic compiles amortize across runs.
      BENCH_NO_FUNNEL=1 disables.
-  3. ``scripts/bench_ndcg_gate.py``   CPU leg, cap BENCH_NDCG_TIMEOUT
+  3. ``bench.py --leg pallas``        device leg, cap
+     BENCH_PALLAS_TIMEOUT (default 480 s) — the Pallas stage-1 kernel
+     paths (bankT top1/top2, exact select) with both recall axes,
+     merged as pallas_* fields. BENCH_NO_PALLAS=1 disables.
+  4. ``scripts/bench_ndcg_gate.py``   CPU leg, cap BENCH_NDCG_TIMEOUT
      (default 420 s) — synthetic-LIMIT NDCG@10 of the tiny trained
      stack (quality regression axis, VERDICT r3 next-10).
      BENCH_NO_NDCG=1 disables.
@@ -75,8 +79,15 @@ _REPO = _os.path.dirname(_os.path.abspath(__file__))
 
 # ---------------------------------------------------------------- legs
 
-def _stage1_leg() -> None:
-    """Device leg: the stage-1 QPS headline. Prints ONE JSON line."""
+def _stage1_leg(which: str = "stage1") -> None:
+    """Device leg, ONE JSON line.
+
+    ``which="stage1"``: the XLA headline paths (approx/int8/exact).
+    ``which="pallas"``: the Pallas kernel paths as their OWN budgeted
+    leg — cold remote Mosaic compiles and per-program load latencies
+    measured ~7-8 min for the combined leg on the tunneled chip, which
+    blew the headline's cap; split out, a pallas timeout can never
+    cost the headline (same structure as the funnel leg)."""
     import jax
     import jax.numpy as jnp
 
@@ -113,8 +124,6 @@ def _stage1_leg() -> None:
         s = jnp.einsum("bd,nd->bn", q, d, preferred_element_type=jnp.float32)
         return jax.lax.top_k(s, K)
 
-    paths = [("xla_approx", xla_approx_step, docs)]
-
     # int8 storage mode (opt-in `index_int8` config): per-row symmetric
     # quantization, dequant fused into the matmul's HBM read — halves
     # the corpus-read bytes that bound this op. Reported as its OWN
@@ -132,24 +141,18 @@ def _stage1_leg() -> None:
             ) * scales[None, :]
             return jax.lax.approx_max_k(s, K, recall_target=0.95)
 
-        paths.append(("int8_approx", int8_approx_step, q8docs))
         int8_ready = True
     except Exception as e:
         print(f"# int8 path unavailable: {e}", file=sys.stderr)
-    # Exact XLA top_k is ~77x slower at this scale, so it gets few
-    # iterations — it contextualizes the headline's recall cost. The
-    # fused Pallas kernel pays a ~5 min Mosaic remote-compile on
-    # tunneled dev TPUs, so it stays opt-in (BENCH_PALLAS=1).
-    paths.append(("xla_exact", xla_exact_step, docs))
-    # Pallas kernel legs: ON by default since round 5 (the xla_cache
-    # in-repo compile cache makes them cheap on warm driver runs;
-    # each path degrades independently on failure). BENCH_NO_PALLAS=1
-    # disables; the legacy BENCH_PALLAS=1 is still accepted.
-    run_pallas = (
-        not _os.environ.get("BENCH_NO_PALLAS")
-        and jax.default_backend() != "cpu"
-    ) or _os.environ.get("BENCH_PALLAS")
-    if run_pallas:
+
+    if which == "stage1":
+        paths = [("xla_approx", xla_approx_step, docs)]
+        if int8_ready:
+            paths.append(("int8_approx", int8_approx_step, q8docs))
+        # Exact XLA top_k is ~77x slower at this scale, so it gets few
+        # iterations — it contextualizes the headline's recall cost.
+        paths.append(("xla_exact", xla_exact_step, docs))
+    else:  # pallas leg
         from tristage_rag_tpu.ops.pallas_topk import fused_matmul_topk
 
         def pallas_step(q, d):
@@ -161,21 +164,21 @@ def _stage1_leg() -> None:
             # loop — 3-6x the round-4 bank kernel at the same recall
             return fused_matmul_topk(q, d, count, k=K, mode="bankT")
 
-        paths.insert(0, ("pallas_fused_exact", pallas_step, docs))
-        paths.insert(0, ("pallas_fused_bank", pallas_bank_step, docs))
+        paths = [
+            ("pallas_fused_bank", pallas_bank_step, docs),
+            ("pallas_fused_exact", pallas_step, docs),
+        ]
         if int8_ready:
             # int8 x int8 on the MXU + half the HBM read — the XLA
             # int8 path only gets the read saving (it dequantizes into
-            # a float dot, staying compute-bound).
+            # a float dot, staying compute-bound). blk2048 measured
+            # best for the bankT legs (BENCH_NOTES round 5).
             def pallas_int8_step(q, d):
                 return fused_matmul_topk(
                     q.astype(jnp.float32), d, count, k=K, scales=scales
                 )
 
             def pallas_int8_bank_step(q, d):
-                # blk2048 measured best for the int8 bankT legs
-                # (fewer grid iterations; blk4096 loses to VMEM
-                # pressure — BENCH_NOTES round 5)
                 return fused_matmul_topk(
                     q.astype(jnp.float32), d, count, k=K, mode="bankT",
                     scales=scales, block_size=2048, per_block_k=16,
@@ -193,13 +196,11 @@ def _stage1_leg() -> None:
                     per_block_k=16,
                 )
 
-            paths.insert(0, ("pallas_int8_exact", pallas_int8_step, q8docs))
-            paths.insert(
-                0, ("pallas_int8_bank", pallas_int8_bank_step, q8docs)
-            )
-            paths.insert(
-                0, ("pallas_int8_bank2", pallas_int8_bank2_step, q8docs)
-            )
+            paths = [
+                ("pallas_int8_bank", pallas_int8_bank_step, q8docs),
+                ("pallas_int8_bank2", pallas_int8_bank2_step, q8docs),
+                ("pallas_int8_exact", pallas_int8_step, q8docs),
+            ] + paths
 
     iters_for = {"xla_exact": 6}
     for name, fn, corpus in paths:
@@ -213,7 +214,7 @@ def _stage1_leg() -> None:
         except Exception as e:  # keep the bench alive if one path breaks
             print(f"# {name} failed: {e}", file=sys.stderr)
 
-    if "xla_approx" not in candidates:
+    if which == "stage1" and "xla_approx" not in candidates:
         raise SystemExit("default-path benchmark failed")
 
     # Measured recall@K of each approx path vs exact, on this corpus +
@@ -240,15 +241,20 @@ def _stage1_leg() -> None:
             int8_exact_ids = jax.device_get(
                 jax.jit(int8_exact_step)(q, q8docs)[1]
             )
-        recall_paths = [("xla_approx", xla_approx_step, docs)]
-        if int8_ready:
-            recall_paths.append(("int8_approx", int8_approx_step, q8docs))
-        if run_pallas and int8_ready:
-            recall_paths += [
+        if which == "stage1":
+            recall_paths = [("xla_approx", xla_approx_step, docs)]
+            if int8_ready:
+                recall_paths.append(
+                    ("int8_approx", int8_approx_step, q8docs)
+                )
+        elif int8_ready:
+            recall_paths = [
                 ("pallas_int8_exact", pallas_int8_step, q8docs),
                 ("pallas_int8_bank", pallas_int8_bank_step, q8docs),
                 ("pallas_int8_bank2", pallas_int8_bank2_step, q8docs),
             ]
+        else:
+            recall_paths = []
 
         def _overlap(ids, ref):
             hit = sum(
@@ -269,28 +275,32 @@ def _stage1_leg() -> None:
     except Exception as e:
         print(f"# recall measurement failed: {e}", file=sys.stderr)
 
-    out = {
-        "metric": "stage1_qps",
-        "value": round(candidates["xla_approx"], 1),
-        "unit": "qps",
-        "vs_baseline": round(candidates["xla_approx"] / BASELINE_QPS, 3),
-    }
-    if "xla_approx" in recalls:
-        out["recall_at_k"] = round(recalls["xla_approx"], 4)
-    if "xla_exact" in candidates:
-        out["exact_qps"] = round(candidates["xla_exact"], 1)
-    if "int8_approx" in candidates:
-        out["int8_approx_qps"] = round(candidates["int8_approx"], 1)
-        if "int8_approx" in recalls:
-            out["int8_recall_at_k"] = round(recalls["int8_approx"], 4)
-    for pal in ("pallas_int8_exact", "pallas_int8_bank",
-                "pallas_int8_bank2"):
-        if pal in candidates:
-            out[f"{pal}_qps"] = round(candidates[pal], 1)
-            if pal in recalls:
-                out[f"{pal}_recall_at_k"] = round(recalls[pal], 4)
-            if pal in sel_recalls:
-                out[f"{pal}_sel_recall"] = round(sel_recalls[pal], 4)
+    if which == "stage1":
+        out = {
+            "metric": "stage1_qps",
+            "value": round(candidates["xla_approx"], 1),
+            "unit": "qps",
+            "vs_baseline": round(candidates["xla_approx"] / BASELINE_QPS, 3),
+        }
+        if "xla_approx" in recalls:
+            out["recall_at_k"] = round(recalls["xla_approx"], 4)
+        if "xla_exact" in candidates:
+            out["exact_qps"] = round(candidates["xla_exact"], 1)
+        if "int8_approx" in candidates:
+            out["int8_approx_qps"] = round(candidates["int8_approx"], 1)
+            if "int8_approx" in recalls:
+                out["int8_recall_at_k"] = round(recalls["int8_approx"], 4)
+    else:
+        out = {}
+        for pal in ("pallas_int8_exact", "pallas_int8_bank",
+                    "pallas_int8_bank2", "pallas_fused_bank",
+                    "pallas_fused_exact"):
+            if pal in candidates:
+                out[f"{pal}_qps"] = round(candidates[pal], 1)
+                if pal in recalls:
+                    out[f"{pal}_recall_at_k"] = round(recalls[pal], 4)
+                if pal in sel_recalls:
+                    out[f"{pal}_sel_recall"] = round(sel_recalls[pal], 4)
     print(json.dumps(out), flush=True)
 
 
@@ -341,8 +351,9 @@ def _run_leg_env(
 
 def main() -> None:
     if "--leg" in sys.argv:
-        assert sys.argv[sys.argv.index("--leg") + 1] == "stage1"
-        _stage1_leg()
+        which = sys.argv[sys.argv.index("--leg") + 1]
+        assert which in ("stage1", "pallas"), which
+        _stage1_leg(which)
         return
 
     budget = float(_os.environ.get("BENCH_BUDGET_S", 1100))
@@ -437,6 +448,23 @@ def main() -> None:
         # the 2k gate shape by design — VERDICT r4 weak-6. It now lives
         # as configs/scale.yaml; measure it at scale via
         # BENCH_FUNNEL_CONFIG=configs/scale.yaml BENCH_FUNNEL_DOCS=...)
+
+    # Pallas kernel leg (round 5, default-on): its own subprocess +
+    # budget, merged like the funnel leg — cold Mosaic compiles or
+    # per-program load latency can time out THIS leg but never the
+    # headline. BENCH_NO_PALLAS=1 disables.
+    if not _os.environ.get("BENCH_NO_PALLAS") and not _os.environ.get(
+        "BENCH_FORCE_CPU"  # Mosaic is TPU-only
+    ):
+        p_cap = float(_os.environ.get("BENCH_PALLAS_TIMEOUT", 480))
+        pal = _run_leg(
+            [sys.executable, "-u", _os.path.abspath(__file__),
+             "--leg", "pallas"],
+            min(p_cap, remaining() - 30), "pallas",
+        )
+        if pal:
+            headline.update(pal)
+            print(json.dumps(headline), flush=True)  # line 3: +pallas
 
     ndcg = join_ndcg()
     if ndcg and "synthetic_ndcg_at_10" in ndcg:
