@@ -341,9 +341,21 @@ def _run_leg_env(
             print(f"# {label} leg produced no JSON (rc={res.returncode})",
                   file=sys.stderr)
         return parsed
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
         print(f"# {label} leg timed out after {timeout_s:.0f}s",
               file=sys.stderr)
+        # salvage whatever the leg printed before the kill — legs
+        # print partial JSON lines as results land, so a timeout
+        # mid-extra-measurement keeps the core fields
+        out = e.stdout
+        if out:
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
+            parsed = _last_json_line(out)
+            if parsed is not None:
+                print(f"# {label} leg: salvaged partial JSON",
+                      file=sys.stderr)
+            return parsed
     except Exception as e:
         print(f"# {label} leg failed: {e}", file=sys.stderr)
     return None
@@ -421,7 +433,11 @@ def main() -> None:
     print(json.dumps(headline), flush=True)  # line 1: headline FIRST
 
     if not _os.environ.get("BENCH_NO_FUNNEL"):
-        f_cap = float(_os.environ.get("BENCH_FUNNEL_TIMEOUT", 300))
+        # 420 s: the warm-indexing restructure + probe/trace fields
+        # (round 5) cost ~1-2 min beyond the old single-probe leg on
+        # slow relay windows; partial JSON salvage above keeps the
+        # core fields even when the cap hits mid-trace
+        f_cap = float(_os.environ.get("BENCH_FUNNEL_TIMEOUT", 420))
         funnel = _run_leg(
             [sys.executable, "-u",
              _os.path.join(_REPO, "scripts", "bench_funnel_gate.py")],

@@ -134,21 +134,26 @@ def main() -> None:
     out = p.search(q)  # warm + assert the fused path serves
     assert out["timing"].get("fused") is True, out["timing"]
 
-    # ---- N chained probes: best + dispersion
-    readings = [
-        p._fused.device_time_probe(q, iters=PROBE_ITERS)["per_query_ms"]
-        for _ in range(N_PROBES)
-    ]
-    best = min(readings)
+    # ---- N chained probes: best + dispersion. Print the JSON line
+    # incrementally (first probe -> full probe set -> +trace): the
+    # parent salvages the LAST line on a leg timeout, so a slow relay
+    # window degrades the extras instead of losing the leg.
+    readings = []
     result = {
-        "funnel_ms_per_query": round(best, 3),
-        "funnel_ms_spread": round((max(readings) - best) / best, 3),
-        "funnel_probe_ms_all": [round(r, 3) for r in readings],
         "indexed_docs_s": round(n_docs / dt, 1),
         "indexing_warmup_s": round(warmup_s, 1),
     }
     if yaml_cfg:
         result["config"] = yaml_cfg
+    for i in range(N_PROBES):
+        readings.append(
+            p._fused.device_time_probe(q, iters=PROBE_ITERS)["per_query_ms"]
+        )
+        best = min(readings)
+        result["funnel_ms_per_query"] = round(best, 3)
+        result["funnel_ms_spread"] = round((max(readings) - best) / best, 3)
+        result["funnel_probe_ms_all"] = [round(r, 3) for r in readings]
+        print(json.dumps(result), flush=True)
 
     # ---- trace-derived per-program device time (ground truth)
     try:
