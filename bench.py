@@ -202,6 +202,49 @@ def _stage1_leg(which: str = "stage1") -> None:
                 ("pallas_int8_exact", pallas_int8_step, q8docs),
             ] + paths
 
+    def _emit(recalls={}, sel_recalls={}):
+        """Print the JSON line with everything measured SO FAR — the
+        parent salvages the LAST line on a leg timeout, so a slow
+        relay window degrades later fields instead of losing the leg
+        (round-5 hardening: two rehearsals lost the whole headline to
+        480 s caps on a flaky window)."""
+        if which == "stage1":
+            if "xla_approx" not in candidates:
+                return
+            o = {
+                "metric": "stage1_qps",
+                "value": round(candidates["xla_approx"], 1),
+                "unit": "qps",
+                "vs_baseline": round(
+                    candidates["xla_approx"] / BASELINE_QPS, 3
+                ),
+            }
+            if "xla_approx" in recalls:
+                o["recall_at_k"] = round(recalls["xla_approx"], 4)
+            if "xla_exact" in candidates:
+                o["exact_qps"] = round(candidates["xla_exact"], 1)
+            if "int8_approx" in candidates:
+                o["int8_approx_qps"] = round(candidates["int8_approx"], 1)
+                if "int8_approx" in recalls:
+                    o["int8_recall_at_k"] = round(
+                        recalls["int8_approx"], 4
+                    )
+        else:
+            o = {}
+            for pal in ("pallas_int8_exact", "pallas_int8_bank",
+                        "pallas_int8_bank2", "pallas_fused_bank",
+                        "pallas_fused_exact"):
+                if pal in candidates:
+                    o[f"{pal}_qps"] = round(candidates[pal], 1)
+                    if pal in recalls:
+                        o[f"{pal}_recall_at_k"] = round(recalls[pal], 4)
+                    if pal in sel_recalls:
+                        o[f"{pal}_sel_recall"] = round(
+                            sel_recalls[pal], 4
+                        )
+        if o:
+            print(json.dumps(o), flush=True)
+
     iters_for = {"xla_exact": 6}
     for name, fn, corpus in paths:
         try:
@@ -211,6 +254,7 @@ def _stage1_leg(which: str = "stage1") -> None:
             candidates[name] = B / per_iter
             print(f"# {name}: {per_iter * 1e3:.3f} ms/batch "
                   f"({candidates[name]:.0f} qps)", file=sys.stderr)
+            _emit()
         except Exception as e:  # keep the bench alive if one path breaks
             print(f"# {name} failed: {e}", file=sys.stderr)
 
@@ -275,33 +319,7 @@ def _stage1_leg(which: str = "stage1") -> None:
     except Exception as e:
         print(f"# recall measurement failed: {e}", file=sys.stderr)
 
-    if which == "stage1":
-        out = {
-            "metric": "stage1_qps",
-            "value": round(candidates["xla_approx"], 1),
-            "unit": "qps",
-            "vs_baseline": round(candidates["xla_approx"] / BASELINE_QPS, 3),
-        }
-        if "xla_approx" in recalls:
-            out["recall_at_k"] = round(recalls["xla_approx"], 4)
-        if "xla_exact" in candidates:
-            out["exact_qps"] = round(candidates["xla_exact"], 1)
-        if "int8_approx" in candidates:
-            out["int8_approx_qps"] = round(candidates["int8_approx"], 1)
-            if "int8_approx" in recalls:
-                out["int8_recall_at_k"] = round(recalls["int8_approx"], 4)
-    else:
-        out = {}
-        for pal in ("pallas_int8_exact", "pallas_int8_bank",
-                    "pallas_int8_bank2", "pallas_fused_bank",
-                    "pallas_fused_exact"):
-            if pal in candidates:
-                out[f"{pal}_qps"] = round(candidates[pal], 1)
-                if pal in recalls:
-                    out[f"{pal}_recall_at_k"] = round(recalls[pal], 4)
-                if pal in sel_recalls:
-                    out[f"{pal}_sel_recall"] = round(sel_recalls[pal], 4)
-    print(json.dumps(out), flush=True)
+    _emit(recalls, sel_recalls)
 
 
 # -------------------------------------------------------- orchestrator
