@@ -274,12 +274,31 @@ def _stage1_leg(which: str = "stage1") -> None:
         # kernel only controls selection loss, measured against this.
         int8_exact_ids = None
         if int8_ready:
+            # each leg's selection oracle is exact top-k over the
+            # measured paths' OWN score function (round-5 review): the
+            # stage-1 leg's int8_approx uses a FLOAT query; the pallas
+            # kernels quantize the query, so their oracle does too
+            # (the int8 x int8 dot is exact in int32 and f32 holds it
+            # losslessly — bit-faithful scores)
             def int8_exact_step(qq, dd):
+                if which == "stage1":
+                    s = jnp.einsum(
+                        "bd,nd->bn", qq.astype(jnp.bfloat16),
+                        dd.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    ) * scales[None, :]
+                    return jax.lax.top_k(s, K)
+                from tristage_rag_tpu.index.token_cache import (
+                    symmetric_int8,
+                )
+
+                q8, qs = symmetric_int8(qq)
                 s = jnp.einsum(
-                    "bd,nd->bn", qq.astype(jnp.bfloat16),
+                    "bd,nd->bn", q8.astype(jnp.bfloat16),
                     dd.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32,
-                ) * scales[None, :]
+                )
+                s = s * qs[:, None] * scales[None, :]
                 return jax.lax.top_k(s, K)
 
             int8_exact_ids = jax.device_get(

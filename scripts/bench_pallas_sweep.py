@@ -87,14 +87,33 @@ def main() -> None:
                        preferred_element_type=jnp.float32)
         return jax.lax.top_k(s, K)
 
-    def int8_exact(qq, dd):
+    # Each path's SELECTION oracle is exact top-k over ITS OWN score
+    # function (round-5 review: a shared float-query oracle leaked
+    # query-quant id-divergence into the pallas kernels' selection
+    # axis — the kernels quantize the query, int8_approx does not):
+    #   * int8_exact_fq  — float query x int8 docs (int8_approx's fn)
+    #   * int8_exact_q8  — int8 query codes x int8 docs x both scales
+    #     (the pallas kernels' fn; the int8 x int8 dot is exact in
+    #     int32 and f32 holds it losslessly — bit-faithful scores)
+    def int8_exact_fq(qq, dd):
         s = jnp.einsum("bd,nd->bn", qq.astype(jnp.bfloat16),
                        dd.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32) * scales[None, :]
         return jax.lax.top_k(s, K)
 
+    def int8_exact_q8(qq, dd):
+        from tristage_rag_tpu.index.token_cache import symmetric_int8
+
+        q8, qs = symmetric_int8(qq)
+        s = jnp.einsum("bd,nd->bn", q8.astype(jnp.bfloat16),
+                       dd.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        s = s * qs[:, None] * scales[None, :]
+        return jax.lax.top_k(s, K)
+
     ids_bf16 = np.asarray(jax.jit(bf16_exact)(q, docs)[1])
-    ids_int8 = np.asarray(jax.jit(int8_exact)(q, q8docs)[1])
+    ids_int8_fq = np.asarray(jax.jit(int8_exact_fq)(q, q8docs)[1])
+    ids_int8 = np.asarray(jax.jit(int8_exact_q8)(q, q8docs)[1])
 
     def int8_approx(qq, dd):
         s = jnp.einsum("bd,nd->bn", qq.astype(jnp.bfloat16),
@@ -109,7 +128,7 @@ def main() -> None:
 
     variants = [
         ("xla_approx", xla_approx, docs, ids_bf16),
-        ("int8_approx", int8_approx, q8docs, ids_int8),
+        ("int8_approx", int8_approx, q8docs, ids_int8_fq),
     ]
 
     def pallas(corpus, blk, mode, btop, quant, pbk=0):
@@ -131,13 +150,16 @@ def main() -> None:
             for (t, b, m, bt, q, p) in specs
         ]
     else:
+        # defaults sweep the SHIPPED kernel (bankT — the transposed
+        # bank reduce every consumer routes through); pass SWEEP_SPECS
+        # with mode "bank" to A/B the legacy lane-slice form
         specs = []
         for blk in args.blocks:
             for quant in (True, False):
                 tag = "int8" if quant else "bf16"
                 specs += [
-                    (f"{tag}_bank2_blk{blk}", blk, "bank", 2, quant, 0),
-                    (f"{tag}_bank1_blk{blk}", blk, "bank", 1, quant, 0),
+                    (f"{tag}_bankT2_blk{blk}", blk, "bankT", 2, quant, 0),
+                    (f"{tag}_bankT1_blk{blk}", blk, "bankT", 1, quant, 0),
                 ]
             specs.append((f"int8_select_blk{blk}", blk, "select", 1, True, 0))
 

@@ -352,6 +352,31 @@ class TestExactnessGuard:
             assert len(set(i_p[r].tolist()) & set(i_r[r].tolist())) >= 14
         assert pal.search_state()[4] in ("exact", "approx")
 
+    def test_pallas_bank_small_corpus_falls_back_exact(self):
+        """k larger than the bank candidate table must NOT silently
+        return half-recall results (round-5 review: recall 0.448 at
+        capacity 1024 / k=500): the min_candidates guard refuses and
+        DenseIndex falls back to the exact scan — results identical."""
+        from tristage_rag_tpu.index.dense import DenseIndex
+
+        rng = np.random.default_rng(7)
+        emb = rng.standard_normal((900, 64)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        pal = DenseIndex(dim=64, search_impl="pallas-bank")
+        ref = DenseIndex(dim=64, search_impl="exact")
+        pal.add(emb)
+        ref.add(emb)
+        s_p, i_p = pal.search(emb[:4], k=500)
+        s_r, i_r = ref.search(emb[:4], k=500)
+        np.testing.assert_array_equal(i_p, i_r)
+        # and the raw kernel call with the guard refuses outright
+        with pytest.raises(ValueError, match="min_candidates"):
+            fused_matmul_topk(
+                jnp.asarray(emb[:4]), pal._buf, jnp.int32(900), k=500,
+                mode="bankT", bank_top=2, min_candidates=500,
+                interpret=True,
+            )
+
     def test_dense_index_falls_back_to_exact(self):
         """DenseIndex with search_impl=pallas on a small corpus + big k
         must return the exact results via the XLA path."""

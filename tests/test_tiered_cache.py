@@ -130,6 +130,59 @@ class TestTieredUnit:
         _, m = c.gather([0])
         assert int(np.asarray(m).sum()) == 0
 
+    def test_no_long_docs_still_gathers_and_composes(self):
+        """A short-doc corpus (exactly the workload the hot window
+        optimizes for) allocates no tail — gather() and state() must
+        still work, with an all-zero tail contribution (round-5
+        review finding: tail._buf stayed None and crashed)."""
+        rng = np.random.default_rng(8)
+        seq, hot, dim, n = 24, 16, 8, 10
+        emb = rng.standard_normal((n, seq, dim)).astype(np.float32)
+        mask = np.zeros((n, seq), dtype=np.int32)
+        mask[:, :8] = 1  # every doc fits the hot window
+        emb *= mask[..., None]
+        c = TieredTokenCache(seq_len=seq, dim=dim, hot_len=hot, dtype="float32")
+        c.add(list(range(n)), emb, mask)
+        assert c.tail_docs == 0
+        e, m = c.gather([0, 5, -1])
+        assert e.shape == (3, seq, dim) and m.shape == (3, seq)
+        assert int(np.asarray(m)[:, hot:].sum()) == 0
+        hot_state, tail_state, tmap = c.state()
+        assert tail_state[0] is not None and tmap is not None
+
+    def test_readd_shorter_drops_stale_tail(self):
+        """A doc re-added with content that now FITS the hot window
+        must not keep scoring its old tail tokens (round-5 review
+        finding: the stale slot stayed mapped)."""
+        rng = np.random.default_rng(9)
+        seq, hot, dim = 24, 16, 8
+        emb = rng.standard_normal((1, seq, dim)).astype(np.float32)
+        long_mask = np.ones((1, seq), dtype=np.int32)
+        c = TieredTokenCache(seq_len=seq, dim=dim, hot_len=hot, dtype="float32")
+        flat = DeviceTokenCache(seq_len=seq, dim=dim, dtype="float32")
+        c.add([0], emb, long_mask)
+        flat.add([0], emb, long_mask)
+        assert c.tail_docs == 1
+        # re-add doc 0 with only 2 valid tokens
+        short_mask = np.zeros((1, seq), dtype=np.int32)
+        short_mask[0, :2] = 1
+        emb2 = emb * short_mask[..., None]
+        c.add([0], emb2, short_mask)
+        flat.add([0], emb2, short_mask)
+        et, mt = c.gather([0])
+        ef, mf = flat.gather([0])
+        np.testing.assert_array_equal(np.asarray(mt), np.asarray(mf))
+        np.testing.assert_allclose(
+            np.asarray(et) * np.asarray(mt)[..., None],
+            np.asarray(ef) * np.asarray(mf)[..., None], atol=1e-6,
+        )
+
+    def test_reserve_tail_slots_presizes(self):
+        c = TieredTokenCache(seq_len=24, dim=8, hot_len=16, dtype="float32")
+        c.reserve(9999, tail_slots=3000)
+        assert c.tail.capacity >= 3000
+        assert c.hot.capacity >= 10000
+
     def test_bad_hot_len_refused(self):
         with pytest.raises(ValueError, match="hot_len"):
             TieredTokenCache(seq_len=16, dim=8, hot_len=16)

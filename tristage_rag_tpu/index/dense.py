@@ -801,6 +801,10 @@ class DenseIndex:
             mode_kw = (
                 dict(
                     mode="bankT", bank_top=2, block_size=blk,
+                    # refuse (-> exact fallback below) when the bank
+                    # candidate table cannot cover k — a small corpus
+                    # would otherwise silently halve stage-1 recall
+                    min_candidates=k_eff + extra,
                     **({"per_block_k": 16} if blk == 2048 else {}),
                 )
                 if impl == "pallas-bank" else {}

@@ -24,6 +24,7 @@ embeddings are tested to stay within top-k overlap tolerance.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional
 
 import jax
@@ -453,10 +454,37 @@ class TieredTokenCache:
     def covers(self, doc_ids) -> bool:
         return self.hot.covers(doc_ids)
 
-    def reserve(self, max_id: int) -> bool:
+    def reserve(self, max_id: int, tail_slots: int | None = None) -> bool:
+        """Pre-size the hot tier for ids up to ``max_id`` (same contract
+        as DeviceTokenCache.reserve) and ensure a tail buffer exists.
+
+        ``tail_slots``: also pre-size the tail for that many LONG docs
+        — callers that know the long-doc share (benches, bulk refills)
+        pass it so the tail never capacity-doubles mid-fill (each
+        doubling re-keys the donated scatter jit). Left None, the tail
+        is only floored at its minimum capacity; it then grows by
+        doubling as long docs arrive (a handful of small re-compiles
+        per decade of corpus growth — the price of not allocating
+        cap x tail_window up front, which is the whole point)."""
         ok = self.hot.reserve(max_id)
+        self.tail.reserve(
+            max(int(tail_slots) - 1, 0) if tail_slots else 0
+        )
         self._sync_map_capacity()
         return ok
+
+    def _ensure_tail(self) -> None:
+        """Allocate the (minimum-capacity) tail buffers + map if no
+        long doc has arrived yet: a short-doc corpus must still gather
+        and compose into the fused program (the tail contributes only
+        zero masks)."""
+        if self.tail._buf is None:
+            self.tail.reserve(0)
+        if self._map_dev is None:
+            self._sync_map_capacity()
+        if self._map_dev is None:  # no hot capacity yet either
+            self._map_host = np.full((1,), -1, dtype=np.int32)
+            self._map_dev = jnp.asarray(self._map_host)
 
     def _sync_map_capacity(self) -> None:
         cap = self.hot.capacity
@@ -471,6 +499,17 @@ class TieredTokenCache:
         DeviceTokenCache.add). A device-array mask costs a fetch to
         inspect, so it conservatively tails EVERY row."""
         if isinstance(masks, jax.Array):
+            # every row gets a tail slot — the capacity saving is gone
+            # for this batch; warn once so a silent all-device-mask
+            # fill path can't quietly defeat the tiering
+            if not getattr(self, "_warned_device_mask", False):
+                self._warned_device_mask = True
+                logging.getLogger(__name__).warning(
+                    "TieredTokenCache.add received a device-array mask; "
+                    "row lengths are unknowable without a fetch, so "
+                    "EVERY row in such batches occupies a tail slot "
+                    "(tiering saves nothing for them)"
+                )
             return np.full((n,), self.seq_len, dtype=np.int64)
         m = np.asarray(masks).reshape(n, -1)
         nz = m != 0
@@ -501,6 +540,19 @@ class TieredTokenCache:
             return 0
         self._sync_map_capacity()
         long_rows = np.nonzero(lengths > self.hot_len)[0]
+        # A re-added doc that USED to be long but now fits the hot
+        # window must drop its stale tail: un-map the slot (the old
+        # row becomes unreachable; the slot id is not recycled). A
+        # flat cache overwrites the whole row, so without this the
+        # tiered gather would keep scoring the deleted tail tokens.
+        short_rows = np.nonzero(lengths <= self.hot_len)[0]
+        if short_rows.size:
+            stale = ids[short_rows][self._map_host[ids[short_rows]] >= 0]
+            if stale.size:
+                self._map_host[stale] = -1
+                self._map_dev = self._map_dev.at[jnp.asarray(stale)].set(
+                    jnp.int32(-1)
+                )
         if long_rows.size:
             long_ids = ids[long_rows]
             slots = self._map_host[long_ids].copy()
@@ -529,6 +581,7 @@ class TieredTokenCache:
         """([n, seq_len, D] f32, [n, seq_len] i32) — hot + tail concat,
         zero/masked tail for docs without a slot."""
         ids = np.asarray(doc_ids, dtype=np.int32)
+        self._ensure_tail()
         e1, m1 = self.hot.gather(ids)
         safe_ids = np.clip(ids, 0, max(self.hot.capacity - 1, 0))
         slots = self._map_host[safe_ids]
@@ -548,6 +601,7 @@ class TieredTokenCache:
         program — ``engine/fused.py::_gather_candidate_tokens``
         detects the nested form and skips the tail gather entirely
         when the static gather width fits the hot window."""
+        self._ensure_tail()
         return (self.hot.state(), self.tail.state(), self._map_dev)
 
     # ---- persistence ---------------------------------------------------

@@ -259,6 +259,7 @@ def _block_topk_kernel(
     jax.jit,
     static_argnames=(
         "k", "block_size", "per_block_k", "mode", "interpret", "bank_top",
+        "min_candidates",
     ),
 )
 def fused_matmul_topk(
@@ -272,6 +273,7 @@ def fused_matmul_topk(
     interpret: bool = False,
     scales: jax.Array | None = None,
     bank_top: int = 1,
+    min_candidates: int = 0,
 ):
     """Fused inner-product top-k over a masked corpus buffer.
 
@@ -362,6 +364,19 @@ def fused_matmul_topk(
         raise ValueError(
             f"bank_top {bank_top} exceeds bank width "
             f"{block_size // per_block_k}"
+        )
+    if min_candidates and nblocks * out_k < min_candidates:
+        # Bank modes are approximate BY CONTRACT and normally run with
+        # a sub-k candidate table only when a caller deliberately asks
+        # (tests document that degradation). Production callers
+        # (DenseIndex "pallas-bank") pass min_candidates=k so a small
+        # corpus raises here and falls back to the exact scan instead
+        # of silently returning -1-padded half-recall results
+        # (round-5 review: recall 0.448 at capacity 1024 / k=500).
+        raise ValueError(
+            f"bank candidate table {nblocks}x{out_k} cannot reach "
+            f"min_candidates={min_candidates}; use a smaller k or the "
+            f"exact path"
         )
 
     # Pad B up to the sublane tile (int8 tiles are 32 sublanes deep).
