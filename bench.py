@@ -480,12 +480,18 @@ def main() -> None:
              _os.path.join(_REPO, "scripts", "bench_funnel_gate.py")],
             min(f_cap, remaining() - 30), "funnel",
         )
-        if funnel and "funnel_ms_per_query" in funnel:
-            headline["funnel_ms_per_query"] = funnel["funnel_ms_per_query"]
-            # latency target ratio, higher = better (BASELINE.md <20 ms)
-            headline["funnel_vs_target"] = round(
-                20.0 / max(funnel["funnel_ms_per_query"], 1e-9), 2
-            )
+        if funnel:
+            # merge whatever the leg managed to measure: a degraded
+            # window can yield indexing fields without probes (the leg
+            # prints partial lines as results land)
+            if "funnel_ms_per_query" in funnel:
+                headline["funnel_ms_per_query"] = (
+                    funnel["funnel_ms_per_query"]
+                )
+                # latency target ratio, higher = better (<20 ms)
+                headline["funnel_vs_target"] = round(
+                    20.0 / max(funnel["funnel_ms_per_query"], 1e-9), 2
+                )
             # dispersion + trace-derived ground truth (VERDICT r4
             # weak-1: a single chained probe has a ±45% noise band;
             # funnel_trace_ms is the cross-round-comparable number)

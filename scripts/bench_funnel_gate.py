@@ -145,6 +145,9 @@ def main() -> None:
     }
     if yaml_cfg:
         result["config"] = yaml_cfg
+    # first partial: the indexing fields land even if the probe phase
+    # never finishes on a degraded window
+    print(json.dumps(result), flush=True)
     for i in range(N_PROBES):
         readings.append(
             p._fused.device_time_probe(q, iters=PROBE_ITERS)["per_query_ms"]
